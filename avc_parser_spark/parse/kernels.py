@@ -1,0 +1,674 @@
+"""Vectorized parse kernels: audit-record grok battery over pandas frames.
+
+Re-implements (from scratch, Spark-first) the extraction semantics of the
+reference forensic parser — reference behavior cited per function:
+
+- audit header grammar           parse_avc.py:329-357, config/constants.py:17-19
+- AVC body field battery         parse_avc.py:929-1016
+- shared non-AVC context         parse_avc.py:569-707
+- best-PATH selection            parse_avc.py:710-751
+- path resolution cascade        parse_avc.py:1018-1065
+- exe/comm source priority       parse_avc.py:1067-1103
+- CWD-relative resolution        parse_avc.py:219-247
+- smart path normalization       parse_avc.py:126-216
+- proctitle hex decode           parse_avc.py:660-688
+- exit-code errno translation    parse_avc.py:250-295
+- timestamp 3-format fallback    parse_avc.py:543-566, 900-927
+- SELinux context split          avc_selinux/context.py:20-49
+- validity / routing             parse_avc.py:298-326, 360-446, 477-521
+
+All operations are pandas-vectorized (``Series.str.extract`` / boolean masks)
+— Python ``re`` engine, which is exactly the reference's regex engine, so the
+extracted text is byte-identical by construction (SURVEY.md §7.3 risk 1).
+The only sub-vectorized spots are hex-decode of the (deduplicated) proctitle
+values and variable-suffix ``endswith`` for best-PATH matching, both applied
+to tiny slices via C-level ``map``.
+"""
+
+from __future__ import annotations
+
+import errno
+import posixpath
+import re
+
+import numpy as np
+import pandas as pd
+
+# ---------------------------------------------------------------------------
+# Regex battery (compiled once per worker import)
+# ---------------------------------------------------------------------------
+
+# Header: (node=H )?(type=T )?(msg=)?audit(TS:SERIAL) : BODY.
+# Unlike the reference's AUDIT_RECORD_RE (raw epoch only; interpreted
+# `ausearch -i` timestamps fall back to a type=-only regex,
+# parse_avc.py:612-618), one pattern here captures both timestamp forms —
+# behaviorally equivalent, since the reference re-derives the timestamp from
+# `msg=audit\(([^)]+)\)` anyway (parse_avc.py:900-905).
+AUDIT_HDR_RE = (
+    r"(?:node=(?P<host>\S+)\s+)?(?:type=(?P<rtype>\S+)\s+)?(?:msg=)?"
+    r"audit\((?P<tsid>[^)]+)\)\s*:\s*(?P<body>.*)"
+)
+
+# AVC body battery — one named pattern per field (parse_avc.py:929-947).
+AVC_PATTERNS: dict[str, str] = {
+    "permission": r"denied\s+\{ ([^}]+) \}",
+    "pid": r"pid=(\S+)",
+    "comm": r"comm=(?:\"([^\"]+)\"|([^\s]+))",
+    "exe": r'exe=(?:"([^"]+)"|([^\s]+))',
+    "proctitle": r'proctitle=(?:"([^"]+)"|([^\s]+))',
+    "path_quoted": r"path=\"([^\"]+)\"",
+    "path_unquoted": r"path=([^\s]+)",
+    "name": r"name=([^\s]+)",
+    "dev": r"dev=\"?([^\"\s]+)\"?",
+    "ino": r"ino=(\d+)",
+    "scontext": r"scontext=(\S+)",
+    "tcontext": r"tcontext=(\S+)",
+    "tclass": r"tclass=(\S+)",
+    "dest_port": r"dest=(\S+)",
+    "permissive": r"permissive=(\d+)",
+}
+
+# SELINUX_ERR bodies carry contexts but no `denied { }` (parse_avc.py:778-815).
+SELINUX_ERR_RE = r"(?:invalid context|security_compute_sid|op=security_compute_av)"
+
+# Shared (non-AVC) record patterns (parse_avc.py:584-602).
+PAT_CWD = r"cwd=\"([^\"]+)\""
+PAT_PATH_NAME_Q = r"name=\"([^\"]+)\""
+PAT_PATH_NAME_U = r"name=([^\s]+)"
+PAT_PATH_NAMETYPE = r"nametype=(\w+)"
+PAT_PATH_INODE = r"inode=(\d+)"
+PAT_PATH_DEV = r"dev=([^\s]+)"
+PAT_SYSCALL = r"syscall=([\w\d]+)"
+PAT_SYSCALL_EXE = r'exe=(?:"([^"]+)"|([^\s]+))'
+PAT_EXIT = r"exit=([^\s(]+)"
+PAT_SUCCESS = r"success=(yes|no)"
+PAT_PROCTITLE = r"proctitle=(.+)"
+PAT_SADDR_HEX = r"saddr=([a-fA-F0-9]+)"
+PAT_SADDR_STRUCT = r"saddr=\{([^}]*)\}"
+PAT_EXECVE_ARG = r'a\d+=(?:"([^"]*)"|(\S+))'
+
+CTRL_CHARS_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+
+# Record types the pipeline parses as denials (parse_avc.py:63-76).
+AVC_DENIAL_TYPES = frozenset(
+    {"AVC", "USER_AVC", "AVC_PATH", "FANOTIFY", "SELINUX_ERR", "USER_SELINUX_ERR"}
+)
+POLICY_TYPES = frozenset({"MAC_POLICY_LOAD", "MAC_STATUS"})
+CONTEXT_TYPES = frozenset(
+    {"SYSCALL", "PATH", "CWD", "PROCTITLE", "SOCKADDR", "EXECVE"}
+)
+ALL_SUPPORTED = AVC_DENIAL_TYPES | POLICY_TYPES | CONTEXT_TYPES | {"USER_ACCT"}
+
+# errno translation table (parse_avc.py:250-295 uses the same public module).
+_ERRNO_NAMES: dict[str, str] = {str(-v): n for v, n in errno.errorcode.items()}
+_ERRNO_NAMES.update({str(v): n for v, n in errno.errorcode.items()})
+_ERRNO_NAMES["0"] = "SUCCESS"
+_ERRNO_NAMES["-0"] = "SUCCESS"
+
+
+def translate_exit_code(value: str | None) -> str | None:
+    """`-13` → `EACCES`, `0` → `SUCCESS`, passthrough otherwise
+    (parse_avc.py:250-295)."""
+    if value is None or value == "":
+        return value
+    s = str(value).strip()
+    if not s.lstrip("-").isdigit():
+        return s
+    return _ERRNO_NAMES.get(s, s)
+
+
+# Canonical field order for the byte-exact `extracted_text` invariant
+# (FIXTURES.md §4: fixed field order, normalized path, decoded proctitle,
+# reassembled cmdline).
+EXTRACT_FIELD_ORDER = [
+    "denial_type",
+    "event_id",
+    "permission",
+    "pid",
+    "comm",
+    "exe",
+    "path",
+    "path_type",
+    "dev",
+    "ino",
+    "scontext_raw",
+    "tcontext_raw",
+    "tclass",
+    "dest_port",
+    "permissive",
+    "syscall",
+    "exit",
+    "success",
+    "cwd",
+    "proctitle",
+    "execve_cmdline",
+    "saddr",
+]
+
+EVENT_COLUMNS = [
+    "url",
+    "warc_ts",
+    "lang",
+    "route",
+    "parse_status",
+    "host",
+    "denial_type",
+    "event_id",
+    "event_ts",
+    "permission",
+    "pid",
+    "comm",
+    "exe",
+    "proctitle",
+    "path",
+    "path_type",
+    "name",
+    "dev",
+    "ino",
+    "scontext_raw",
+    "tcontext_raw",
+    "sc_user",
+    "sc_role",
+    "sc_type",
+    "sc_mls",
+    "tc_user",
+    "tc_role",
+    "tc_type",
+    "tc_mls",
+    "tclass",
+    "dest_port",
+    "permissive",
+    "syscall",
+    "exit",
+    "success",
+    "cwd",
+    "saddr",
+    "execve_cmdline",
+    "path_normalized",
+    "cross_process_access",
+    "malformed_lines",
+    "extracted_text",
+]
+
+
+# ---------------------------------------------------------------------------
+# Vectorized helpers
+# ---------------------------------------------------------------------------
+
+
+def _extract1(s: pd.Series, pattern: str) -> pd.Series:
+    """First-group extract; multi-group (quoted|unquoted) patterns coalesce."""
+    ext = s.str.extract(pattern, expand=True)
+    out = ext.iloc[:, 0].astype("string")
+    for i in range(1, ext.shape[1]):
+        out = out.fillna(ext.iloc[:, i].astype("string"))
+    return out.str.strip().astype(object).where(out.notna(), None)
+
+
+def _decode_proctitle_values(raw: pd.Series) -> pd.Series:
+    """Hex-decode proctitle values (parse_avc.py:660-688): NUL→space,
+    256-hex-char / 128-char truncation marker. Vectorized over the
+    deduplicated value set."""
+
+    def decode_one(v):
+        if not isinstance(v, str):
+            return v
+        val = v.strip()
+        if val.startswith('"') and val.endswith('"'):
+            val = val[1:-1]
+        is_hex = bool(val) and len(val) % 2 == 0 and all(
+            c in "0123456789ABCDEFabcdef" for c in val
+        )
+        if is_hex:
+            try:
+                decoded = bytes.fromhex(val).decode("utf-8", errors="ignore")
+            except ValueError:
+                if len(val) == 128:
+                    return val + " [TRUNCATED BY AUDIT]"
+                return val
+            with_spaces = decoded.replace("\x00", " ")
+            if len(val) == 256 and len(with_spaces) == 128 and not decoded.endswith(
+                "\x00"
+            ):
+                with_spaces += " [TRUNCATED BY AUDIT]"
+            return with_spaces
+        if len(val) == 128:
+            return val + " [TRUNCATED BY AUDIT]"
+        return val
+
+    uniq = raw.dropna().unique()
+    mapping = {v: decode_one(v) for v in uniq}
+    return raw.map(mapping)
+
+
+def _parse_timestamps(tsid: pd.Series) -> pd.Series:
+    """3-format fallback timestamp parse (parse_avc.py:543-566).
+
+    Input: the `TS:SERIAL` text inside audit(...); serial stripped via
+    rsplit-on-last-colon. Order of preference: %m/%d/%Y %H:%M:%S.%f →
+    %d/%m/%y %H:%M:%S.%f → unix epoch float. Returned tz-naive UTC.
+    """
+    ts_str = tsid.str.rsplit(":", n=1).str[0]
+    t1 = pd.to_datetime(ts_str, format="%m/%d/%Y %H:%M:%S.%f", errors="coerce")
+    t2 = pd.to_datetime(ts_str, format="%d/%m/%y %H:%M:%S.%f", errors="coerce")
+    epoch = pd.to_numeric(ts_str, errors="coerce")
+    t3 = pd.to_datetime(epoch, unit="s", errors="coerce")
+    out = t1.fillna(t2).fillna(t3)
+    # audit timestamps are ms-precision; round to remove float jitter from
+    # the epoch path (e.g. .303 → .302999...), keeping goldens stable.
+    return out.dt.round("ms")
+
+
+def _normalize_paths(
+    path: pd.Series, pid: pd.Series, tclass: pd.Series
+) -> tuple[pd.Series, pd.Series, pd.Series]:
+    """Smart path normalization (parse_avc.py:126-216), vectorized.
+
+    Returns (normalized_path, was_normalized, cross_process_access).
+    - /proc/PID/... → /proc/<pid>/... only when PID == the AVC pid (or pid
+      unknown); cross-PID access is preserved verbatim + flagged.
+    - pipe:[ino] / socket:[ino] / anon_inode:[x] → tclass (or prefix).
+    - leading NUL (abstract socket) → @name.
+    """
+    out = path.copy()
+    normalized = pd.Series(False, index=path.index)
+    cross = pd.Series(False, index=path.index)
+    notna = path.notna()
+
+    # 1. /proc/PID
+    proc = path.str.extract(r"^/proc/(\d+)(/.*)?$")
+    is_proc = proc[0].notna()
+    if is_proc.any():
+        same_pid = is_proc & pid.notna() & (proc[0] == pid.astype("string"))
+        no_pid = is_proc & pid.isna()
+        cross_pid = is_proc & pid.notna() & (proc[0] != pid.astype("string"))
+        rest = proc[1].fillna("")
+        norm_mask = same_pid | no_pid
+        out[norm_mask] = "/proc/<pid>" + rest[norm_mask]
+        normalized |= norm_mask
+        cross |= cross_pid
+
+    # 2. pipe:[ino] / socket:[ino] / anon_inode:[x] (non-absolute paths only)
+    nonabs = notna & ~path.str.startswith("/", na=False)
+    inode_pat = path.str.extract(r"^(\w+):\[([^\]]*)\]$")
+    is_inode = nonabs & inode_pat[0].notna()
+    if is_inode.any():
+        use_tclass = is_inode & tclass.notna()
+        out[use_tclass] = tclass[use_tclass]
+        use_prefix = is_inode & tclass.isna()
+        out[use_prefix] = inode_pat[0][use_prefix]
+        normalized |= is_inode
+
+    # 3. abstract sockets: leading NUL → @
+    is_abstract = nonabs & out.str.startswith("\x00", na=False)
+    if is_abstract.any():
+        out[is_abstract] = "@" + out[is_abstract].str.strip("\x00")
+        normalized |= is_abstract
+
+    return out, normalized, cross
+
+
+def _resolve_cwd_relative(path: pd.Series, cwd: pd.Series) -> pd.Series:
+    """normpath(join(cwd, path)) for relative paths with a CWD
+    (parse_avc.py:219-247). Applied to the (tiny) relative-path slice."""
+    mask = (
+        path.notna()
+        & cwd.notna()
+        & ~path.str.startswith("/", na=False)
+        & ~path.str.contains(r"^\w+:\[", na=False, regex=True)
+        & ~path.str.startswith("\x00", na=False)
+    )
+    if not mask.any():
+        return path
+    out = path.copy()
+    out[mask] = [
+        posixpath.normpath(posixpath.join(c, p))
+        for c, p in zip(cwd[mask], path[mask])
+    ]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# The main kernel: pages batch → parsed event rows
+# ---------------------------------------------------------------------------
+
+
+def parse_pages_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Parse a batch of pages rows into routed event rows.
+
+    Input columns:  url, warc_ts, text, lang
+    Output columns: EVENT_COLUMNS — one row per parsed denial record for
+    parse_ok docs; exactly one stub row per malformed/quarantine doc (so
+    routed-row sets are complete).
+
+    Everything here is a narrow per-document transformation — a document is
+    self-contained (its blocks carry their own shared context), so the whole
+    parse→merge happens inside one Arrow batch with zero Spark shuffles.
+    """
+    if len(pdf) == 0:
+        return pd.DataFrame(columns=EVENT_COLUMNS)
+
+    pdf = pdf.reset_index(drop=True)
+    pdf["_doc"] = pdf.index
+
+    # ---- 1. blocks: split on ---- separators (parse_avc.py:3848) ----------
+    blocks = (
+        pdf[["_doc", "text"]]
+        .assign(block=pdf["text"].str.split("----"))
+        .explode("block")
+        .drop(columns="text")
+    )
+    blocks["block"] = blocks["block"].str.strip()
+    blocks = blocks[blocks["block"].astype(bool)].reset_index(drop=True)
+
+    # quarantine detection: control bytes inside the payload → the reference
+    # would raise / tag PARSE_ERROR (parse_avc.py:477-482); we flag pre-strip.
+    blocks["_has_ctrl"] = blocks["block"].str.contains(CTRL_CHARS_RE, regex=True)
+    blocks["block"] = blocks["block"].str.replace(CTRL_CHARS_RE, "", regex=True)
+    blocks["_blk"] = blocks.index
+
+    doc_has_ctrl = blocks.groupby("_doc")["_has_ctrl"].any()
+
+    # ---- 2. lines ----------------------------------------------------------
+    lines = (
+        blocks[["_doc", "_blk", "block"]]
+        .assign(line=blocks["block"].str.split("\n"))
+        .explode("line")
+        .drop(columns="block")
+    )
+    lines["line"] = lines["line"].str.strip()
+    lines = lines[lines["line"].astype(bool)].reset_index(drop=True)
+    lines["_ord"] = lines.index
+
+    hdr = lines["line"].str.extract(AUDIT_HDR_RE)
+    lines = pd.concat([lines, hdr], axis=1)
+    lines["is_audit"] = lines["tsid"].notna()
+    # fallback type-only match for malformed audit-ish lines (parse_avc.py:612-618)
+    fallback_type = lines["line"].str.extract(r"type=(\w+)")[0]
+    lines["rtype"] = (
+        lines["rtype"].astype("string").fillna(fallback_type.astype("string"))
+    )
+
+    audit_ish = lines["is_audit"] | lines["rtype"].notna()
+    # malformed = looks audit-related but failed the header grammar
+    lines["is_malformed"] = (
+        ~lines["is_audit"]
+        & lines["line"].str.contains(r"type=|msg=audit|avc:", regex=True)
+    )
+    doc_malformed_lines = lines.groupby("_doc")["is_malformed"].sum()
+
+    arecs = lines[audit_ish & lines["is_audit"]].copy()
+
+    # ---- 3. shared context per block (parse_avc.py:569-707) ---------------
+    def last_per_block(sub: pd.DataFrame, col: str) -> pd.Series:
+        s = sub[sub[col].notna()]
+        return s.groupby("_blk")[col].last()
+
+    shared = pd.DataFrame(index=blocks["_blk"])
+
+    cwd_rows = arecs[arecs["rtype"] == "CWD"]
+    if len(cwd_rows):
+        cwd_rows = cwd_rows.assign(cwd=_extract1(cwd_rows["line"], PAT_CWD))
+        shared["cwd"] = last_per_block(cwd_rows, "cwd")
+
+    sys_rows = arecs[arecs["rtype"] == "SYSCALL"]
+    if len(sys_rows):
+        sys_rows = sys_rows.assign(
+            syscall=_extract1(sys_rows["line"], PAT_SYSCALL),
+            sys_exe=_extract1(sys_rows["line"], PAT_SYSCALL_EXE),
+            exit=_extract1(sys_rows["line"], PAT_EXIT),
+            success=_extract1(sys_rows["line"], PAT_SUCCESS),
+        )
+        for c in ["syscall", "sys_exe", "exit", "success"]:
+            shared[c] = last_per_block(sys_rows, c)
+
+    pt_rows = arecs[arecs["rtype"] == "PROCTITLE"]
+    if len(pt_rows):
+        pt_rows = pt_rows.assign(
+            proctitle=_decode_proctitle_values(
+                _extract1(pt_rows["line"], PAT_PROCTITLE)
+            )
+        )
+        shared["sh_proctitle"] = last_per_block(pt_rows, "proctitle")
+
+    sa_rows = arecs[arecs["rtype"] == "SOCKADDR"]
+    if len(sa_rows):
+        hexv = _extract1(sa_rows["line"], PAT_SADDR_HEX)
+        structv = _extract1(sa_rows["line"], PAT_SADDR_STRUCT).str.strip()
+        sa_rows = sa_rows.assign(saddr=hexv.fillna(structv))
+        shared["saddr"] = last_per_block(sa_rows, "saddr")
+
+    ex_rows = arecs[arecs["rtype"] == "EXECVE"]
+    if len(ex_rows):
+        # argv reassembly a0=".." a1=".." → joined cmdline (parse_avc.py:639-644)
+        alist = ex_rows["line"].str.extractall(PAT_EXECVE_ARG)
+        alist["arg"] = alist[0].fillna(alist[1])
+        cmd = alist.groupby(level=0)["arg"].agg(" ".join)
+        ex_rows = ex_rows.assign(execve_cmdline=cmd)
+        shared["execve_cmdline"] = last_per_block(ex_rows, "execve_cmdline")
+
+    # PATH records: collect all, then best-path selection per block.
+    path_rows = arecs[arecs["rtype"] == "PATH"]
+    best_paths = pd.DataFrame(
+        columns=["p_name", "p_inode", "p_dev"],
+        index=pd.Index([], name="_blk"),
+    )
+    if len(path_rows):
+        nq = _extract1(path_rows["line"], PAT_PATH_NAME_Q)
+        nu = _extract1(path_rows["line"], PAT_PATH_NAME_U)
+        path_rows = path_rows.assign(
+            p_name=nq.fillna(nu),
+            p_nametype=_extract1(path_rows["line"], PAT_PATH_NAMETYPE),
+            p_inode=_extract1(path_rows["line"], PAT_PATH_INODE),
+            p_dev=_extract1(path_rows["line"], PAT_PATH_DEV),
+        )
+        path_rows = path_rows[path_rows["p_name"].notna()]
+        shared["path_dev"] = last_per_block(path_rows, "p_dev")
+        shared["path_inode"] = last_per_block(path_rows, "p_inode")
+
+    # ---- 4. denial records (AVC family) ------------------------------------
+    avc = arecs[arecs["rtype"].isin(AVC_DENIAL_TYPES)].copy()
+
+    if len(avc):
+        body = avc["line"]
+        for key, pat in AVC_PATTERNS.items():
+            avc[key] = _extract1(body, pat)
+
+        # quoted path wins over unquoted (parse_avc.py:963-971)
+        avc["avc_path"] = avc["path_quoted"].fillna(avc["path_unquoted"])
+        avc["path_from_avc"] = avc["avc_path"].notna()
+
+        # SELINUX_ERR-style records are valid denials without permission
+        # (parse_avc.py:298-326)
+        avc["is_selinux_err"] = avc["rtype"].str.contains(
+            "SELINUX_ERR"
+        ) | avc["line"].str.contains(SELINUX_ERR_RE, regex=True)
+        avc["valid_denial"] = avc["permission"].notna() | avc["is_selinux_err"]
+
+        avc["proctitle"] = _decode_proctitle_values(avc["proctitle"])
+        avc["event_ts"] = _parse_timestamps(avc["tsid"])
+
+        # merge shared context (AVC fields win except documented priorities)
+        avc = avc.merge(shared, how="left", left_on="_blk", right_index=True)
+
+        # best-PATH per AVC row, using this row's `name` (parse_avc.py:710-751)
+        if len(path_rows):
+            bp = path_rows[["_blk", "p_name", "p_nametype", "_ord"]].merge(
+                avc[["_blk", "name"]].drop_duplicates("_blk"),
+                on="_blk",
+                how="inner",
+            )
+            non_parent = bp[bp["p_nametype"] != "PARENT"]
+            has_name = non_parent["name"].notna()
+            ends = pd.Series(False, index=non_parent.index)
+            if has_name.any():
+                ends[has_name] = list(
+                    map(
+                        str.endswith,
+                        non_parent.loc[has_name, "p_name"],
+                        non_parent.loc[has_name, "name"],
+                    )
+                )
+            ideal = non_parent[ends].groupby("_blk")["p_name"].first()
+            fallback = non_parent.groupby("_blk")["p_name"].last()
+            # PARENT-only blocks: reference keeps the first PARENT path seen
+            parent_only = bp.groupby("_blk")["p_name"].first()
+            best = ideal.combine_first(fallback).combine_first(parent_only)
+            avc["best_path"] = avc["_blk"].map(best)
+        else:
+            avc["best_path"] = None
+
+        # path resolution cascade (parse_avc.py:1018-1065)
+        name_clean = avc["name"].str.strip('"')
+        meaningful_name = avc["name"].notna() & ~name_clean.isin(["?", ""])
+        path = avc["avc_path"].copy()
+        use_best = path.isna() & avc["best_path"].notna()
+        path[use_best] = avc["best_path"][use_best]
+        path_type = pd.Series(None, index=avc.index, dtype=object)
+        path_type[path.notna()] = "file_path"
+
+        use_name = path.isna() & meaningful_name
+        is_dir = avc["tclass"] == "dir"
+        path[use_name & is_dir] = ".../" + name_clean[use_name & is_dir]
+        path_type[use_name & is_dir] = "directory_name"
+        path[use_name & ~is_dir] = name_clean[use_name & ~is_dir]
+        path_type[use_name & ~is_dir] = "name_only"
+
+        use_devino = path.isna() & avc["dev"].notna() & avc["ino"].notna()
+        path[use_devino] = (
+            "dev:" + avc["dev"][use_devino] + ",inode:" + avc["ino"][use_devino]
+        )
+        path_type[use_devino] = "dev_inode"
+        if "path_dev" in avc.columns:
+            use_pr = (
+                path.isna()
+                & avc["path_dev"].notna()
+                & avc["path_inode"].notna()
+            )
+            path[use_pr] = (
+                "dev:" + avc["path_dev"][use_pr] + ",inode:" + avc["path_inode"][use_pr]
+            )
+            path_type[use_pr] = "dev_inode"
+
+        # CWD-relative resolution then smart normalization
+        cwd = avc["cwd"] if "cwd" in avc.columns else pd.Series(None, index=avc.index)
+        path = _resolve_cwd_relative(path, cwd)
+        path, was_norm, cross = _normalize_paths(path, avc["pid"], avc["tclass"])
+        avc["path"] = path
+        avc["path_type"] = path_type
+        avc["path_normalized"] = was_norm
+        avc["cross_process_access"] = cross
+
+        # exe priority: SYSCALL exe > AVC exe (parse_avc.py:1067-1103)
+        if "sys_exe" in avc.columns:
+            avc["exe"] = avc["sys_exe"].fillna(avc["exe"])
+        # proctitle: AVC proctitle > PROCTITLE record; (null) → comm fallback
+        if "sh_proctitle" in avc.columns:
+            avc["proctitle"] = avc["proctitle"].fillna(avc["sh_proctitle"])
+        null_pt = avc["proctitle"].isin(["(null)", "null", "?"])
+        avc["proctitle"] = avc["proctitle"].astype(object).where(
+            ~null_pt, avc["comm"]
+        )
+
+        # exit-code translation (tiny unique set → map)
+        if "exit" in avc.columns:
+            uniq = avc["exit"].dropna().unique()
+            avc["exit"] = avc["exit"].map(
+                {v: translate_exit_code(v) for v in uniq}
+            )
+        else:
+            avc["exit"] = None
+
+        # SELinux context split (avc_selinux/context.py:20-49)
+        for side, col in (("sc", "scontext"), ("tc", "tcontext")):
+            parts = avc[col].str.split(":", n=3, expand=True)
+            for j in range(4):
+                if j not in parts.columns:
+                    parts[j] = None
+            valid_ctx = parts[2].notna()
+            avc[f"{side}_user"] = parts[0].where(valid_ctx)
+            avc[f"{side}_role"] = parts[1].where(valid_ctx)
+            avc[f"{side}_type"] = parts[2].where(valid_ctx)
+            avc[f"{side}_mls"] = parts[3].where(valid_ctx)
+
+        avc = avc.rename(
+            columns={
+                "rtype": "denial_type",
+                "tsid": "event_id",
+                "scontext": "scontext_raw",
+                "tcontext": "tcontext_raw",
+            }
+        )
+    else:
+        avc = pd.DataFrame(columns=["_doc", "valid_denial"])
+
+    # ---- 5. routing (FIXTURES.md §3; parse_avc.py:298-326,360-446) --------
+    doc_ids = pdf["_doc"]
+    has_valid = (
+        avc.groupby("_doc")["valid_denial"].any()
+        if len(avc)
+        else pd.Series(dtype=bool)
+    )
+    audit_ish_docs = lines.groupby("_doc")["rtype"].apply(lambda s: s.notna().any())
+
+    route = pd.Series("malformed", index=doc_ids)
+    route[route.index.map(audit_ish_docs).isna()] = "malformed"
+    ok_docs = has_valid[has_valid].index
+    route.loc[route.index.isin(ok_docs)] = "parse_ok"
+    ctrl_docs = doc_has_ctrl[doc_has_ctrl].index
+    route.loc[route.index.isin(ctrl_docs)] = "quarantine"
+
+    # ---- 6. assemble output -------------------------------------------------
+    meta = pdf.set_index("_doc")[["url", "warc_ts", "lang"]]
+
+    if len(avc):
+        events = avc[avc["valid_denial"]].copy()
+        events = events.join(meta, on="_doc")
+        events["route"] = events["_doc"].map(route)
+        events = events[events["route"] == "parse_ok"]
+        events["parse_status"] = "ok"
+    else:
+        events = pd.DataFrame(columns=["_doc"])
+
+    # stub rows for malformed / quarantine docs (complete routed-row sets)
+    bad_docs = route[route != "parse_ok"]
+    stubs = meta.loc[bad_docs.index].copy()
+    stubs["route"] = bad_docs.values
+    stubs["parse_status"] = np.where(
+        bad_docs.values == "quarantine", "PARSE_ERROR_ControlBytes", "invalid_denial"
+    )
+    stubs["_doc"] = stubs.index
+
+    out = pd.concat([events, stubs], ignore_index=True)
+    out["malformed_lines"] = (
+        out["_doc"].map(doc_malformed_lines).fillna(0).astype("int64")
+    )
+
+    for col in EVENT_COLUMNS:
+        if col not in out.columns:
+            out[col] = None
+
+    # byte-exact extracted_text: canonical k=v join in fixed field order
+    parts = []
+    for f in EXTRACT_FIELD_ORDER:
+        col = out[f]
+        if f == "permissive":
+            col = col.where(col.notna(), None)
+        piece = (f + "=" + col.astype("string")).where(col.notna(), "")
+        parts.append(piece)
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = joined.str.cat(p, sep="|")
+    out["extracted_text"] = (
+        joined.str.replace(r"\|{2,}", "|", regex=True)
+        .str.strip("|")
+        .where(out["route"] == "parse_ok", None)
+    )
+
+    # dtypes for Arrow
+    out["event_ts"] = pd.to_datetime(out["event_ts"], errors="coerce")
+    out["warc_ts"] = pd.to_datetime(out["warc_ts"], errors="coerce", utc=True).dt.tz_localize(None)
+    for bcol in ["path_normalized", "cross_process_access"]:
+        out[bcol] = out[bcol].astype(object).where(out[bcol].notna(), None)
+
+    return out[EVENT_COLUMNS]

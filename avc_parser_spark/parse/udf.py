@@ -1,0 +1,80 @@
+"""Spark wrapper for the parse kernel: mapInPandas over Arrow batches.
+
+The kernel is document-local (a page's blocks are self-contained), so the
+entire parse → shared-context merge → route computation is a *narrow*
+transformation: no shuffle between the scan and the routed event table.
+At 100 TB this means parse cost scales linearly with input splits and the
+only shuffles in the whole pipeline are the signature aggregations.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from avc_parser_spark.parse.kernels import parse_pages_pdf
+
+EVENT_SCHEMA_DDL = ", ".join(
+    [
+        "url string",
+        "warc_ts timestamp",
+        "lang string",
+        "route string",
+        "parse_status string",
+        "host string",
+        "denial_type string",
+        "event_id string",
+        "event_ts timestamp",
+        "permission string",
+        "pid string",
+        "comm string",
+        "exe string",
+        "proctitle string",
+        "path string",
+        "path_type string",
+        "name string",
+        "dev string",
+        "ino string",
+        "scontext_raw string",
+        "tcontext_raw string",
+        "sc_user string",
+        "sc_role string",
+        "sc_type string",
+        "sc_mls string",
+        "tc_user string",
+        "tc_role string",
+        "tc_type string",
+        "tc_mls string",
+        "tclass string",
+        "dest_port string",
+        "permissive string",
+        "syscall string",
+        "exit string",
+        "success string",
+        "cwd string",
+        "saddr string",
+        "execve_cmdline string",
+        "path_normalized boolean",
+        "cross_process_access boolean",
+        "malformed_lines bigint",
+        "extracted_text string",
+    ]
+)
+
+
+def parse_pages(pages: DataFrame) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → routed event DataFrame.
+
+    Column pruning matters at scale: only (url, warc_ts, text, lang) are
+    selected, so Parquet/Iceberg never reads the heavy `html` binary column
+    for the text parse path (check `.explain` ReadSchema).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield parse_pages_pdf(pdf)
+
+    pruned = pages.select("url", "warc_ts", "text", "lang")
+    return pruned.mapInPandas(run, schema=EVENT_SCHEMA_DDL)
