@@ -1,38 +1,644 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship parse→enrich→route→aggregate pipeline on a
+synthetic audit corpus derived from sf0.001/documents. `queries()` exposes
+one entry per implemented operator (SURVEY.md §2 + training-data ops);
+`oracle_sql()` gives the DuckDB twin for every SQL-expressible one.
+
+Column-name contract: every computed column is aliased identically in the
+Spark query and the oracle SQL (driver hashes values under sorted column
+names).
 """
 
 from __future__ import annotations
 
+import errno as _errno
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from avc_parser_spark.aggregate import aggregate_signatures, top_n_per_dimension
+from avc_parser_spark.enrich.dims import PERM_DESCRIPTIONS, build_dims
+from avc_parser_spark.enrich.join import signature_exprs
+from avc_parser_spark.functions.dedup import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard,
+    simhash_near_dups,
+)
+from avc_parser_spark.functions.similarity import brute_force_topk, lsh_topk
+from avc_parser_spark.functions.text import document_profile
+from avc_parser_spark.oracle_shared import (
+    EPOCH0,
+    OBJECT_GROUP_ORACLE,
+    ORACLE_FIELDS,
+    PATH_PATTERN_ORACLE,
+    PERM_CASE,
+    PERMISSION_CATEGORY_ORACLE,
+    PROCESS_CATEGORY_ORACLE,
+    SYNTH_LINE,
+    SYNTH_LINE_WITH_MALFORMED,
+    TC_TYPE_CASE,
+    TCONTEXT,
+)
+from avc_parser_spark.parse.udf import parse_pages
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    for t in tables or TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _synth_pages(spark: SparkSession, sf_dir: str, line_sql: str) -> DataFrame:
+    """documents → pages(url, warc_ts, html, text, lang) with audit payloads
+    constructed in SQL (same fragment as the oracle)."""
+    _views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        f"""
+        SELECT 'doc' || cast(doc_id as string)        AS url,
+               timestamp_seconds({EPOCH0} + doc_id)   AS warc_ts,
+               cast(null as binary)                   AS html,
+               {line_sql}                             AS text,
+               lang                                   AS lang
+        FROM documents
+        """
+    )
+
+
+def _parsed(spark: SparkSession, sf_dir: str, malformed: bool = False) -> DataFrame:
+    line = SYNTH_LINE_WITH_MALFORMED if malformed else SYNTH_LINE
+    return parse_pages(_synth_pages(spark, sf_dir, line))
+
+
+# ---------------------------------------------------------------------------
+# Pipeline queries (forensic engine over synthetic audit corpus)
+# ---------------------------------------------------------------------------
+
+
+def q_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2: header + AVC-body grok battery field extraction."""
+    ev = _parsed(spark, sf_dir).filter(F.col("route") == "parse_ok")
+    return ev.select(
+        "url", "permission", "pid", "comm", "path", "tclass",
+        "sc_type", "tc_type", "dest_port", "permissive", "scontext_raw",
+        F.col("event_ts").cast("long").alias("epoch"),
+    )
+
+
+def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2/V4/V5 + K7: routing fan-out row counts per sink."""
+    ev = _parsed(spark, sf_dir, malformed=True)
+    return ev.groupBy("route").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_signature_legacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: legacy exact-signature aggregate with first/last seen."""
+    ev = _parsed(spark, sf_dir).filter(F.col("route") == "parse_ok")
+    return (
+        ev.groupBy("scontext_raw", "tcontext_raw", "tclass", "permission")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.col("event_ts").cast("long")).alias("first_epoch"),
+            F.max(F.col("event_ts").cast("long")).alias("last_epoch"),
+            F.sum(F.when(F.col("permissive") == "1", 1).otherwise(0)).alias(
+                "permissive_cnt"
+            ),
+        )
+    )
+
+
+def q_signature_smart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+E8-E11: smart-signature components and salted group counts."""
+    ev = signature_exprs(_parsed(spark, sf_dir).filter(F.col("route") == "parse_ok"))
+    groups = aggregate_signatures(ev, salted=True)
+    return groups.select(
+        "process_category",
+        "sig_target",
+        "object_group",
+        "sig_extra",
+        "permission_category",
+        F.col("count").alias("cnt"),
+        F.col("first_seen").cast("long").alias("first_epoch"),
+        F.col("last_seen").cast("long").alias("last_epoch"),
+        F.col("permissive_count").alias("permissive_cnt"),
+        F.array_join("permissions", ",").alias("perms"),
+    )
+
+
+def q_lang_hour_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang/per-hour rollup (north-star example aggregate)."""
+    ev = _parsed(spark, sf_dir).filter(F.col("route") == "parse_ok")
+    return ev.groupBy(
+        "lang",
+        F.date_trunc("hour", "event_ts").cast("long").alias("hour_epoch"),
+    ).agg(F.count(F.lit(1)).alias("n"), F.countDistinct("url").alias("docs"))
+
+
+def q_path_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11: fcontext-style path-pattern normalizer."""
+    ev = signature_exprs(_parsed(spark, sf_dir).filter(F.col("route") == "parse_ok"))
+    return ev.select("url", "path", F.col("path_pattern").alias("path_pattern"))
+
+
+def q_perm_description(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: permission-description broadcast-join enrichment."""
+    ev = _parsed(spark, sf_dir).filter(F.col("route") == "parse_ok")
+    dims = build_dims(spark)
+    return ev.join(F.broadcast(dims["perm_desc"]), "permission", "left").select(
+        "url", "permission", "permission_description"
+    )
+
+
+def q_errno_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: errno-table broadcast-join exit-code translation over events."""
+    _views(spark, sf_dir, ["events"])
+    codes = [(str(-v), n) for v, n in _errno.errorcode.items()] + [("0", "SUCCESS")]
+    dim = spark.createDataFrame(codes, "exit_code string, exit_name string")
+    ev = spark.table("events").withColumn(
+        "exit_code", (-(F.col("event_id") % 40)).cast("string")
+    )
+    return (
+        ev.join(F.broadcast(dim), "exit_code", "left")
+        .withColumn("exit_name", F.coalesce("exit_name", "exit_code"))
+        .select("event_id", "exit_code", "exit_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# General engine queries (events + TPC-H star schema)
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm') AS hour,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+        """
+    )
+
+
+def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT user_id, count(*) AS n, round(avg(value), 4) AS avg_value
+        FROM events GROUP BY user_id
+        ORDER BY n DESC, user_id ASC LIMIT 10
+        """
+    )
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap windows per user (lag + cumulative sum)."""
+    _views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        WITH gaps AS (
+          SELECT user_id, ts,
+                 CASE WHEN unix_micros(cast(ts as timestamp))
+                        - unix_micros(cast(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) as timestamp))
+                      > 1800000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events)
+        SELECT user_id, sum(new_session) AS sessions, count(*) AS events
+        FROM gaps GROUP BY user_id
+        """
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= timestamp '1994-01-01 00:00:00'
+          AND l_shipdate < timestamp '1995-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+def q_tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join customer ⋈ orders ⋈ lineitem → top-10 orders by revenue."""
+    _views(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql(
+        """
+        SELECT o.o_orderkey AS orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               count(*) AS line_count
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY o.o_orderkey
+        ORDER BY revenue DESC, orderkey ASC
+        LIMIT 10
+        """
+    )
+
+
+def q_tpch_top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-N per group (A7 analogue on the star schema)."""
+    _views(spark, sf_dir, ["supplier", "nation"])
+    return spark.sql(
+        """
+        SELECT n_name, s_name, s_acctbal
+        FROM (
+          SELECT n.n_name, s.s_name, round(s.s_acctbal, 2) AS s_acctbal,
+                 row_number() OVER (PARTITION BY n.n_name
+                                    ORDER BY s.s_acctbal DESC, s.s_name) AS rk
+          FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey)
+        WHERE rk <= 3
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data-pipeline queries (documents + embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    prof = document_profile(docs)
+    return prof.select(
+        "doc_id", "n_tokens", "n_subtokens",
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+    )
+
+
+def q_token_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ["documents"])
+    prof = document_profile(spark.table("documents"))
+    return prof.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a corpus with forced duplicates (doc_id%3==0 →
+    canonical per-lang text)."""
+    _views(spark, sf_dir, ["documents"])
+    docs = spark.sql(
+        """
+        SELECT doc_id,
+               case when doc_id % 3 = 0 then 'dup ' || lang else text end AS text
+        FROM documents
+        """
+    )
+    return exact_duplicates(docs).select("digest", "dup_count", "keeper")
+
+
+def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates over a corpus with planted near-dups
+    (rows-only check: LSH banding isn't ANSI-SQL-expressible)."""
+    _views(spark, sf_dir, ["documents"])
+    # plant near-dups: every doc_id%5==0 gets a shared boilerplate prefix
+    docs = spark.sql(
+        """
+        SELECT doc_id,
+               case when doc_id % 5 = 0
+                    then 'common boilerplate header text for every fifth page '
+                         || substr(text, 1, 40)
+                    else text end AS text
+        FROM documents
+        """
+    )
+    pairs = minhash_lsh_candidates(docs)
+    verified = ngram_jaccard(docs, pairs).filter(F.col("jaccard") >= 0.5)
+    return verified.orderBy("a", "b")
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup clusters (rows-only check)."""
+    _views(spark, sf_dir, ["documents"])
+    docs = spark.sql(
+        """
+        SELECT doc_id,
+               case when doc_id % 4 = 1 then 'identical page body' else text end AS text
+        FROM documents
+        """
+    )
+    return simhash_near_dups(docs).select("simhash", "dup_count")
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 embedding."""
+    _views(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return brute_force_topk(emb, list(qvec), k=10)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k (rows-only: recall<1 by construction)."""
+    _views(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return lsh_topk(emb, list(qvec), k=10)
+
+
+def q_top_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/A7: top-5 signature groups by count, deterministic tiebreaks."""
+    ev = signature_exprs(_parsed(spark, sf_dir).filter(F.col("route") == "parse_ok"))
+    return (
+        top_n_per_dimension(ev, "signature", 5)
+        .withColumnRenamed("signature", "sig")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full parse→enrich→route→aggregate over sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    ev = signature_exprs(_parsed(spark, sf_dir).filter(F.col("route") == "parse_ok"))
+    groups = aggregate_signatures(ev, salted=True)
+    return groups.select(
+        "signature", "count", "first_seen", "last_seen",
+        "permissive_count", "permissions", "langs",
+    ).orderBy(F.desc("count"), "signature")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pipeline_grok_parse": q_grok_parse,
+        "pipeline_route_counts": q_route_counts,
+        "pipeline_signature_legacy": q_signature_legacy,
+        "pipeline_signature_smart": q_signature_smart,
+        "pipeline_lang_hour_rollup": q_lang_hour_rollup,
+        "pipeline_path_pattern": q_path_pattern,
+        "pipeline_perm_description": q_perm_description,
+        "pipeline_errno_translate": q_errno_translate,
+        "events_hourly": q_events_hourly,
+        "events_top_users": q_events_top_users,
+        "events_sessions": q_events_sessions,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q3ish": q_tpch_q3ish,
+        "tpch_top_suppliers_per_nation": q_tpch_top_suppliers_per_nation,
+        "text_profile": q_text_profile,
+        "token_stats_per_lang": q_token_stats_per_lang,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_minhash_candidates,
+        "dedup_simhash": q_simhash_dups,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "top_signatures": q_top_signatures,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _perm_desc_case() -> str:
+    pairs = dict(PERM_DESCRIPTIONS)
+    perms = ["read", "write", "getattr", "name_connect", "signal"]
+    whens = " ".join(
+        f"when '{p}' then '{pairs[p]}'" for p in perms
+    )
+    return f"(case {PERM_CASE} {whens} end)"
+
+
+def _errno_case() -> str:
+    whens = " ".join(
+        f"when {c} then '{_errno.errorcode[c]}'"
+        for c in sorted(_errno.errorcode)
+        if 0 < c < 40
+    )
+    return f"(case (event_id % 40) when 0 then 'SUCCESS' {whens} else '-' || cast(event_id % 40 as string) end)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    f = ORACLE_FIELDS
+    return {
+        "pipeline_grok_parse": f"""
+            SELECT 'doc' || cast(doc_id as string) AS url,
+                   {f['permission']} AS permission,
+                   {f['pid']} AS pid,
+                   {f['comm']} AS comm,
+                   {f['path']} AS path,
+                   {f['tclass']} AS tclass,
+                   {f['sc_type']} AS sc_type,
+                   {f['tc_type']} AS tc_type,
+                   {f['dest_port']} AS dest_port,
+                   {f['permissive']} AS permissive,
+                   {f['scontext_raw']} AS scontext_raw,
+                   {f['epoch']} AS epoch
+            FROM documents
+        """,
+        "pipeline_route_counts": """
+            SELECT case when doc_id % 20 = 19 then 'malformed' else 'parse_ok' end AS route,
+                   count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "pipeline_signature_legacy": f"""
+            SELECT {f['scontext_raw']} AS scontext_raw,
+                   {f['tcontext_raw']} AS tcontext_raw,
+                   {f['tclass']} AS tclass,
+                   {f['permission']} AS permission,
+                   count(*) AS cnt,
+                   min({f['epoch']}) AS first_epoch,
+                   max({f['epoch']}) AS last_epoch,
+                   sum(case when doc_id % 7 = 0 then 1 else 0 end) AS permissive_cnt
+            FROM documents GROUP BY 1, 2, 3, 4
+        """,
+        "pipeline_signature_smart": f"""
+            WITH base AS (
+              SELECT {PROCESS_CATEGORY_ORACLE} AS process_category,
+                     (case when doc_id % 5 = 4 then {TC_TYPE_CASE} else {TCONTEXT} end) AS sig_target,
+                     {OBJECT_GROUP_ORACLE} AS object_group,
+                     (case when doc_id % 5 = 3 then {f['dest_port']}
+                           when doc_id % 5 = 4 then ''
+                           else {PATH_PATTERN_ORACLE} end) AS sig_extra,
+                     {PERMISSION_CATEGORY_ORACLE} AS permission_category,
+                     {f['permission']} AS permission,
+                     {f['epoch']} AS epoch,
+                     (case when doc_id % 7 = 0 then 1 else 0 end) AS permissive
+              FROM documents)
+            SELECT process_category, sig_target, object_group, sig_extra,
+                   permission_category,
+                   count(*) AS cnt,
+                   min(epoch) AS first_epoch,
+                   max(epoch) AS last_epoch,
+                   sum(permissive) AS permissive_cnt,
+                   array_to_string(list_sort(list(DISTINCT permission)), ',') AS perms
+            FROM base GROUP BY 1, 2, 3, 4, 5
+        """,
+        "pipeline_lang_hour_rollup": f"""
+            SELECT lang,
+                   cast(floor(({f['epoch']}) / 3600.0) * 3600 as bigint) AS hour_epoch,
+                   count(*) AS n,
+                   count(distinct doc_id) AS docs
+            FROM documents GROUP BY 1, 2
+        """,
+        "pipeline_path_pattern": f"""
+            SELECT 'doc' || cast(doc_id as string) AS url,
+                   {f['path']} AS path,
+                   {PATH_PATTERN_ORACLE} AS path_pattern
+            FROM documents
+        """,
+        "pipeline_perm_description": f"""
+            SELECT 'doc' || cast(doc_id as string) AS url,
+                   {f['permission']} AS permission,
+                   {_perm_desc_case()} AS permission_description
+            FROM documents
+        """,
+        "pipeline_errno_translate": f"""
+            SELECT event_id,
+                   cast(-(event_id % 40) as string) AS exit_code,
+                   {_errno_case()} AS exit_name
+            FROM events
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+                   event_type, count(*) AS n, round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_top_users": """
+            SELECT user_id, count(*) AS n, round(avg(value), 4) AS avg_value
+            FROM events GROUP BY user_id
+            ORDER BY n DESC, user_id ASC LIMIT 10
+        """,
+        "events_sessions": """
+            WITH gaps AS (
+              SELECT user_id, ts,
+                     CASE WHEN epoch_us(ts)
+                            - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                          > 1800000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events)
+            SELECT user_id, sum(new_session) AS sessions, count(*) AS events
+            FROM gaps GROUP BY user_id
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= timestamp '1994-01-01 00:00:00'
+              AND l_shipdate < timestamp '1995-01-01 00:00:00'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q3ish": """
+            SELECT o.o_orderkey AS orderkey,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   count(*) AS line_count
+            FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY o.o_orderkey
+            ORDER BY revenue DESC, orderkey ASC
+            LIMIT 10
+        """,
+        "tpch_top_suppliers_per_nation": """
+            SELECT n_name, s_name, s_acctbal
+            FROM (
+              SELECT n.n_name, s.s_name, round(s.s_acctbal, 2) AS s_acctbal,
+                     row_number() OVER (PARTITION BY n.n_name
+                                        ORDER BY s.s_acctbal DESC, s.s_name) AS rk
+              FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey)
+            WHERE rk <= 3
+        """,
+        "text_profile": """
+            SELECT doc_id,
+                   case when trim(text) = '' then 0
+                        else len(regexp_split_to_array(trim(text), '\\s+')) end AS n_tokens,
+                   len(regexp_extract_all(text, '([A-Za-z]+|\\d+|[^\\sA-Za-z\\d])')) AS n_subtokens,
+                   round(
+                     case when len(regexp_split_to_array(lower(trim(text)), '\\s+')) = 0 then 0.0
+                          else len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                   x -> x in ('the','a','an','and','or','of','to','in','is','it','for',
+                                              'der','die','das','und','le','la','les','et','el','los','y')))
+                               / len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                     end, 6) AS stopword_ratio
+            FROM documents
+        """,
+        "token_stats_per_lang": """
+            SELECT lang, count(*) AS docs,
+                   sum(case when trim(text) = '' then 0
+                            else len(regexp_split_to_array(trim(text), '\\s+')) end) AS total_tokens,
+                   round(avg(case when trim(text) = '' then 0
+                             else len(regexp_split_to_array(trim(text), '\\s+')) end), 4) AS avg_tokens
+            FROM documents GROUP BY lang
+        """,
+        "dedup_exact": """
+            WITH corpus AS (
+              SELECT doc_id,
+                     case when doc_id % 3 = 0 then 'dup ' || lang else text end AS text
+              FROM documents)
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS digest,
+                   count(*) AS dup_count,
+                   min(doc_id) AS keeper
+            FROM corpus GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            ex AS (
+              SELECT vec_id,
+                     unnest(embedding)::DOUBLE AS x,
+                     unnest((SELECT qe FROM q))::DOUBLE AS y
+              FROM embeddings)
+            SELECT vec_id,
+                   round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cosine
+            FROM ex GROUP BY vec_id
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        # rows-only (non-ANSI-expressible): dedup_minhash_lsh, dedup_simhash,
+        # ann_lsh_topk, top_signatures (salted agg detail)
+        "top_signatures": f"""
+            SELECT sig, cnt FROM (
+              SELECT {PROCESS_CATEGORY_ORACLE} || '␟' ||
+                     (case when doc_id % 5 = 4 then {TC_TYPE_CASE} else {TCONTEXT} end) || '␟' ||
+                     {OBJECT_GROUP_ORACLE} || '␟' ||
+                     (case when doc_id % 5 = 3 then {f['dest_port']}
+                           when doc_id % 5 = 4 then ''
+                           else {PATH_PATTERN_ORACLE} end) || '␟' ||
+                     {PERMISSION_CATEGORY_ORACLE} AS sig,
+                     count(*) AS cnt
+              FROM documents GROUP BY 1)
+            ORDER BY cnt DESC, sig ASC LIMIT 5
+        """,
+    }

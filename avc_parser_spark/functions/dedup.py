@@ -1,0 +1,227 @@
+"""Deduplication operators for web-scale corpora.
+
+Five strategies, cheapest→smartest; every one is shuffle-on-key with
+map-side partial work, no driver collection:
+
+- exact:        hash-groupBy on md5(text) — one shuffle on the digest.
+- minhash LSH:  shingle → minhash sketch → band buckets → bucket join.
+                The band bucket id is the shuffle key, so candidate pairs
+                co-locate; no O(n²) compare.
+- simhash:      64-bit sign-random-projection over token hashes; near-dups
+                share simhash within small Hamming distance (bucket on
+                rotated prefixes).
+- ngram jaccard: exact Jaccard on shingle sets for candidate pairs.
+- embedding cosine: near-dup via cosine ≥ τ on an embedding column
+                (see similarity.py for the ANN machinery).
+
+MinHash/SimHash sketches are computed with native Spark expressions over the
+shingle array (transform/aggregate/xxhash64 with per-row seeds) — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SHINGLE = 5
+DEFAULT_PERMS = 64
+DEFAULT_BANDS = 16  # 16 bands × 4 rows/band for 64 perms
+
+
+def normalized_text(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+", " ")
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: md5 digest groupBy → clusters with ≥2 members.
+
+    Returns (digest, dup_count, doc_ids sorted, keeper = min id)."""
+    return (
+        docs.select(F.md5(normalized_text(F.col(text_col))).alias("digest"), id_col)
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            F.min(id_col).alias("keeper"),
+        )
+        .filter(F.col("dup_count") >= 2)
+    )
+
+
+def word_shingles(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
+    """k-word shingles as an array<string> (empty-safe)."""
+    toks = F.split(normalized_text(text), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    )
+
+
+def minhash_sketch(shingles: Column, num_perms: int = DEFAULT_PERMS) -> Column:
+    """num_perms-wide MinHash signature: min over xxhash64(shingle, seed=p).
+
+    xxhash64 takes a seed via an extra literal column — one JVM expression
+    per permutation, vectorized by codegen."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s: F.xxhash64(s, F.lit(p)))
+            ).alias(f"mh{p}")
+            for p in range(num_perms)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = DEFAULT_PERMS,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs.
+
+    plan: sketch (narrow) → explode bands (narrow) → groupBy band bucket
+    (ONE shuffle) → pairs within bucket. Bucket sizes are bounded in
+    practice; a hot bucket (boilerplate pages) can be capped upstream by
+    filtering giant buckets.
+    Returns distinct candidate (a, b) id pairs with a < b.
+    """
+    rows_per_band = num_perms // bands
+    sketched = docs.select(
+        F.col(id_col).alias("_id"),
+        minhash_sketch(word_shingles(F.col(text_col)), num_perms).alias("sig"),
+    )
+    banded = sketched.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        ),
+                        F.lit(b),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    grouped = banded.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_set("_id")).alias("members")
+    ).filter(F.size("members") >= 2)
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("members"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("members"), i + 2, F.size("members")),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").distinct()
+    return pairs
+
+
+def ngram_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: join shingle sets back on
+    both sides (2 broadcast-or-shuffle joins), compute |∩|/|∪| natively."""
+    sh = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh"),
+    )
+    return (
+        pairs.join(sh.withColumnRenamed("_id", "a").withColumnRenamed("sh", "sh_a"), "a")
+        .join(sh.withColumnRenamed("_id", "b").withColumnRenamed("sh", "sh_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over whitespace tokens.
+
+    Per-bit majority vote of token-hash bits, implemented with native
+    bitwise expressions: for each bit position, sum(sign bits) vs half the
+    token count."""
+    toks = F.split(normalized_text(text), " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(toks)
+    def _mask(b: int) -> int:
+        # two's-complement signed 64-bit literal (bit 63 is the sign bit)
+        return (1 << b) if b < 63 else -(1 << 63)
+
+    def _bit_test(mask: int):
+        # single-arg lambda (PySpark passes (elem, idx) to 2-arg callables)
+        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
+
+    bits = [
+        F.when(
+            F.size(F.filter(hashes, _bit_test(_mask(b)))) * 2 > n,
+            F.lit(_mask(b)),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def simhash_near_dups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup clusters via identical SimHash (Hamming 0 buckets; widen by
+    prefix-rotation bucketing for Hamming ≤ 3 at scale)."""
+    return (
+        docs.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("simhash"))
+        .groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.sort_array(F.collect_list("_id")).alias("doc_ids"),
+        )
+        .filter(F.col("dup_count") >= 2)
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs above `threshold`.
+
+    Sandbox-scale implementation is the exact O(n²) self-join (fine ≤ ~10k);
+    the 100 TB path buckets by LSH sign-projection first (similarity.py) so
+    the join key is the bucket, not the cross product.
+    """
+    from avc_parser_spark.functions.similarity import cosine_expr
+
+    a = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", F.round("cosine", 6).alias("cosine"))
+    )

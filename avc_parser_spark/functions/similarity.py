@@ -1,0 +1,118 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+- brute-force cosine top-k: exact baseline — narrow map (native dot product
+  via F.zip_with + F.aggregate), then a single top-k (orderBy+limit, which
+  Spark executes as TakeOrdered: per-partition heap + driver merge of k·P
+  rows, no full sort shuffle).
+- LSH-bucketed ANN: sign-random-projection buckets as the shuffle key; query
+  probes only its own bucket (and neighbors at higher recall). At 10^12 rows
+  the bucket table is written bucketed-by(bucket) so probes are
+  partition-pruned scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Native dot product: zip_with multiply + aggregate sum (no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a constant query vector.
+
+    The query vector is a literal array → constant-folded; scan is narrow;
+    only k·partitions rows reach the driver (TakeOrderedAndProject)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        embeddings.select(
+            F.col(id_col),
+            F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def lsh_project_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id: one bit per hyperplane."""
+    bits = [
+        F.when(dot_expr(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0, 1 << i).otherwise(0)
+        for i, p in enumerate(planes)
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out
+
+
+def make_planes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (pure function of seed)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).tolist()
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: probe only the query's LSH bucket, then exact cosine.
+
+    Recall < 1.0 by construction; at scale add multi-probe (flip one bit per
+    probe). The bucket column doubles as a bucketing key for the stored
+    table so a probe is a pruned scan, not a full pass."""
+    planes = make_planes(len(query_vec), n_planes)
+    import numpy as np
+
+    qbits = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(query_vec, p)) >= 0:
+            qbits |= 1 << i
+
+    bucketed = embeddings.withColumn(
+        "bucket", lsh_project_bucket(F.col(vec_col), planes)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        bucketed.filter(F.col("bucket") == qbits)
+        .select(
+            F.col(id_col),
+            F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
