@@ -1,0 +1,143 @@
+"""Per-partition checkpoint/resume with lineage + row-count metrics.
+
+North-rule requirement: "the job checkpoints per-Iceberg-partition with
+lineage + row-count metrics so reruns resume without reprocessing".
+
+Design (Iceberg-equivalent on hive-partitioned parquet):
+- The pages table is partitioned by `warc_date`. Each run processes
+  partitions one at a time (or in batches), writing the routed event table
+  under `events/warc_date=<d>/` and appending a manifest line to
+  `_manifest/<d>.json` with: partition, input rows, routed row counts,
+  wall seconds, input fingerprint (path + mtime-derived), engine version.
+- On re-run, partitions whose manifest entry exists AND whose input
+  fingerprint is unchanged are SKIPPED — resume is exact and idempotent
+  (last write wins per partition; a partial write without a manifest entry
+  is simply overwritten).
+
+On a real Iceberg deployment the manifest collapses into Iceberg snapshot
+metadata (commit per partition; lineage = snapshot id + summary), and the
+skip check reads the snapshot log instead of _manifest files. The logic
+below is the same shape with plain files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from avc_parser_spark import __version__
+from avc_parser_spark.enrich.join import signature_exprs
+from avc_parser_spark.parse.udf import parse_pages
+
+MANIFEST_DIR = "_manifest"
+
+
+def _partition_values(spark: SparkSession, pages_path: str) -> list[str]:
+    return sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(pages_path)
+        if d.startswith("warc_date=")
+    )
+
+
+def _input_fingerprint(pages_path: str, part: str) -> str:
+    pdir = os.path.join(pages_path, f"warc_date={part}")
+    entries = sorted(
+        (f, os.path.getsize(os.path.join(pdir, f)))
+        for f in os.listdir(pdir)
+        if f.endswith(".parquet")
+    )
+    return json.dumps(entries, separators=(",", ":"))
+
+
+def _manifest_path(out_path: str, part: str) -> str:
+    return os.path.join(out_path, MANIFEST_DIR, f"{part}.json")
+
+
+def read_manifest(out_path: str) -> dict[str, dict]:
+    mdir = os.path.join(out_path, MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return {}
+    out = {}
+    for f in os.listdir(mdir):
+        if f.endswith(".json"):
+            with open(os.path.join(mdir, f)) as fh:
+                entry = json.load(fh)
+                out[entry["partition"]] = entry
+    return out
+
+
+def run_with_checkpoints(
+    spark: SparkSession,
+    pages_path: str,
+    out_path: str,
+    force: bool = False,
+) -> dict:
+    """Parse+route every pages partition, resuming from the manifest.
+
+    Returns {"processed": [...], "skipped": [...], "metrics": {...}}.
+    """
+    os.makedirs(os.path.join(out_path, MANIFEST_DIR), exist_ok=True)
+    manifest = {} if force else read_manifest(out_path)
+
+    processed, skipped = [], []
+    for part in _partition_values(spark, pages_path):
+        fp = _input_fingerprint(pages_path, part)
+        prior = manifest.get(part)
+        if prior and prior.get("input_fingerprint") == fp:
+            skipped.append(part)
+            continue
+
+        t0 = time.time()
+        pages = spark.read.parquet(
+            os.path.join(pages_path, f"warc_date={part}")
+        )
+        input_rows = pages.count()
+        events = signature_exprs(parse_pages(pages))
+        (
+            events.write.mode("overwrite").parquet(
+                os.path.join(out_path, "events", f"warc_date={part}")
+            )
+        )
+        routed = {
+            r["route"]: r["n"]
+            for r in spark.read.parquet(
+                os.path.join(out_path, "events", f"warc_date={part}")
+            )
+            .groupBy("route")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        entry = {
+            "partition": part,
+            "input_fingerprint": fp,
+            "input_rows": input_rows,
+            "routed_rows": routed,
+            "output_rows": sum(routed.values()),
+            "wall_sec": round(time.time() - t0, 3),
+            "engine_version": __version__,
+            "completed_at_epoch": int(time.time()),
+        }
+        # manifest write is the commit point: atomic rename
+        mpath = _manifest_path(out_path, part)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(entry, fh)
+        os.replace(tmp, mpath)
+        processed.append(part)
+
+    return {
+        "processed": processed,
+        "skipped": skipped,
+        "manifest": read_manifest(out_path),
+    }
+
+
+def read_events(spark: SparkSession, out_path: str) -> DataFrame:
+    return spark.read.option("basePath", os.path.join(out_path, "events")).parquet(
+        os.path.join(out_path, "events", "warc_date=*")
+    )

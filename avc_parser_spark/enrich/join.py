@@ -24,16 +24,20 @@ from avc_parser_spark.enrich.dims import (
 
 
 def process_category_expr(comm: Column, sc_type: Column) -> Column:
-    """Pattern-based process categorization (parse_avc.py:1509-1543).
+    """Process categorization (parse_avc.py:1455-1543), fully native.
 
-    The exact-map part (service_mappings) is a broadcast join in
-    ``enrich_events``; this expression covers the substring rules, the
-    multi-service-domain split, and the service_<comm> default. The exact
-    map wins via coalesce at the call site.
+    Order matters and mirrors the reference: exact service map → substring
+    pattern rules → multi-service-domain split → service_<comm> default.
+    The exact map is folded into the codegen `when` chain (26 branches) so
+    the signature stage needs no join at all.
     """
+    from avc_parser_spark.enrich.dims import SERVICE_MAPPINGS
+
+    expr = F.when(comm.isNull() | (comm == ""), F.lit("unknown"))
+    for c, cat in SERVICE_MAPPINGS:
+        expr = expr.when(comm == c, F.lit(cat))
     return (
-        F.when(comm.isNull() | (comm == ""), F.lit("unknown"))
-        .when(comm.contains("httpd"), F.lit("web_server_apache"))
+        expr.when(comm.contains("httpd"), F.lit("web_server_apache"))
         .when(comm.contains("nginx"), F.lit("web_server_nginx"))
         .when(comm.contains("postgres"), F.lit("database_postgresql"))
         .when(comm.contains("mysql"), F.lit("database_mysql"))

@@ -20,6 +20,7 @@ shingle array (transform/aggregate/xxhash64 with per-row seeds) — no Python.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -58,19 +59,54 @@ def word_shingles(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
     )
 
 
-def minhash_sketch(shingles: Column, num_perms: int = DEFAULT_PERMS) -> Column:
-    """num_perms-wide MinHash signature: min over xxhash64(shingle, seed=p).
+MERSENNE61 = (1 << 61) - 1
 
-    xxhash64 takes a seed via an extra literal column — one JVM expression
-    per permutation, vectorized by codegen."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s: F.xxhash64(s, F.lit(p)))
-            ).alias(f"mh{p}")
-            for p in range(num_perms)
-        ]
-    )
+
+def _perm_params(num_perms: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    """Deterministic universal-hash parameters (a_p, b_p) for MinHash."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE61 - 1, size=num_perms, dtype="int64").tolist()
+    b = rng.randint(0, MERSENNE61 - 1, size=num_perms, dtype="int64").tolist()
+    return a, b
+
+
+def minhash_signature_udf(num_perms: int = DEFAULT_PERMS):
+    """Arrow-vectorized MinHash over base shingle hashes.
+
+    Strategy: the expensive string hashing happens once, natively
+    (xxhash64 per shingle); the num_perms permutations are then numpy
+    matrix ops ((a_p·h + b_p) mod M, min over shingles) inside one pandas
+    UDF — one Arrow round trip instead of a num_perms-wide codegen tree
+    (which dominated compile+eval time in benchmarks)."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    a_list, b_list = _perm_params(num_perms)
+    a = np.array(a_list, dtype=np.uint64)
+    b = np.array(b_list, dtype=np.uint64)
+    m = np.uint64(MERSENNE61)
+
+    @pandas_udf("array<long>")
+    def _sig(base_hashes: pd.Series) -> pd.Series:
+        out = []
+        for hs in base_hashes:
+            if hs is None or len(hs) == 0:
+                out.append([0] * num_perms)
+                continue
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            # (num_perms, n_shingles) universal hash, min per row
+            vals = (np.outer(a, h) + b[:, None]) % m
+            out.append(vals.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return _sig
+
+
+def base_shingle_hashes(shingles: Column) -> Column:
+    """Native 64-bit hash per shingle (the only string hashing pass)."""
+    return F.transform(F.array_distinct(shingles), lambda s: F.xxhash64(s))
 
 
 def minhash_lsh_candidates(
@@ -89,22 +125,24 @@ def minhash_lsh_candidates(
     Returns distinct candidate (a, b) id pairs with a < b.
     """
     rows_per_band = num_perms // bands
+    sig_udf = minhash_signature_udf(num_perms)
     sketched = docs.select(
         F.col(id_col).alias("_id"),
-        minhash_sketch(word_shingles(F.col(text_col)), num_perms).alias("sig"),
+        sig_udf(base_shingle_hashes(word_shingles(F.col(text_col)))).alias("sig"),
     )
+    # band bucket id = hash of the band's signature slice (native, cheap)
     banded = sketched.select(
         "_id",
         F.posexplode(
             F.array(
                 *[
                     F.xxhash64(
-                        F.concat_ws(
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
                             ",",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
                         ),
                         F.lit(b),
                     )

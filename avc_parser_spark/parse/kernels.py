@@ -183,6 +183,7 @@ EVENT_COLUMNS = [
     "success",
     "cwd",
     "saddr",
+    "saddr_struct",
     "execve_cmdline",
     "path_normalized",
     "cross_process_access",
@@ -433,10 +434,16 @@ def parse_pages_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
 
     sa_rows = arecs[arecs["rtype"] == "SOCKADDR"]
     if len(sa_rows):
+        # reference parity: only the hex saddr form populates `saddr`
+        # (parse_avc.py:600 pattern `saddr=([a-fA-F0-9]+)`); the interpreted
+        # `saddr={ ... }` struct form is kept in the extension column
+        # `saddr_struct` (reference leaves it unset).
         hexv = _extract1(sa_rows["line"], PAT_SADDR_HEX)
-        structv = _extract1(sa_rows["line"], PAT_SADDR_STRUCT).str.strip()
-        sa_rows = sa_rows.assign(saddr=hexv.fillna(structv))
+        structv = _extract1(sa_rows["line"], PAT_SADDR_STRUCT)
+        structv = structv.str.strip() if structv.notna().any() else structv
+        sa_rows = sa_rows.assign(saddr=hexv, saddr_struct=structv)
         shared["saddr"] = last_per_block(sa_rows, "saddr")
+        shared["saddr_struct"] = last_per_block(sa_rows, "saddr_struct")
 
     ex_rows = arecs[arecs["rtype"] == "EXECVE"]
     if len(ex_rows):
@@ -565,7 +572,11 @@ def parse_pages_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
         # proctitle: AVC proctitle > PROCTITLE record; (null) → comm fallback
         if "sh_proctitle" in avc.columns:
             avc["proctitle"] = avc["proctitle"].fillna(avc["sh_proctitle"])
-        null_pt = avc["proctitle"].isin(["(null)", "null", "?"])
+        # comm fallback when proctitle is (null)/null/empty/missing AND comm
+        # exists (parse_avc.py:1137-1139)
+        null_pt = (
+            avc["proctitle"].isin(["(null)", "null", ""]) | avc["proctitle"].isna()
+        ) & avc["comm"].notna()
         avc["proctitle"] = avc["proctitle"].astype(object).where(
             ~null_pt, avc["comm"]
         )
@@ -609,7 +620,7 @@ def parse_pages_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(avc)
         else pd.Series(dtype=bool)
     )
-    audit_ish_docs = lines.groupby("_doc")["rtype"].apply(lambda s: s.notna().any())
+    audit_ish_docs = lines["rtype"].notna().groupby(lines["_doc"]).any()
 
     route = pd.Series("malformed", index=doc_ids)
     route[route.index.map(audit_ish_docs).isna()] = "malformed"

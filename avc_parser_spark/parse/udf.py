@@ -55,6 +55,7 @@ EVENT_SCHEMA_DDL = ", ".join(
         "success string",
         "cwd string",
         "saddr string",
+        "saddr_struct string",
         "execve_cmdline string",
         "path_normalized boolean",
         "cross_process_access boolean",

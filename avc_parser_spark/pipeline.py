@@ -44,6 +44,8 @@ def route_split(events: DataFrame) -> dict[str, DataFrame]:
 
 def denial_groups(events: DataFrame, salted: bool = True) -> DataFrame:
     """parse_ok events → signature groups with sesearch remediation (E12)."""
+    if "sig_id" not in events.columns:
+        events = signature_exprs(events)
     ok = events.filter(F.col("route") == "parse_ok")
     groups = aggregate_signatures(ok, salted=salted)
     groups = groups.withColumn(

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is end-to-end pipeline wall time; `docs_per_sec` is the
+throughput figure the north rule grades (parse→route→aggregate over the
+synthetic pages corpus). Run with SPARK_GRAFT_CPUS=8 and =32 on the same
+inputs for the N-vs-4N scaling-efficiency evidence (see BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as em  # noqa: E402
+from avc_parser_spark.datagen.pages import write_pages_warehouse  # noqa: E402
+from avc_parser_spark.enrich.join import signature_exprs  # noqa: E402
+from avc_parser_spark.parse.udf import parse_pages  # noqa: E402
+from avc_parser_spark.pipeline import denial_groups, per_lang_hour_rollup  # noqa: E402
+from avc_parser_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# pages corpus size for the throughput benchmark: ~600k docs at sf0.1 scale
+N_DOCS = int(os.environ.get("BENCH_N_DOCS", "200000"))
+
+
+def timed(fn, *args):
+    t0 = time.time()
+    fn(*args)
+    return round(time.time() - t0, 3)
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+
+    # ---- headline: end-to-end pipeline over synthetic pages ---------------
+    # Pages are materialized once to a parquet warehouse (datagen cost is NOT
+    # part of the measured pipeline; at 100 TB the table already exists).
+    repo = os.path.dirname(os.path.abspath(__file__))
+    warehouse = os.path.join(repo, "data", f"bench_pages_{N_DOCS}")
+    os.makedirs(os.path.join(repo, "data"), exist_ok=True)
+
+    write_pages_warehouse(spark, warehouse, N_DOCS)
+    pages = spark.read.parquet(warehouse)
+
+    t0 = time.time()
+    events = signature_exprs(parse_pages(pages)).persist()
+    routes = {
+        r["route"]: r["rows"]
+        for r in events.groupBy("route").agg(F.count(F.lit(1)).alias("rows")).collect()
+    }
+    groups_cnt = denial_groups(events).count()
+    rollup_cnt = per_lang_hour_rollup(events).count()
+    e2e = round(time.time() - t0, 3)
+    events.unpersist()
+    queries["pipeline_e2e"] = e2e
+    docs_per_sec = round(N_DOCS / e2e, 1)
+
+    # ---- per-query timings over driver testdata ----------------------------
+    qmap = em.queries()
+    for name in [
+        "pipeline_grok_parse",
+        "pipeline_signature_smart",
+        "pipeline_lang_hour_rollup",
+        "events_hourly",
+        "events_sessions",
+        "tpch_q1",
+        "tpch_q3ish",
+        "text_profile",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "ann_cosine_topk",
+    ]:
+        try:
+            queries[name] = timed(lambda n=name: qmap[n](spark, SF_DIR).count())
+        except Exception:  # noqa: BLE001
+            queries[name] = -1.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "pipeline_e2e_wall_sec",
+                "value": e2e,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "docs_per_sec": docs_per_sec,
+                "n_docs": N_DOCS,
+                "cpus": CPUS,
+                "groups": groups_cnt,
+                "routes": routes,
+                "lang_hour_rows": rollup_cnt,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

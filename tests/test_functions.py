@@ -1,0 +1,116 @@
+"""Training-data-pipeline operator tests (dedup, similarity, text, media)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from avc_parser_spark.functions.dedup import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard,
+    simhash_near_dups,
+)
+from avc_parser_spark.functions.multimodal import extract_media_features
+from avc_parser_spark.functions.similarity import brute_force_topk, lsh_topk
+from avc_parser_spark.functions.text import document_profile
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (1, "the quick brown fox jumps over the lazy dog and runs away fast"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat and runs away fast"),  # near dup
+        (3, "completely different content about spark dataframes and shuffles"),
+        (4, "der schnelle braune fuchs springt und rennt weg ganz schnell"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(docs):
+    dups = exact_duplicates(docs).collect()
+    assert len(dups) == 1
+    assert dups[0]["dup_count"] == 2
+    assert dups[0]["keeper"] == 0
+    assert sorted(dups[0]["doc_ids"]) == [0, 1]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = minhash_lsh_candidates(docs, num_perms=32, bands=16)
+    verified = ngram_jaccard(docs, pairs, k=3).collect()
+    found = {(r["a"], r["b"]): r["jaccard"] for r in verified}
+    assert (0, 1) in found and found[(0, 1)] == 1.0
+    assert (0, 2) in found or (1, 2) in found  # near-dup caught by some band
+    for (a, b), j in found.items():
+        if (a, b) in [(0, 2), (1, 2)]:
+            assert 0.3 < j < 1.0
+
+
+def test_simhash_clusters_exact_dups(docs):
+    clusters = simhash_near_dups(docs).collect()
+    assert any(set(c["doc_ids"]) == {0, 1} for c in clusters)
+
+
+def test_text_profile(docs, spark):
+    prof = {r["doc_id"]: r for r in document_profile(docs).collect()}
+    assert prof[0]["n_tokens"] == 13
+    assert prof[5]["n_tokens"] == 0
+    assert prof[0]["lang_guess"] == "en"
+    assert prof[4]["lang_guess"] == "de"
+    assert prof[0]["fingerprint"] == prof[1]["fingerprint"]
+    assert prof[0]["fingerprint"] != prof[3]["fingerprint"]
+    assert 0.0 <= prof[0]["stopword_ratio"] <= 1.0
+
+
+def test_brute_force_topk_cosine(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = brute_force_topk(emb, [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in got] == [0, 1]
+    assert got[0]["cosine"] == 1.0
+    expected = 0.9 / math.sqrt(0.81 + 0.01)
+    assert abs(got[1]["cosine"] - expected) < 1e-5
+
+
+def test_lsh_topk_subset_of_exact(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(100, 16).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(100)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[0]]
+    ann = lsh_topk(emb, q, k=5).collect()
+    ids = [r["vec_id"] for r in ann]
+    assert 0 in ids  # the query vector itself lands in its own bucket
+    exact = {r["vec_id"]: r["cosine"] for r in brute_force_topk(emb, q, k=100).collect()}
+    for r in ann:  # ANN scores must agree with exact scores
+        assert abs(exact[r["vec_id"]] - r["cosine"]) < 1e-6
+
+
+def test_media_feature_plumbing(spark):
+    rows = [
+        (0, "image", bytearray(b"\x89PNG fake")),
+        (1, "audio", bytearray(b"RIFF fake")),
+        (2, "image", None),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    out = extract_media_features(media).collect()
+    assert len(out) == 3
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["n_bytes"] == 9
+    assert len(by_id[0]["feature"]) == 8
+    assert by_id[2]["n_bytes"] == 0
+    assert all(r["decode_status"] == "stubbed_fake" for r in out)
+    # determinism
+    again = {r["doc_id"]: r["sha1"] for r in extract_media_features(media).collect()}
+    assert again == {r["doc_id"]: r["sha1"] for r in out}
