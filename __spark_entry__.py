@@ -28,7 +28,7 @@ from avc_parser_spark.functions.dedup import (
     simhash_near_dups,
 )
 from avc_parser_spark.functions.similarity import brute_force_topk, lsh_topk
-from avc_parser_spark.functions.text import document_profile
+from avc_parser_spark.functions.text import document_profile, lang_id_ngram, quality_score
 from avc_parser_spark.oracle_shared import (
     EPOCH0,
     OBJECT_GROUP_ORACLE,
@@ -42,6 +42,8 @@ from avc_parser_spark.oracle_shared import (
     TC_TYPE_CASE,
     TCONTEXT,
 )
+from avc_parser_spark.enrich.mls import mls_relationship_expr
+from avc_parser_spark.parse.policy import parse_policy_events
 from avc_parser_spark.parse.udf import parse_pages
 
 TABLES = [
@@ -379,6 +381,96 @@ def q_top_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_mls_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7+E7: MLS parse + relationship classification over a synthetic
+    context matrix derived from doc_id."""
+    _views(spark, sf_dir, ["documents"])
+    df = spark.sql(
+        """
+        SELECT doc_id,
+               (case doc_id % 4 when 0 then 's0' when 1 then 's15'
+                     when 2 then 's0:c1' else 's0:c1.c2' end) AS s_mls,
+               (case doc_id % 3 when 0 then 's0' when 1 then 's15'
+                     else 's0:c2' end) AS t_mls
+        FROM documents
+        """
+    )
+    return df.select(
+        "doc_id", "s_mls", "t_mls",
+        mls_relationship_expr(F.col("s_mls"), F.col("t_mls")).alias("mls_case"),
+    )
+
+
+def q_policy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P17/P18: MAC_POLICY_LOAD / MAC_STATUS side-table parse over synthetic
+    policy lines constructed in SQL."""
+    _views(spark, sf_dir, ["events"])
+    pages = spark.sql(
+        f"""
+        SELECT 'e' || cast(event_id as string) AS url,
+               (case when event_id % 2 = 0 then
+                  'type=MAC_POLICY_LOAD msg=audit(' || cast({EPOCH0} + event_id as string)
+                  || '.000:' || cast(event_id as string) || '): policy loaded auid='
+                  || (case event_id % 6 when 0 then '500' when 2 then 'unset'
+                           else 'unknown(' || cast(500 + event_id % 9 as string) || ')' end)
+                  || ' ses=' || cast(event_id % 99 as string)
+                else
+                  'type=MAC_STATUS msg=audit(' || cast({EPOCH0} + event_id as string)
+                  || '.000:' || cast(event_id as string) || '): enforcing='
+                  || cast(event_id % 2 as string) || ' old_enforcing='
+                  || cast((event_id + 1) % 2 as string) || ' auid=500'
+                end) AS text
+        FROM events
+        """
+    )
+    pol = parse_policy_events(pages)
+    return pol.select(
+        "url", "rtype", "auid", "ses", "enforcing", "old_enforcing",
+        F.col("event_ts").cast("long").alias("epoch"),
+    )
+
+
+def q_resource_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4-flavored resource rollup: per exact resource counts + perm sets."""
+    ev = _parsed(spark, sf_dir).filter(F.col("route") == "parse_ok")
+    resource = (
+        F.when(F.col("path").isNotNull(), F.col("path"))
+        .when(F.col("dest_port").isNotNull(), F.concat(F.lit("port:"), F.col("dest_port")))
+        .otherwise(F.concat_ws(":", F.col("tclass"), F.col("permission")))
+    )
+    return (
+        ev.withColumn("resource", resource)
+        .groupBy("resource")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.array_join(F.sort_array(F.collect_set("permission")), ",").alias("perms"),
+            F.countDistinct("pid").alias("distinct_pids"),
+        )
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + lang-id heuristics over documents."""
+    _views(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    return docs.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        lang_id_ngram(F.col("text")).alias("lang_guess"),
+    )
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (rows-only; O(n²) path at this scale)."""
+    from avc_parser_spark.functions.dedup import embedding_near_dups
+
+    _views(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings").limit(200)
+    return embedding_near_dups(emb, threshold=0.8)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -420,6 +512,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "top_signatures": q_top_signatures,
+        "pipeline_mls_case": q_mls_case,
+        "pipeline_policy_events": q_policy_events,
+        "pipeline_resource_rollup": q_resource_rollup,
+        "text_quality": q_text_quality,
+        "dedup_embedding_cosine": q_dedup_embedding,
     }
 
 
@@ -626,8 +723,95 @@ def oracle_sql() -> dict[str, str]:
             FROM ex GROUP BY vec_id
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
+        "pipeline_mls_case": f"""
+            SELECT doc_id,
+                   (case doc_id % 4 when 0 then 's0' when 1 then 's15'
+                         when 2 then 's0:c1' else 's0:c1.c2' end) AS s_mls,
+                   (case doc_id % 3 when 0 then 's0' when 1 then 's15'
+                         else 's0:c2' end) AS t_mls,
+                   (case
+                      when doc_id % 4 = 0 and doc_id % 3 = 0 then cast(null as string)
+                      when doc_id % 4 = 0 and doc_id % 3 = 1 then 'no_read_up'
+                      when doc_id % 4 = 0 and doc_id % 3 = 2 then 'mcs_missing_categories'
+                      when doc_id % 4 = 1 and doc_id % 3 = 0 then 'no_write_down'
+                      when doc_id % 4 = 1 and doc_id % 3 = 1 then cast(null as string)
+                      when doc_id % 4 = 1 and doc_id % 3 = 2 then 'no_write_down'
+                      when doc_id % 4 = 2 and doc_id % 3 = 0 then 'mcs_source_superset'
+                      when doc_id % 4 = 2 and doc_id % 3 = 1 then 'no_read_up'
+                      when doc_id % 4 = 2 and doc_id % 3 = 2 then 'mcs_disjoint'
+                      when doc_id % 4 = 3 and doc_id % 3 = 0 then 'mcs_source_superset'
+                      when doc_id % 4 = 3 and doc_id % 3 = 1 then 'no_read_up'
+                      else 'mcs_source_superset'
+                    end) AS mls_case
+            FROM documents
+        """,
+        "pipeline_policy_events": f"""
+            SELECT 'e' || cast(event_id as string) AS url,
+                   (case when event_id % 2 = 0 then 'MAC_POLICY_LOAD' else 'MAC_STATUS' end) AS rtype,
+                   (case when event_id % 2 = 0 then
+                        (case event_id % 6 when 0 then '500' when 2 then 'unset'
+                              else cast(500 + event_id % 9 as string) end)
+                    else '500' end) AS auid,
+                   (case when event_id % 2 = 0 then cast(event_id % 99 as string)
+                         else cast(null as string) end) AS ses,
+                   (case when event_id % 2 = 1 then '1' else cast(null as string) end) AS enforcing,
+                   (case when event_id % 2 = 1 then '0' else cast(null as string) end) AS old_enforcing,
+                   ({EPOCH0} + event_id) AS epoch
+            FROM events
+        """,
+        "pipeline_resource_rollup": f"""
+            WITH base AS (
+              SELECT (case when doc_id % 5 = 3 then 'port:' || {f['dest_port']}
+                           else {f['path']} end) AS resource,
+                     {f['permission']} AS permission,
+                     {f['pid']} AS pid
+              FROM documents)
+            SELECT resource, count(*) AS event_count,
+                   array_to_string(list_sort(list(DISTINCT permission)), ',') AS perms,
+                   count(DISTINCT pid) AS distinct_pids
+            FROM base GROUP BY resource
+        """,
+        "text_quality": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     case when trim(text) = '' then 0
+                          else len(regexp_split_to_array(trim(text), '\\s+')) end AS n_tok,
+                     case when len(regexp_split_to_array(lower(trim(text)), '\\s+')) = 0 then 0.0
+                          else len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                               x -> x in ('the','a','an','and','or','of','to','in','is','it','for',
+                                          'der','die','das','und','le','la','les','et','el','los','y')))
+                               * 1.0 / len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                     end AS sw_ratio,
+                     case when len(text) = 0 then 0.0
+                          else len(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / len(text)
+                     end AS p_ratio
+              FROM documents)
+            SELECT doc_id,
+                   round((case when n_tok between 10 and 100000 then 0.4 else 0.0 end)
+                       + (case when sw_ratio between 0.05 and 0.6 then 0.3 else 0.0 end)
+                       + (case when p_ratio <= 0.2 then 0.3 else 0.0 end), 2)::DOUBLE AS quality,
+                   (case
+                      when contains(lower(text), 'der ') then 'de'
+                      when contains(lower(text), 'die ') then 'de'
+                      when contains(lower(text), 'und ') then 'de'
+                      when contains(lower(text), 'le ') then 'fr'
+                      when contains(lower(text), 'les ') then 'fr'
+                      when contains(lower(text), 'ete') and contains(lower(text), 'été') then 'fr'
+                      when contains(lower(text), 'el ') then 'es'
+                      when contains(lower(text), 'los ') then 'es'
+                      when contains(lower(text), 'según') then 'es'
+                      when contains(lower(text), '的') then 'zh'
+                      when contains(lower(text), '是') then 'zh'
+                      when contains(lower(text), 'и ') then 'ru'
+                      when contains(lower(text), 'не ') then 'ru'
+                      when contains(lower(text), 'the ') then 'en'
+                      when contains(lower(text), 'and ') then 'en'
+                      else 'und'
+                    end) AS lang_guess
+            FROM t
+        """,
         # rows-only (non-ANSI-expressible): dedup_minhash_lsh, dedup_simhash,
-        # ann_lsh_topk, top_signatures (salted agg detail)
+        # ann_lsh_topk, dedup_embedding_cosine
         "top_signatures": f"""
             SELECT sig, cnt FROM (
               SELECT {PROCESS_CATEGORY_ORACLE} || '␟' ||

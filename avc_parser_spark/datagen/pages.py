@@ -74,8 +74,14 @@ def write_pages_warehouse(
     df = build_pages_df(spark, n_docs).withColumn(
         "warc_date", F.to_date("warc_ts")
     )
+    # Write-distribute by url hash into enough files that downstream scans
+    # can parallelize: parquet splits at row-group granularity, so one fat
+    # file per partition would cap the parse stage at #files tasks
+    # (mirrors the Iceberg design's write-distribution bucket(16, url)).
+    n_out = max(spark.sparkContext.defaultParallelism * 2, n_docs // 5000)
     (
-        df.write.mode("overwrite")
+        df.repartition(n_out, "url")
+        .write.mode("overwrite")
         .partitionBy("warc_date")
         .parquet(path)
     )

@@ -233,9 +233,27 @@ def make_payload(i: int) -> tuple[str, str]:
     else:
         block = make_event_block(i, r)
 
+    # ~4 % of well-formed docs also carry a MAC_POLICY_LOAD / MAC_STATUS
+    # informational block (epoch boundaries for recurrence analysis) —
+    # appended as an extra block, leaving denial parsing untouched.
+    policy = ""
+    if route == "parse_ok" and i % 25 == 0:
+        ts, serial = _audit_ts(i, r)
+        if i % 50 == 0:
+            policy = (
+                f"\n----\ntype=MAC_POLICY_LOAD msg=audit({ts}:{serial + 1}): "
+                f"policy loaded auid={r.choice(['500', '4294967295', 'unset'])} "
+                f"ses={r.randint(1, 99)}"
+            )
+        else:
+            policy = (
+                f"\n----\ntype=MAC_STATUS msg=audit({ts}:{serial + 1}): "
+                f"enforcing=1 old_enforcing=0 auid=unknown({r.randint(100, 999)})"
+            )
+
     pre = " ".join(r.choices(FILLER_WORDS, k=r.randint(5, 20)))
     post = " ".join(r.choices(FILLER_WORDS, k=r.randint(5, 20)))
-    text = f"{pre}\n----\n{block}\n----\n{post}"
+    text = f"{pre}\n----\n{block}{policy}\n----\n{post}"
     return text, route
 
 

@@ -660,20 +660,15 @@ def parse_pages_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
             out[col] = None
 
     # byte-exact extracted_text: canonical k=v join in fixed field order
-    parts = []
+    # (non-null fields only; single pass, no regex cleanup)
+    ok_mask = out["route"] == "parse_ok"
+    pieces = None
     for f in EXTRACT_FIELD_ORDER:
         col = out[f]
-        if f == "permissive":
-            col = col.where(col.notna(), None)
-        piece = (f + "=" + col.astype("string")).where(col.notna(), "")
-        parts.append(piece)
-    joined = parts[0]
-    for p in parts[1:]:
-        joined = joined.str.cat(p, sep="|")
+        piece = (f + "=" + col.astype("string") + "|").where(col.notna() & ok_mask, "")
+        pieces = piece if pieces is None else pieces.str.cat(piece)
     out["extracted_text"] = (
-        joined.str.replace(r"\|{2,}", "|", regex=True)
-        .str.strip("|")
-        .where(out["route"] == "parse_ok", None)
+        pieces.str.replace(r"\|$", "", regex=True).where(ok_mask, None)
     )
 
     # dtypes for Arrow

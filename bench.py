@@ -39,8 +39,19 @@ def timed(fn, *args):
     return round(time.time() - t0, 3)
 
 
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    repo = os.path.dirname(os.path.abspath(__file__))
+    warehouse = os.path.join(repo, "data", f"bench_pages_{N_DOCS}")
+
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -54,7 +65,20 @@ def main() -> None:
     os.makedirs(os.path.join(repo, "data"), exist_ok=True)
 
     write_pages_warehouse(spark, warehouse, N_DOCS)
+
+    # Split sizing: a local bench reads a few-hundred-MB table; the 256 MB
+    # cluster default would yield fewer splits than cores, so the scaling
+    # run would measure scheduler idle time, not the pipeline. The corpus is
+    # uniform → 1 task per core minimizes per-task Arrow-channel overhead
+    # (measured ~8 ms+/task); real skewed data would use more + AQE.
+    split = max(1 << 20, _dir_bytes(warehouse) // CPUS)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
     pages = spark.read.parquet(warehouse)
+
+    # Warmup: spawn python workers on every core + JIT the hot paths, so the
+    # measurement reflects steady-state throughput (what a 100 TB job runs
+    # at), not one-time JVM/worker cold start (~5 s on this box).
+    parse_pages(pages.sample(0.02)).count()
 
     t0 = time.time()
     events = signature_exprs(parse_pages(pages)).persist()

@@ -33,8 +33,12 @@ def _norm_value(v) -> str:
     import datetime
     import math
 
+    import decimal
+
     if v is None:
         return "␀"
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"

@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: parse→enrich→route→aggregate with checkpoints.
+
+Cluster usage (north rule: packaged for spark-submit --py-files):
+
+    cd /root/repo && zip -r /tmp/avc_parser_spark.zip avc_parser_spark
+    spark-submit \
+        --py-files /tmp/avc_parser_spark.zip \
+        --conf spark.sql.adaptive.enabled=true \
+        --conf spark.sql.adaptive.skewJoin.enabled=true \
+        scripts/run_pipeline.py \
+        --pages /path/to/pages_warehouse \
+        --out   /path/to/output \
+        [--force] [--report]
+
+Local smoke:
+    python scripts/run_pipeline.py --pages data/bench_pages_500000 --out data/run1
+
+Resumable: re-running skips pages partitions whose manifest entry matches
+the input fingerprint (see avc_parser_spark/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True, help="pages warehouse path")
+    ap.add_argument("--out", required=True, help="output path")
+    ap.add_argument("--force", action="store_true", help="reprocess everything")
+    ap.add_argument("--report", action="store_true", help="write JSON report")
+    ap.add_argument("--sort", default="count", choices=["recent", "count", "chrono"])
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from avc_parser_spark.analyzers import run_analyzers
+    from avc_parser_spark.checkpoint import read_events, run_with_checkpoints
+    from avc_parser_spark.pipeline import denial_groups
+    from avc_parser_spark.sinks import write_json_report
+
+    spark = SparkSession.builder.appName("avc-parser-pipeline").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    result = run_with_checkpoints(spark, args.pages, args.out, force=args.force)
+    print(
+        json.dumps(
+            {
+                "processed_partitions": result["processed"],
+                "skipped_partitions": result["skipped"],
+                "lineage": result["manifest"],
+            },
+            indent=2,
+            default=str,
+        )
+    )
+
+    if args.report:
+        events = read_events(spark, args.out)
+        groups = denial_groups(events)
+        findings = run_analyzers(groups)
+        report_path = os.path.join(args.out, "report.json")
+        write_json_report(groups, findings, report_path)
+        print(f"report: {report_path}")
+
+
+if __name__ == "__main__":
+    main()

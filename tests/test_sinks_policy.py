@@ -1,0 +1,116 @@
+"""Policy-event parse, sinks, resource subgroup tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from avc_parser_spark.aggregate import (
+    consolidate_resource_groups,
+    resource_subgroups,
+    stats_counters,
+)
+from avc_parser_spark.datagen import build_pages_df
+from avc_parser_spark.enrich.join import signature_exprs
+from avc_parser_spark.parse.policy import parse_policy_events
+from avc_parser_spark.parse.udf import parse_pages
+from avc_parser_spark.pipeline import denial_groups
+from avc_parser_spark.sinks import json_report, stats_report, write_routed_tables
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return signature_exprs(parse_pages(build_pages_df(spark, 1000))).cache()
+
+
+def test_policy_events_parsed(spark):
+    pages = build_pages_df(spark, 2000)
+    pol = parse_policy_events(pages)
+    rows = pol.collect()
+    assert len(rows) > 0
+    types = {r["rtype"] for r in rows}
+    assert "MAC_POLICY_LOAD" in types and "MAC_STATUS" in types
+    for r in rows:
+        assert r["event_ts"] is not None
+        if r["rtype"] == "MAC_STATUS":
+            assert r["enforcing"] == "1" and r["old_enforcing"] == "0"
+            assert r["auid"] is not None and r["auid"].isdigit()  # unknown(N) → N
+        else:
+            assert r["auid"] in ("500", "4294967295", "unset")
+
+
+def test_policy_auid_forms(spark):
+    df = spark.createDataFrame(
+        [
+            ("u1", "type=MAC_POLICY_LOAD msg=audit(1163776448.949:12869): policy loaded auid=500"),
+            ("u2", "type=MAC_POLICY_LOAD msg=audit(1470675789.411:2): policy loaded auid=4294967295 ses=4294967295"),
+            ("u3", "type=MAC_POLICY_LOAD msg=audit(1470675789.411:3): policy loaded auid=unset"),
+            ("u4", "type=MAC_STATUS msg=audit(1470675789.411:4): enforcing=0 old_enforcing=1 auid=unknown(500)"),
+        ],
+        "url string, text string",
+    )
+    got = {r["url"]: r for r in parse_policy_events(df).collect()}
+    assert got["u1"]["auid"] == "500"
+    assert got["u2"]["auid"] == "4294967295"
+    assert got["u3"]["auid"] == "unset"
+    assert got["u4"]["auid"] == "500"
+    assert got["u4"]["enforcing"] == "0"
+
+
+def test_json_report_shape(spark, events):
+    groups = denial_groups(events)
+    report = json_report(groups)
+    assert report["summary"]["total_groups"] == groups.count()
+    assert report["summary"]["total_events"] == events.filter(
+        F.col("route") == "parse_ok"
+    ).count()
+    d = report["unique_denials"][0]
+    for key in ["log", "count", "first_seen", "last_seen", "permissions", "sesearch_command"]:
+        assert key in d
+    assert d["permissions"] == sorted(d["permissions"])
+    import json as _json
+
+    _json.dumps(report)  # must be serializable
+
+
+def test_stats_report(spark, events):
+    stats = stats_report(events)
+    assert stats["total_events"] > 0
+    assert 1 <= len(stats["processes"]) <= 5
+    assert stats["processes"][0]["count"] >= stats["processes"][-1]["count"]
+    assert len(stats["object_classes"]) <= 8
+
+
+def test_routed_tables_roundtrip(spark, events, tmp_path):
+    path = str(tmp_path / "routed")
+    write_routed_tables(events, path)
+    back = spark.read.parquet(path)
+    orig = {r["route"]: r["n"] for r in events.groupBy("route").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["route"]: r["n"] for r in back.groupBy("route").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == orig
+    # per-sink pruned read
+    ok = spark.read.parquet(path).filter(F.col("route") == "parse_ok")
+    assert ok.count() == orig["parse_ok"]
+
+
+def test_resource_subgroups_and_consolidation(spark, events):
+    sub = resource_subgroups(events.filter(F.col("route") == "parse_ok"))
+    rows = sub.collect()
+    assert all(r["event_count"] >= 1 for r in rows)
+    assert any(r["is_grouped"] for r in rows)  # hot paths repeat
+    cons = consolidate_resource_groups(sub)
+    crows = cons.collect()
+    assert sum(r["total_events"] for r in crows) == sum(r["event_count"] for r in rows)
+
+
+def test_stats_counters_single_pass(spark, events):
+    ok = events.filter(F.col("route") == "parse_ok")
+    cnt = stats_counters(ok).collect()
+    # every row is a single-dimension rollup
+    dims = ["comm", "sc_type", "tc_type", "tclass", "permission"]
+    for r in cnt:
+        non_null = sum(1 for d in dims if r[d] is not None)
+        assert non_null == 1
+    # comm rollup total equals event count
+    comm_total = sum(r["cnt"] for r in cnt if r["comm"] is not None)
+    assert comm_total == ok.filter(F.col("comm").isNotNull()).count()
