@@ -471,6 +471,16 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(emb, threshold=0.8)
 
 
+
+
+def q_stats_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-dimension counters in one grouping-sets pass."""
+    from avc_parser_spark.aggregate import stats_counters
+
+    ev = _parsed(spark, sf_dir).filter(F.col("route") == "parse_ok")
+    return stats_counters(ev, ["comm", "sc_type", "tclass", "permission"])
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -517,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_resource_rollup": q_resource_rollup,
         "text_quality": q_text_quality,
         "dedup_embedding_cosine": q_dedup_embedding,
+        "pipeline_stats_counters": q_stats_counters,
     }
 
 
@@ -809,6 +820,15 @@ def oracle_sql() -> dict[str, str]:
                       else 'und'
                     end) AS lang_guess
             FROM t
+        """,
+        "pipeline_stats_counters": f"""
+            WITH base AS (
+              SELECT {f['comm']} AS comm, {f['sc_type']} AS sc_type,
+                     {f['tclass']} AS tclass, {f['permission']} AS permission
+              FROM documents)
+            SELECT comm, sc_type, tclass, permission, count(*) AS cnt
+            FROM base
+            GROUP BY GROUPING SETS ((comm), (sc_type), (tclass), (permission))
         """,
         # rows-only (non-ANSI-expressible): dedup_minhash_lsh, dedup_simhash,
         # ann_lsh_topk, dedup_embedding_cosine

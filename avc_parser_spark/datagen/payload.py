@@ -123,6 +123,17 @@ def make_event_block(i: int, r: random.Random) -> str:
     pid = r.randint(1000, 99999)
     syscall = r.choice(SYSCALLS)
 
+    # ~5 % of events are USER_AVC (userspace object manager, e.g. dbus):
+    # outer daemon pid + embedded avc message (parse_avc.py:867-884)
+    if i % 19 == 0:
+        dbus_perm = r.choice(["send_msg", "acquire_svc"])
+        return (
+            f"type=USER_AVC msg={aud}: pid={r.randint(500, 999)} uid=81 "
+            f"auid=4294967295 ses=4294967295 "
+            f"msg='avc:  denied  {{ {dbus_perm} }} for "
+            f"scontext={scontext} tcontext={tcontext} tclass=dbus'"
+        )
+
     lines = []
 
     # PROCTITLE (hex-encoded argv, NUL-separated)

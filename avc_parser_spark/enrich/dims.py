@@ -106,6 +106,56 @@ TYPE_DESCRIPTIONS = [
     ("setfiles_t", "filesystem relabeling tool"),
 ]
 
+# E2 — (permission, file|directory) → context-aware description
+# (avc_selinux/context.py:213-249)
+PERM_CONTEXT_DESCRIPTIONS = [
+    ("read", "file", "read file content"),
+    ("read", "dir", "list directory contents"),
+    ("write", "file", "modify file content"),
+    ("write", "dir", "modify directory entries"),
+    ("open", "file", "open file"),
+    ("open", "dir", "open directory"),
+    ("getattr", "file", "read file metadata"),
+    ("getattr", "dir", "read directory metadata"),
+    ("search", "dir", "traverse directory"),
+    ("add_name", "dir", "create entry in directory"),
+    ("remove_name", "dir", "delete entry from directory"),
+    ("create", "file", "create new file"),
+    ("create", "dir", "create new directory"),
+    ("execute", "file", "execute program file"),
+    ("unlink", "file", "delete file"),
+    ("rmdir", "dir", "remove directory"),
+]
+
+# E5 — (permission, tclass) → contextual analysis sentence
+# (avc_selinux/context.py:256-346); fallback composed downstream via
+# format_string when no template matches.
+CONTEXTUAL_ANALYSIS = [
+    ("name_connect", "tcp_socket", "process attempted an outbound TCP connection to a labeled port"),
+    ("name_bind", "tcp_socket", "process attempted to bind/listen on a labeled port"),
+    ("name_bind", "udp_socket", "process attempted to bind a UDP socket on a labeled port"),
+    ("read", "file", "process attempted to read a file with a different security label"),
+    ("write", "file", "process attempted to write a file with a different security label"),
+    ("append", "file", "process attempted to append to a labeled file"),
+    ("execute", "file", "process attempted to execute a labeled program"),
+    ("getattr", "file", "process attempted to stat a labeled file"),
+    ("open", "file", "process attempted to open a labeled file"),
+    ("search", "dir", "process attempted to traverse a labeled directory"),
+    ("add_name", "dir", "process attempted to create an entry in a labeled directory"),
+    ("read", "dir", "process attempted to list a labeled directory"),
+    ("signal", "process", "process attempted to signal another security domain"),
+    ("ptrace", "process", "process attempted to trace a process in another domain"),
+    ("transition", "process", "process attempted a domain transition"),
+    ("dac_override", "capability", "process attempted to bypass file-permission checks"),
+    ("send_msg", "dbus", "process attempted to send a D-Bus message across domains"),
+    ("relabelfrom", "file", "process attempted to change a file's current label"),
+    ("relabelto", "file", "process attempted to assign a new label to a file"),
+    ("noatsecure", "process", "domain transition without secure-mode environment scrubbing (dontaudit-class)"),
+    ("rlimitinh", "process", "resource-limit inheritance across domain transition (dontaudit-class)"),
+    ("siginh", "process", "signal-state inheritance across domain transition (dontaudit-class)"),
+    ("mounton", "dir", "process attempted to use a labeled directory as a mount point"),
+]
+
 # E6 — port → service (avc_selinux/context.py:348-365)
 PORT_DESCRIPTIONS = [
     ("22", "SSH"),
@@ -231,5 +281,13 @@ def build_dims(spark: SparkSession) -> dict[str, DataFrame]:
         "perm_category": spark.createDataFrame(
             PERM_CATEGORY_ROWS,
             "tclass_group string, permission string, permission_category string",
+        ),
+        "perm_context_desc": spark.createDataFrame(
+            PERM_CONTEXT_DESCRIPTIONS,
+            "permission string, obj_kind string, perm_context_description string",
+        ),
+        "contextual": spark.createDataFrame(
+            CONTEXTUAL_ANALYSIS,
+            "permission string, tclass string, contextual_analysis string",
         ),
     }

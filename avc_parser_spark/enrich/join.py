@@ -265,5 +265,31 @@ def enrich_events(events: DataFrame) -> DataFrame:
             how="left",
         )
         .join(F.broadcast(dims["port_desc"]), on="dest_port", how="left")
+        .join(
+            F.broadcast(dims["contextual"]), on=["permission", "tclass"], how="left"
+        )
     )
+    # E5 fallback: composed sentence when no template matches
+    # (context.py:256-346 falls back to a formatted string)
+    out = out.withColumn(
+        "contextual_analysis",
+        F.coalesce(
+            F.col("contextual_analysis"),
+            F.when(
+                F.col("permission").isNotNull() & F.col("tclass").isNotNull(),
+                F.format_string(
+                    "process attempted '%s' on object class '%s'",
+                    F.col("permission"),
+                    F.col("tclass"),
+                ),
+            ),
+        ),
+    )
+    # E2: context-aware perm description for file/dir objects
+    obj_kind = F.when(F.col("tclass") == "dir", F.lit("dir")).otherwise(F.lit("file"))
+    out = out.withColumn("obj_kind", obj_kind).join(
+        F.broadcast(dims["perm_context_desc"]),
+        on=["permission", "obj_kind"],
+        how="left",
+    ).drop("obj_kind")
     return out

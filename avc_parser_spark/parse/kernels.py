@@ -477,9 +477,22 @@ def parse_pages_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     avc = arecs[arecs["rtype"].isin(AVC_DENIAL_TYPES)].copy()
 
     if len(avc):
+        # USER_AVC: the denial body lives inside msg='...'; the battery runs
+        # on that content while pid/uid come from the outer record; rows
+        # without msg content are skipped (parse_avc.py:867-884).
+        user_mask = avc["rtype"].isin(["USER_AVC", "1107"])
         body = avc["line"]
+        if user_mask.any():
+            inner = _extract1(avc["line"], r"msg='([^']+)'")
+            outer_pid = _extract1(avc["line"], r"pid=(\S+)")
+            body = body.where(~user_mask, inner)
         for key, pat in AVC_PATTERNS.items():
             avc[key] = _extract1(body, pat)
+        if user_mask.any():
+            # outer pid wins for USER_AVC (reference skips re-set)
+            avc["pid"] = avc["pid"].where(
+                ~(user_mask & outer_pid.notna()), outer_pid
+            )
 
         # quoted path wins over unquoted (parse_avc.py:963-971)
         avc["avc_path"] = avc["path_quoted"].fillna(avc["path_unquoted"])

@@ -65,17 +65,43 @@ EVENT_SCHEMA_DDL = ", ".join(
 )
 
 
-def parse_pages(pages: DataFrame) -> DataFrame:
+def parse_pages(pages: DataFrame, jvm_pregate: bool = True) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → routed event DataFrame.
 
     Column pruning matters at scale: only (url, warc_ts, text, lang) are
     selected, so Parquet/Iceberg never reads the heavy `html` binary column
     for the text parse path (check `.explain` ReadSchema).
+
+    jvm_pregate (V2/V3 as a native prefilter): non-audit blocks (filler
+    prose) are dropped JVM-side before the Arrow boundary — codegen
+    `filter(split(text,'----'), b -> b rlike ...)` — so only audit-bearing
+    bytes pay the serialization tax. The quarantine signal (control bytes)
+    is computed on the FULL text first, and carried as a one-char sentinel
+    block so the kernel's routing semantics are unchanged. Documents are
+    still self-contained: no shuffle.
     """
+    from pyspark.sql import functions as F
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield parse_pages_pdf(pdf)
 
     pruned = pages.select("url", "warc_ts", "text", "lang")
+    if jvm_pregate:
+        blocks = F.split(F.col("text"), "----")
+        kept = F.filter(
+            blocks, lambda b: b.rlike(r"type=\w+|msg=audit|avc:")
+        )
+        has_ctrl = F.col("text").rlike("[\x00-\x08\x0b\x0c\x0e-\x1f]")
+        gated_text = F.concat(
+            F.array_join(kept, "\n----\n"),
+            # control bytes anywhere in the doc must still quarantine it,
+            # even if they sit in a dropped block: append a sentinel.
+            F.when(has_ctrl, F.lit("\n----\n\x01ctrl\x01\n----\n")).otherwise(
+                F.lit("")
+            ),
+        )
+        pruned = pruned.select(
+            "url", "warc_ts", gated_text.alias("text"), "lang"
+        )
     return pruned.mapInPandas(run, schema=EVENT_SCHEMA_DDL)

@@ -91,6 +91,47 @@ def write_json_report(groups: DataFrame, findings: DataFrame | None, path: str) 
         json.dump(json_report(groups, findings), fh, indent=2, default=str)
 
 
+def brief_report(groups: DataFrame, max_groups: int = 50) -> list[dict]:
+    """K5 — executive WHAT/WHEN/WHO/WHERE/IMPACT brief per group
+    (report_formatter.py:329-499 shape, prose rendering out of scope)."""
+    rows = (
+        groups.orderBy(F.desc("count"), F.asc("signature"))
+        .limit(max_groups)
+        .collect()
+    )
+    briefs = []
+    for r in rows:
+        rep = r["representative"].asDict() if r["representative"] else {}
+        briefs.append(
+            {
+                "what": {
+                    "permissions": sorted(p for p in (r["permissions"] or []) if p),
+                    "tclass": rep.get("tclass"),
+                },
+                "when": {
+                    "first_seen": str(r["first_seen"]),
+                    "last_seen": str(r["last_seen"]),
+                },
+                "who": {
+                    "comm": rep.get("comm"),
+                    "exe": rep.get("exe"),
+                    "scontext": rep.get("scontext_raw"),
+                },
+                "where": {
+                    "path": rep.get("path"),
+                    "dest_port": rep.get("dest_port"),
+                    "tcontext": rep.get("tcontext_raw"),
+                },
+                "impact": {
+                    "events": r["count"],
+                    "permissive_events": r["permissive_count"],
+                    "enforcing_blocked": r["count"] - r["permissive_count"],
+                },
+            }
+        )
+    return briefs
+
+
 def stats_report(events: DataFrame) -> dict:
     """K3 — top-N summary per dimension (stats_formatter.py:135-160)."""
     dims = {

@@ -114,3 +114,34 @@ def test_stats_counters_single_pass(spark, events):
     # comm rollup total equals event count
     comm_total = sum(r["cnt"] for r in cnt if r["comm"] is not None)
     assert comm_total == ok.filter(F.col("comm").isNotNull()).count()
+
+
+def test_brief_report(spark, events):
+    from avc_parser_spark.sinks import brief_report
+
+    groups = denial_groups(events)
+    briefs = brief_report(groups, max_groups=10)
+    assert 0 < len(briefs) <= 10
+    b = briefs[0]
+    for section in ["what", "when", "who", "where", "impact"]:
+        assert section in b
+    assert b["impact"]["events"] >= b["impact"]["permissive_events"]
+    assert (
+        b["impact"]["enforcing_blocked"]
+        == b["impact"]["events"] - b["impact"]["permissive_events"]
+    )
+
+
+def test_contextual_enrichment(spark, events):
+    from avc_parser_spark.enrich.join import enrich_events
+
+    enr = enrich_events(events.filter(F.col("route") == "parse_ok"))
+    rows = enr.select(
+        "permission", "tclass", "contextual_analysis", "perm_context_description"
+    ).collect()
+    # every parse_ok row gets a contextual sentence (template or fallback)
+    assert all(r["contextual_analysis"] for r in rows if r["permission"])
+    # template rows vs composed fallback both present in this corpus
+    assert any(
+        "process attempted '" in r["contextual_analysis"] for r in rows
+    ) or any("labeled" in r["contextual_analysis"] for r in rows)
