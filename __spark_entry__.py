@@ -481,6 +481,66 @@ def q_stats_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats_counters(ev, ["comm", "sc_type", "tclass", "permission"])
 
 
+
+
+def _smart_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from avc_parser_spark.pipeline import denial_groups
+
+    ev = signature_exprs(_parsed(spark, sf_dir).filter(F.col("route") == "parse_ok"))
+    return denial_groups(ev)
+
+
+def q_filter_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: since-filter over the group table (last_seen >= cutoff)."""
+    from avc_parser_spark.filters import filter_since_until
+
+    groups = _smart_groups(spark, sf_dir)
+    kept = filter_since_until(groups, until="2023-11-14 22:21:34")
+    return kept.select(
+        "process_category", "sig_target", "object_group", "sig_extra",
+        "permission_category",
+        F.col("count").alias("cnt"),
+        F.col("last_seen").cast("long").alias("last_epoch"),
+    )
+
+
+def q_filter_process(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: process substring filter over groups (httpd OR mysqld)."""
+    from avc_parser_spark.filters import filter_process
+
+    groups = _smart_groups(spark, sf_dir)
+    kept = filter_process(groups, "httpd,mysqld")
+    return kept.select(
+        "process_category", "sig_target", "object_group", "sig_extra",
+        "permission_category", F.col("count").alias("cnt"),
+    )
+
+
+def q_sort_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: deterministic count-ordered groups (top 20)."""
+    from avc_parser_spark.sorts import sort_groups
+
+    groups = _smart_groups(spark, sf_dir)
+    return sort_groups(groups, "count").select(
+        "signature", F.col("count").alias("cnt"),
+        F.col("last_seen").cast("long").alias("last_epoch"),
+    ).limit(20)
+
+
+def q_grouping_optimality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: regroup signature groups by sesearch command; mergeable = shared
+    command."""
+    from avc_parser_spark.aggregate import grouping_optimality
+
+    groups = _smart_groups(spark, sf_dir)
+    opt = grouping_optimality(groups)
+    return opt.select(
+        "sesearch_command",
+        F.col("group_count").alias("group_count"),
+        "mergeable",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -528,6 +588,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "dedup_embedding_cosine": q_dedup_embedding,
         "pipeline_stats_counters": q_stats_counters,
+        "filter_time_range": q_filter_time_range,
+        "filter_process": q_filter_process,
+        "sort_groups_by_count": q_sort_groups,
+        "grouping_optimality": q_grouping_optimality,
     }
 
 
@@ -829,6 +893,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT comm, sc_type, tclass, permission, count(*) AS cnt
             FROM base
             GROUP BY GROUPING SETS ((comm), (sc_type), (tclass), (permission))
+        """,
+        "filter_time_range": f"""
+            WITH base AS (
+              SELECT {PROCESS_CATEGORY_ORACLE} AS process_category,
+                     (case when doc_id % 5 = 4 then {TC_TYPE_CASE} else {TCONTEXT} end) AS sig_target,
+                     {OBJECT_GROUP_ORACLE} AS object_group,
+                     (case when doc_id % 5 = 3 then {f['dest_port']}
+                           when doc_id % 5 = 4 then ''
+                           else {PATH_PATTERN_ORACLE} end) AS sig_extra,
+                     {PERMISSION_CATEGORY_ORACLE} AS permission_category,
+                     {f['epoch']} AS epoch
+              FROM documents),
+            grp AS (
+              SELECT process_category, sig_target, object_group, sig_extra,
+                     permission_category, count(*) AS cnt, max(epoch) AS last_epoch
+              FROM base GROUP BY 1,2,3,4,5)
+            SELECT * FROM grp WHERE last_epoch <= epoch('2023-11-14 22:21:34'::TIMESTAMP)
+        """,
+        "filter_process": f"""
+            WITH base AS (
+              SELECT {PROCESS_CATEGORY_ORACLE} AS process_category,
+                     (case when doc_id % 5 = 4 then {TC_TYPE_CASE} else {TCONTEXT} end) AS sig_target,
+                     {OBJECT_GROUP_ORACLE} AS object_group,
+                     (case when doc_id % 5 = 3 then {f['dest_port']}
+                           when doc_id % 5 = 4 then ''
+                           else {PATH_PATTERN_ORACLE} end) AS sig_extra,
+                     {PERMISSION_CATEGORY_ORACLE} AS permission_category,
+                     {f['comm']} AS comm
+              FROM documents)
+            SELECT process_category, sig_target, object_group, sig_extra,
+                   permission_category, count(*) AS cnt
+            FROM base GROUP BY 1,2,3,4,5
+            HAVING bool_or(comm LIKE '%httpd%' OR comm LIKE '%mysqld%')
+        """,
+        "sort_groups_by_count": f"""
+            WITH base AS (
+              SELECT {PROCESS_CATEGORY_ORACLE} || '␟' ||
+                     (case when doc_id % 5 = 4 then {TC_TYPE_CASE} else {TCONTEXT} end) || '␟' ||
+                     {OBJECT_GROUP_ORACLE} || '␟' ||
+                     (case when doc_id % 5 = 3 then {f['dest_port']}
+                           when doc_id % 5 = 4 then ''
+                           else {PATH_PATTERN_ORACLE} end) || '␟' ||
+                     {PERMISSION_CATEGORY_ORACLE} AS signature,
+                     {f['epoch']} AS epoch
+              FROM documents)
+            SELECT signature, count(*) AS cnt, max(epoch) AS last_epoch
+            FROM base GROUP BY 1
+            ORDER BY cnt DESC, last_epoch DESC, signature ASC
+            LIMIT 20
+        """,
+        "grouping_optimality": f"""
+            WITH base AS (
+              SELECT {PROCESS_CATEGORY_ORACLE} AS pc,
+                     (case when doc_id % 5 = 4 then {TC_TYPE_CASE} else {TCONTEXT} end) AS st,
+                     {OBJECT_GROUP_ORACLE} AS og,
+                     (case when doc_id % 5 = 3 then {f['dest_port']}
+                           when doc_id % 5 = 4 then ''
+                           else {PATH_PATTERN_ORACLE} end) AS se,
+                     {PERMISSION_CATEGORY_ORACLE} AS pcat,
+                     {f['sc_type']} AS sc_type, {f['tc_type']} AS tc_type,
+                     {f['tclass']} AS tclass, {f['permission']} AS permission
+              FROM documents),
+            grp AS (
+              SELECT pc, st, og, se, pcat,
+                     'sesearch -A -s ' || min(sc_type) || ' -t ' || min(tc_type)
+                     || ' -c ' || min(tclass) || ' -p '
+                     || array_to_string(list_sort(list(DISTINCT permission)), ',')
+                     AS sesearch_command
+              FROM base GROUP BY 1,2,3,4,5)
+            SELECT sesearch_command, count(*) AS group_count,
+                   count(*) > 1 AS mergeable
+            FROM grp GROUP BY 1
         """,
         # rows-only (non-ANSI-expressible): dedup_minhash_lsh, dedup_simhash,
         # ann_lsh_topk, dedup_embedding_cosine

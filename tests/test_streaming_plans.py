@@ -1,0 +1,108 @@
+"""Structured Streaming equivalence + physical-plan quality assertions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from avc_parser_spark.datagen import build_pages_df
+from avc_parser_spark.datagen.pages import write_pages_warehouse
+from avc_parser_spark.parse.udf import parse_pages
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    """availableNow stream over a landing dir produces the same routed rows
+    and per-lang/hour rollup as the batch pipeline."""
+    from avc_parser_spark.streaming import run_routed_stream, run_stream_to_memory
+
+    landing = str(tmp_path / "landing")
+    write_pages_warehouse(spark, landing, 600)
+
+    q = run_stream_to_memory(
+        spark, landing, str(tmp_path / "ck1"), name="t_stream_rollup"
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["hour_start"], r["lang"]): r["events"]
+        for r in spark.table("t_stream_rollup").collect()
+    }
+    batch = parse_pages(spark.read.parquet(landing)).filter(
+        F.col("route") == "parse_ok"
+    )
+    expected = {
+        (r["h"], r["lang"]): r["n"]
+        for r in batch.groupBy(
+            F.date_trunc("hour", "event_ts").alias("h"), "lang"
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == expected
+
+    q2 = run_routed_stream(
+        spark, landing, str(tmp_path / "routed"), str(tmp_path / "ck2")
+    )
+    q2.awaitTermination(120)
+    routed = spark.read.parquet(str(tmp_path / "routed"))
+    got_routes = {
+        r["route"]: r["n"]
+        for r in routed.groupBy("route").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    exp_routes = {
+        r["route"]: r["n"]
+        for r in parse_pages(spark.read.parquet(landing))
+        .groupBy("route")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got_routes == exp_routes
+
+
+def test_partition_pruning_on_warc_date(spark, tmp_path):
+    """F3-style predicates on the partition column must prune the scan."""
+    wh = str(tmp_path / "wh")
+    write_pages_warehouse(spark, wh, 400)
+    df = spark.read.parquet(wh)
+    dates = [r["warc_date"] for r in df.select("warc_date").distinct().collect()]
+    assert len(dates) >= 1
+    one = df.filter(F.col("warc_date") == dates[0])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # partition filters must appear as PartitionFilters, not post-scan Filter
+    assert "PartitionFilters: [" in plan
+    assert "warc_date" in plan.split("PartitionFilters:")[1][:200]
+
+
+def test_parquet_filter_pushdown(spark, tmp_path):
+    wh = str(tmp_path / "wh2")
+    write_pages_warehouse(spark, wh, 200)
+    df = spark.read.parquet(wh).filter(F.col("lang") == "en").select("url", "lang")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)" in plan
+    # column pruning: scan must not read text/html
+    read_schema = plan.split("ReadSchema:")[1][:200]
+    assert "text" not in read_schema and "html" not in read_schema
+
+
+def test_salted_agg_plan_has_two_aggregates(spark):
+    """The salted aggregate must show two groupBy levels (partial per salt,
+    then final merge) and no more than two exchanges."""
+    from avc_parser_spark.aggregate import aggregate_signatures
+    from avc_parser_spark.enrich.join import signature_exprs
+
+    ev = signature_exprs(parse_pages(build_pages_df(spark, 100)))
+    plan = (
+        aggregate_signatures(ev.filter(F.col("route") == "parse_ok"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "_salt" in plan
+
+
+def test_tpch_q3ish_uses_broadcast_for_customer(spark):
+    """Small dimension sides must broadcast under AQE at test scale."""
+    import __spark_entry__ as em
+
+    df = em.q_tpch_q3ish(spark, "/root/testdata/sf0.001")
+    df.collect()  # trigger AQE final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
