@@ -84,7 +84,42 @@ def parse_pages(pages: DataFrame, jvm_pregate: bool = True) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield parse_pages_pdf(pdf)
+            try:
+                yield parse_pages_pdf(pdf)
+            except Exception as batch_err:  # noqa: BLE001
+                # V4 contract (parse_avc.py:477-482): NEVER fail the job.
+                # Retry per document to salvage the good ones; the bad
+                # documents become quarantine stubs tagged with the error.
+                frames = []
+                for i in range(len(pdf)):
+                    one = pdf.iloc[i : i + 1]
+                    try:
+                        frames.append(parse_pages_pdf(one))
+                    except Exception as doc_err:  # noqa: BLE001
+                        stub = pd.DataFrame(
+                            {
+                                "url": one["url"].values,
+                                "warc_ts": pd.to_datetime(
+                                    one["warc_ts"], errors="coerce"
+                                ),
+                                "lang": one["lang"].values,
+                                "route": "quarantine",
+                                "parse_status": f"PARSE_ERROR_{type(doc_err).__name__}",
+                            }
+                        )
+                        frames.append(stub)
+                out = pd.concat(frames, ignore_index=True)
+                from avc_parser_spark.parse.kernels import EVENT_COLUMNS
+
+                for col in EVENT_COLUMNS:
+                    if col not in out.columns:
+                        out[col] = None
+                out["malformed_lines"] = (
+                    pd.to_numeric(out["malformed_lines"], errors="coerce")
+                    .fillna(0)
+                    .astype("int64")
+                )
+                yield out[EVENT_COLUMNS]
 
     pruned = pages.select("url", "warc_ts", "text", "lang")
     if jvm_pregate:

@@ -120,3 +120,32 @@ def test_extracted_text_nonnull_for_parse_ok(spark, events):
         (F.col("route") == "parse_ok") & F.col("extracted_text").isNull()
     ).count()
     assert bad == 0
+
+
+def test_error_isolation_never_fails_job(spark, monkeypatch):
+    """V4: a kernel crash on one document must quarantine that document,
+    not abort the job (parse_avc.py:477-482 contract)."""
+    import avc_parser_spark.parse.udf as udf_mod
+    from avc_parser_spark.parse import kernels
+
+    real = kernels.parse_pages_pdf
+
+    def explode_on_marker(pdf):
+        if pdf["text"].str.contains("BOOM_MARKER").any():
+            raise RuntimeError("synthetic kernel crash")
+        return real(pdf)
+
+    monkeypatch.setattr(udf_mod, "parse_pages_pdf", explode_on_marker)
+    df = spark.createDataFrame(
+        [
+            ("ok1", None, None, "type=AVC msg=audit(1.0:1): avc: denied { read } for pid=1 comm=x scontext=a:b:c tcontext=d:e:f tclass=file", "en"),
+            ("bad", None, None, "BOOM_MARKER", "en"),
+            ("ok2", None, None, "type=AVC msg=audit(2.0:2): avc: denied { write } for pid=2 comm=y scontext=a:b:c tcontext=d:e:f tclass=file", "en"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).coalesce(1)
+    rows = {r["url"]: r for r in udf_mod.parse_pages(df, jvm_pregate=False).collect()}
+    assert rows["bad"]["route"] == "quarantine"
+    assert rows["bad"]["parse_status"].startswith("PARSE_ERROR_")
+    assert rows["ok1"]["route"] == "parse_ok"
+    assert rows["ok2"]["route"] == "parse_ok"
