@@ -53,6 +53,9 @@ TABLES = [
 
 
 def _views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    # epoch-based oracle comparisons assume UTC wall-clock interpretation of
+    # naive timestamps; pin it (runtime conf, safe on any provided session).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     for t in tables or TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 
@@ -541,6 +544,34 @@ def q_grouping_optimality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard between adjacent documents (oracle-checked exact
+    near-dup scoring; k=3 word shingles)."""
+    from avc_parser_spark.functions.dedup import word_shingles
+
+    _views(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh"),
+    )
+    a = docs.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    b = docs.select((F.col("doc_id") - 1).alias("a"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, "a")
+        .filter(F.col("a") % 2 == 0)
+        .select(
+            "a",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -592,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_process": q_filter_process,
         "sort_groups_by_count": q_sort_groups,
         "grouping_optimality": q_grouping_optimality,
+        "dedup_jaccard_adjacent": q_jaccard_adjacent,
     }
 
 
@@ -965,6 +997,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT sesearch_command, count(*) AS group_count,
                    count(*) > 1 AS mergeable
             FROM grp GROUP BY 1
+        """,
+        "dedup_jaccard_adjacent": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) < 3
+                            THEN [regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')]
+                            ELSE list_transform(
+                                   generate_series(1, len(regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) - 2),
+                                   i -> array_to_string(
+                                          (regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))[i:i+2],
+                                          ' '))
+                       END) AS sh
+              FROM documents)
+            SELECT x.doc_id AS a,
+                   round(len(list_intersect(x.sh, y.sh)) * 1.0
+                         / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+            FROM sh x JOIN sh y ON y.doc_id = x.doc_id + 1
+            WHERE x.doc_id % 2 = 0
         """,
         # rows-only (non-ANSI-expressible): dedup_minhash_lsh, dedup_simhash,
         # ann_lsh_topk, dedup_embedding_cosine
