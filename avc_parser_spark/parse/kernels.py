@@ -59,7 +59,12 @@ AVC_PATTERNS: dict[str, str] = {
     "path_quoted": r"path=\"([^\"]+)\"",
     "path_unquoted": r"path=([^\s]+)",
     "name": r"name=([^\s]+)",
-    "dev": r"dev=\"?([^\"\s]+)\"?",
+    # NB the reference's char class is [^\"\\s] — it excludes QUOTE,
+    # BACKSLASH and the LETTER 's' (not whitespace): an unquoted dev capture
+    # runs across spaces until the first 's' (parse_avc.py:939). Quoted dev
+    # values terminate at the closing quote, so curated corpora never see
+    # it — but byte-exactness requires reproducing the quirk verbatim.
+    "dev": r"dev=\"?([^\"\\s]+)\"?",
     "ino": r"ino=(\d+)",
     "scontext": r"scontext=(\S+)",
     "tcontext": r"tcontext=(\S+)",
@@ -206,10 +211,15 @@ def _extract1(s: pd.Series, pattern: str) -> pd.Series:
     return out.str.strip().astype(object).where(out.notna(), None)
 
 
-def _decode_proctitle_values(raw: pd.Series) -> pd.Series:
+def _decode_proctitle_values(raw: pd.Series, strict: bool = False) -> pd.Series:
     """Hex-decode proctitle values (parse_avc.py:660-688): NUL→space,
     256-hex-char / 128-char truncation marker. Vectorized over the
-    deduplicated value set."""
+    deduplicated value set.
+
+    strict=True mirrors the PROCTITLE-record path (parse_avc.py:668:
+    bare .decode() → invalid utf-8 keeps the raw hex string); strict=False
+    mirrors the AVC-embedded path (parse_avc.py:993: errors="ignore").
+    """
 
     def decode_one(v):
         if not isinstance(v, str):
@@ -222,7 +232,10 @@ def _decode_proctitle_values(raw: pd.Series) -> pd.Series:
         )
         if is_hex:
             try:
-                decoded = bytes.fromhex(val).decode("utf-8", errors="ignore")
+                if strict:
+                    decoded = bytes.fromhex(val).decode()
+                else:
+                    decoded = bytes.fromhex(val).decode("utf-8", errors="ignore")
             except ValueError:
                 if len(val) == 128:
                     return val + " [TRUNCATED BY AUDIT]"
@@ -312,12 +325,17 @@ def _normalize_paths(
 def _resolve_cwd_relative(path: pd.Series, cwd: pd.Series) -> pd.Series:
     """normpath(join(cwd, path)) for relative paths with a CWD
     (parse_avc.py:219-247). Applied to the (tiny) relative-path slice."""
+    # reference resolves ANY relative path against an absolute cwd —
+    # including pipe:[ino]/socket:[ino]/NUL-prefixed forms (os.path.isabs
+    # is the only gate, parse_avc.py:243-246); normalization then skips
+    # them because they became absolute. Reproduced verbatim.
+    cwd = cwd.astype("string")
+    path_s = path.astype("string")
     mask = (
-        path.notna()
+        path_s.notna()
         & cwd.notna()
-        & ~path.str.startswith("/", na=False)
-        & ~path.str.contains(r"^\w+:\[", na=False, regex=True)
-        & ~path.str.startswith("\x00", na=False)
+        & ~path_s.str.startswith("/", na=False)
+        & cwd.str.startswith("/", na=False)
     )
     if not mask.any():
         return path
@@ -427,7 +445,7 @@ def parse_pages_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     if len(pt_rows):
         pt_rows = pt_rows.assign(
             proctitle=_decode_proctitle_values(
-                _extract1(pt_rows["line"], PAT_PROCTITLE)
+                _extract1(pt_rows["line"], PAT_PROCTITLE), strict=True
             )
         )
         shared["sh_proctitle"] = last_per_block(pt_rows, "proctitle")
@@ -539,8 +557,17 @@ def parse_pages_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
             avc["best_path"] = None
 
         # path resolution cascade (parse_avc.py:1018-1065)
-        name_clean = avc["name"].str.strip('"')
-        meaningful_name = avc["name"].notna() & ~name_clean.isin(["?", ""])
+        # quote-strip only when the raw name both starts AND ends with a
+        # quote (parse_avc.py:1043-1045); skip-list compares the RAW value
+        # against ? / "?" (parse_avc.py:1038)
+        name_raw = avc["name"].astype("string")
+        both_quoted = name_raw.str.startswith('"', na=False) & name_raw.str.endswith(
+            '"', na=False
+        )
+        name_clean = name_raw.where(~both_quoted, name_raw.str.slice(1, -1)).astype(
+            object
+        )
+        meaningful_name = avc["name"].notna() & ~name_raw.isin(["?", '"?"'])
         path = avc["avc_path"].copy()
         use_best = path.isna() & avc["best_path"].notna()
         path[use_best] = avc["best_path"][use_best]
