@@ -149,3 +149,31 @@ def test_error_isolation_never_fails_job(spark, monkeypatch):
     assert rows["bad"]["parse_status"].startswith("PARSE_ERROR_")
     assert rows["ok1"]["route"] == "parse_ok"
     assert rows["ok2"]["route"] == "parse_ok"
+
+
+def test_capped_sets_exact_below_cap(spark, events):
+    """SET_CAP bounds group state; below the cap the sets must be exact."""
+    from avc_parser_spark.aggregate import SET_CAP
+
+    groups = denial_groups(events)
+    ev_ok = signature_exprs(events.filter(F.col("route") == "parse_ok"))
+    exact = {
+        r["sig_id"]: sorted(p for p in r["perms"] if p is not None)
+        for r in ev_ok.groupBy("sig_id")
+        .agg(F.collect_set("permission").alias("perms"))
+        .collect()
+    }
+    for r in groups.select("sig_id", "permissions", "count").collect():
+        if r["count"] < SET_CAP:
+            assert sorted(r["permissions"]) == exact[r["sig_id"]]
+
+
+def test_monitoring_rollup(spark, events):
+    from avc_parser_spark.pipeline import monitoring_rollup
+
+    ev = signature_exprs(events)
+    rows = {r["route"]: r for r in monitoring_rollup(ev).collect()}
+    assert set(rows) == {"parse_ok", "malformed", "quarantine"}
+    ok = rows["parse_ok"]
+    exact_docs = ev.filter(F.col("route") == "parse_ok").select("url").distinct().count()
+    assert abs(ok["approx_docs"] - exact_docs) / exact_docs < 0.1
