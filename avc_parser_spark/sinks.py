@@ -72,14 +72,19 @@ def json_report(
             }
         )
 
+    # true totals from an aggregate (max_groups caps only the listing)
+    totals = groups.agg(
+        F.count(F.lit(1)).alias("g"),
+        F.coalesce(F.sum("count"), F.lit(0)).alias("e"),
+        F.coalesce(F.sum("permissive_count"), F.lit(0)).alias("p"),
+    ).head()
     report = {
         "unique_denials": unique_denials,
         "summary": {
-            "total_groups": len(unique_denials),
-            "total_events": int(sum(d["count"] for d in unique_denials)),
-            "permissive_events": int(
-                sum(d["permissive_count"] for d in unique_denials)
-            ),
+            "total_groups": int(totals["g"]),
+            "total_events": int(totals["e"]),
+            "permissive_events": int(totals["p"]),
+            "listed_groups": len(unique_denials),
         },
         "findings": [r.asDict() for r in findings.collect()] if findings is not None else [],
     }
