@@ -137,6 +137,57 @@ def brief_report(groups: DataFrame, max_groups: int = 50) -> list[dict]:
     return briefs
 
 
+def sealert_report(groups: DataFrame, max_groups: int = 50) -> list[dict]:
+    """K6 — sealert-style technical reconstruction per group
+    (report_formatter.py:15-328 shape): action summary sentence, raw-audit
+    message rebuilt from the representative, unique-pid stats."""
+    rows = (
+        groups.orderBy(F.desc("count"), F.asc("signature"))
+        .limit(max_groups)
+        .collect()
+    )
+    out = []
+    for n, r in enumerate(rows, 1):
+        rep = r["representative"].asDict() if r["representative"] else {}
+        perms = sorted(p for p in (r["permissions"] or []) if p)
+        perms_display = ", ".join(perms) if len(perms) > 1 else (
+            perms[0] if perms else "unknown"
+        )
+        summary = (
+            f"{rep.get('sc_type') or 'unknown'} attempted {perms_display} "
+            f"access to {rep.get('tc_type') or 'unknown'} "
+            f"{rep.get('tclass') or 'unknown'} and was denied."
+        )
+        avc_parts = [
+            f"type={rep.get('denial_type') or 'AVC'} "
+            f"msg=audit({rep.get('event_id') or '?'}): avc:  denied  "
+            f"{{ {' '.join(perms) or rep.get('permission') or '?'} }} for "
+        ]
+        for k, f in [
+            ("pid", "pid"), ("comm", "comm"), ("path", "path"),
+            ("dest", "dest_port"), ("scontext", "scontext_raw"),
+            ("tcontext", "tcontext_raw"), ("tclass", "tclass"),
+            ("permissive", "permissive"),
+        ]:
+            v = rep.get(f)
+            if v is not None:
+                avc_parts.append(f"{k}={v} ")
+        out.append(
+            {
+                "group": n,
+                "total_events": r["count"],
+                "unique_pids": len([p for p in (r["pids"] or []) if p]),
+                "last_seen": str(r["last_seen"]),
+                "summary": summary,
+                "raw_audit_message": "".join(avc_parts).rstrip(),
+                "sesearch_command": r["sesearch_command"]
+                if "sesearch_command" in r.__fields__
+                else None,
+            }
+        )
+    return out
+
+
 def stats_report(events: DataFrame) -> dict:
     """K3 — top-N summary per dimension (stats_formatter.py:135-160)."""
     dims = {

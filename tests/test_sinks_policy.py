@@ -145,3 +145,18 @@ def test_contextual_enrichment(spark, events):
     assert any(
         "process attempted '" in r["contextual_analysis"] for r in rows
     ) or any("labeled" in r["contextual_analysis"] for r in rows)
+
+
+def test_sealert_report(spark, events):
+    from avc_parser_spark.sinks import sealert_report
+
+    groups = denial_groups(events)
+    reps = sealert_report(groups, max_groups=5)
+    assert 0 < len(reps) <= 5
+    r = reps[0]
+    assert "attempted" in r["summary"] and "denied" in r["summary"]
+    assert r["raw_audit_message"].startswith("type=")
+    assert "avc:  denied  {" in r["raw_audit_message"]
+    assert "scontext=" in r["raw_audit_message"]
+    assert r["unique_pids"] >= 1
+    assert r["sesearch_command"].startswith("sesearch -A -s ")
