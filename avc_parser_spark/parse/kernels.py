@@ -523,6 +523,21 @@ def parse_pages_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
         ) | avc["line"].str.contains(SELINUX_ERR_RE, regex=True)
         avc["valid_denial"] = avc["permission"].notna() | avc["is_selinux_err"]
 
+        # SELINUX_ERR records return early in the reference with ONLY
+        # scontext/tcontext/tclass extracted (parse_avc.py:778-815) —
+        # no battery fields, no path cascade; shared-context fields
+        # (cwd/syscall/exe/proctitle/saddr) are retained via the copy.
+        selinux_err_mask = avc["rtype"].isin(["SELINUX_ERR", "USER_SELINUX_ERR"])
+        if selinux_err_mask.any():
+            for f in [
+                "permission", "pid", "comm", "exe", "proctitle", "avc_path",
+                "path_quoted", "path_unquoted", "name", "dev", "ino",
+                "dest_port", "permissive",
+            ]:
+                if f in avc.columns:
+                    avc[f] = avc[f].where(~selinux_err_mask, None)
+            avc["path_from_avc"] = avc["path_from_avc"] & ~selinux_err_mask
+
         avc["proctitle"] = _decode_proctitle_values(avc["proctitle"])
         avc["event_ts"] = _parse_timestamps(avc["tsid"])
 
@@ -555,6 +570,10 @@ def parse_pages_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
             avc["best_path"] = avc["_blk"].map(best)
         else:
             avc["best_path"] = None
+        # SELINUX_ERR rows never reach the path cascade (early return)
+        avc["best_path"] = avc["best_path"].where(~selinux_err_mask, None)
+        # SELINUX_ERR rows never reach the path cascade (early return)
+        avc["best_path"] = avc["best_path"].where(~selinux_err_mask, None)
 
         # path resolution cascade (parse_avc.py:1018-1065)
         # quote-strip only when the raw name both starts AND ends with a
@@ -601,6 +620,10 @@ def parse_pages_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
         cwd = avc["cwd"] if "cwd" in avc.columns else pd.Series(None, index=avc.index)
         path = _resolve_cwd_relative(path, cwd)
         path, was_norm, cross = _normalize_paths(path, avc["pid"], avc["tclass"])
+        # SELINUX_ERR early-return: no path cascade output at all (PATH
+        # record fields live only in _path_records, never top-level)
+        path = path.where(~selinux_err_mask, None)
+        path_type = path_type.where(~selinux_err_mask, None)
         avc["path"] = path
         avc["path_type"] = path_type
         avc["path_normalized"] = was_norm
@@ -641,6 +664,21 @@ def parse_pages_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
             avc[f"{side}_role"] = parts[1].where(valid_ctx)
             avc[f"{side}_type"] = parts[2].where(valid_ctx)
             avc[f"{side}_mls"] = parts[3].where(valid_ctx)
+
+        # reference crash-drop parity: when a record has permission+tclass
+        # but no comm, its semantic-analysis stage evaluates
+        # `source_context.type` on the raw STRING kept for unparseable
+        # contexts → AttributeError → the broad except returns {} and the
+        # record is silently dropped (avc_selinux/context.py:285 via
+        # parse_avc.py:1201-1204). Reproduced as a validity rule.
+        crash_drop = (
+            avc["permission"].notna()
+            & avc["tclass"].notna()
+            & avc["comm"].isna()
+            & avc["scontext"].notna()
+            & avc["sc_type"].isna()
+        )
+        avc["valid_denial"] = avc["valid_denial"] & ~crash_drop
 
         avc = avc.rename(
             columns={

@@ -77,8 +77,24 @@ def gen_block(rng: random.Random) -> str:
     if rng.random() < 0.15:
         lines.append("totally not an audit line at all")
 
+    # occasionally: node= prefix, interpreted timestamps, USER_AVC,
+    # SELINUX_ERR — the full record-shape domain
+    if rng.random() < 0.1:
+        lines.append(
+            f"type=USER_AVC msg={aud}: pid={rng.randint(100, 999)} uid=81 "
+            f"auid=4294967295 msg='avc:  denied  {{ {rng.choice(['send_msg', 'acquire_svc'])} }} for "
+            f"scontext={rng.choice(CONTEXTS)} tcontext={rng.choice(CONTEXTS)} tclass=dbus'"
+        )
+    if rng.random() < 0.08:
+        lines.append(
+            f"type=SELINUX_ERR msg={aud}: security_compute_sid: invalid context "
+            f"x:y:z:s99 for scontext={rng.choice(CONTEXTS)} "
+            f"tcontext={rng.choice(CONTEXTS)} tclass=process"
+        )
+    node = f"node=h{rng.randint(1, 9)} " if rng.random() < 0.15 else ""
+
     # the AVC line itself
-    parts = [f"type=AVC msg={aud}: avc:  denied  {{ {rng.choice(PERMS)} }} for "]
+    parts = [f"{node}type=AVC msg={aud}: avc:  denied  {{ {rng.choice(PERMS)} }} for "]
     fields = []
     if rng.random() < 0.95:
         fields.append(f"pid={rng.randint(1, 99999)}")
