@@ -40,9 +40,16 @@ TCLASSES = ["file", "dir", "tcp_socket", "process", "capability", "dbus"]
 
 
 def gen_block(rng: random.Random) -> str:
-    ts = f"{rng.randint(1_000_000_000, 1_900_000_000)}.{rng.randint(0, 999):03d}"
     serial = rng.randint(1, 10_000_000)
-    aud = f"audit({ts}:{serial})"
+    if rng.random() < 0.25:
+        # interpreted ausearch -i form, sometimes with the `) :` spacing
+        # seen in real exports (network_AVC.log)
+        mm, dd = rng.randint(1, 12), rng.randint(1, 28)
+        ts = f"{mm:02d}/{dd:02d}/2025 {rng.randint(0, 23):02d}:{rng.randint(0, 59):02d}:{rng.randint(0, 59):02d}.{rng.randint(0, 999):03d}"
+        aud = f"audit({ts}:{serial})"
+    else:
+        ts = f"{rng.randint(1_000_000_000, 1_900_000_000)}.{rng.randint(0, 999):03d}"
+        aud = f"audit({ts}:{serial})"
     lines = []
 
     if rng.random() < 0.4:
@@ -93,8 +100,9 @@ def gen_block(rng: random.Random) -> str:
         )
     node = f"node=h{rng.randint(1, 9)} " if rng.random() < 0.15 else ""
 
-    # the AVC line itself
-    parts = [f"{node}type=AVC msg={aud}: avc:  denied  {{ {rng.choice(PERMS)} }} for "]
+    # the AVC line itself (sometimes FANOTIFY, an AVC-shaped variant)
+    rtype = "FANOTIFY" if rng.random() < 0.06 else "AVC"
+    parts = [f"{node}type={rtype} msg={aud}: avc:  denied  {{ {rng.choice(PERMS)} }} for "]
     fields = []
     if rng.random() < 0.95:
         fields.append(f"pid={rng.randint(1, 99999)}")
@@ -118,7 +126,11 @@ def gen_block(rng: random.Random) -> str:
     lines.insert(rng.randint(0, len(lines)), "".join(parts))
 
     rng.shuffle(lines)  # field order robustness (records are unordered)
-    return "\n".join(lines)
+    block = "\n".join(lines)
+    if rng.random() < 0.2:
+        # `) :` spacing after the event id (real ausearch exports)
+        block = block.replace(f"msg={aud}:", f"msg={aud} :")
+    return block
 
 
 def test_differential_fuzz_1000_blocks():
