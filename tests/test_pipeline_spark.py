@@ -177,3 +177,62 @@ def test_monitoring_rollup(spark, events):
     ok = rows["parse_ok"]
     exact_docs = ev.filter(F.col("route") == "parse_ok").select("url").distinct().count()
     assert abs(ok["approx_docs"] - exact_docs) / exact_docs < 0.1
+
+
+def test_hot_signature_salting_splits_state(spark):
+    """The reference premise: one signature can be >50% of all events
+    (10k raw -> ~20 groups). Salting must spread that hot key across
+    NUM_SALTS partial states while keeping the final aggregate exact."""
+    from pyspark.sql import functions as F2
+
+    from avc_parser_spark.aggregate import NUM_SALTS, SIG_COLS, aggregate_signatures
+
+    # 20k events, 90% in ONE signature
+    base = spark.range(20000).select(
+        F2.concat(F2.lit("u"), F2.col("id")).alias("url"),
+        F2.lit("en").alias("lang"),
+        F2.timestamp_seconds(1700000000 + F2.col("id")).alias("event_ts"),
+        F2.concat(F2.lit("e"), F2.col("id")).alias("event_id"),
+        F2.when(F2.col("id") % 10 < 9, "hot").otherwise(
+            F2.concat(F2.lit("cold"), (F2.col("id") % 37).cast("string"))
+        ).alias("signature"),
+        F2.lit("read").alias("permission"),
+        (F2.col("id") % 1000).cast("string").alias("pid"),
+        F2.lit("httpd").alias("comm"),
+        F2.lit("/var/www/x").alias("path"),
+        F2.lit("file").alias("tclass"),
+        F2.lit("0").alias("permissive"),
+        F2.lit(None).cast("string").alias("dest_port"),
+        F2.lit(None).cast("string").alias("proctitle"),
+        F2.lit(None).cast("string").alias("exe"),
+        F2.lit(None).cast("string").alias("path_type"),
+        F2.lit(None).cast("string").alias("scontext_raw"),
+        F2.lit(None).cast("string").alias("tcontext_raw"),
+        F2.lit(None).cast("string").alias("sc_type"),
+        F2.lit(None).cast("string").alias("tc_type"),
+        F2.lit(None).cast("string").alias("denial_type"),
+        F2.lit(None).cast("string").alias("syscall"),
+        F2.lit(None).cast("string").alias("exit"),
+    )
+    ev = (
+        base.withColumn("sig_id", F2.xxhash64("signature"))
+        .withColumn("process_category", F2.lit("web"))
+        .withColumn("sig_target", F2.lit("t"))
+        .withColumn("object_group", F2.lit("filesystem"))
+        .withColumn("sig_extra", F2.lit("p"))
+        .withColumn("permission_category", F2.lit("file_access"))
+    )
+
+    groups = {r["signature"]: r for r in aggregate_signatures(ev).collect()}
+    assert groups["hot"]["count"] == 18000
+    assert sum(r["count"] for r in groups.values()) == 20000
+    # distinct salts actually used for the hot key (stage-1 state spread)
+    salts = (
+        ev.filter(F2.col("signature") == "hot")
+        .select(F2.pmod(F2.xxhash64("url"), F2.lit(NUM_SALTS)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert salts == NUM_SALTS
+    # capped sets stay bounded on the hot group
+    assert len(groups["hot"]["pids"]) <= 128
