@@ -572,6 +572,83 @@ def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_tpch_q4ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join: orders with at least one late lineitem, by priority."""
+    _views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority AS priority, count(*) AS order_count
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
+def q_tpch_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers with no orders."""
+    _views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS custkey, c.c_name AS name
+        FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= timestamp '1997-06-01 00:00:00')
+        """
+    )
+
+
+def q_tpch_q12ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-aggregates: priority counts per linestatus (q12 shape)."""
+    _views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(
+        """
+        SELECT l.l_linestatus AS linestatus,
+               sum(case when o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        then 1 else 0 end) AS high_line_count,
+               sum(case when o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        then 1 else 0 end) AS low_line_count
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY l.l_linestatus
+        """
+    )
+
+
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-frame window: per-user 5-row moving average of value."""
+    _views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               round(avg(value) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+        FROM events
+        """
+    )
+
+
+def q_events_rank_in_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank + running sum per event_type."""
+    _views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT event_id, event_type,
+               dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk,
+               round(sum(value) OVER (
+                 PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING), 2) AS running_value
+        FROM events
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -624,6 +701,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_groups_by_count": q_sort_groups,
         "grouping_optimality": q_grouping_optimality,
         "dedup_jaccard_adjacent": q_jaccard_adjacent,
+        "tpch_q4ish_semijoin": q_tpch_q4ish,
+        "tpch_antijoin": q_tpch_antijoin,
+        "tpch_q12ish_caseagg": q_tpch_q12ish,
+        "events_moving_avg": q_events_moving_avg,
+        "events_rank_in_type": q_events_rank_in_type,
     }
 
 
@@ -1016,6 +1098,46 @@ def oracle_sql() -> dict[str, str]:
                          / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
             FROM sh x JOIN sh y ON y.doc_id = x.doc_id + 1
             WHERE x.doc_id % 2 = 0
+        """,
+        "tpch_q4ish_semijoin": """
+            SELECT o.o_orderpriority AS priority, count(*) AS order_count
+            FROM orders o
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o.o_orderpriority
+        """,
+        "tpch_antijoin": """
+            SELECT c.c_custkey AS custkey, c.c_name AS name
+            FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= timestamp '1997-06-01 00:00:00')
+        """,
+        "tpch_q12ish_caseagg": """
+            SELECT l.l_linestatus AS linestatus,
+                   sum(case when o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            then 1 else 0 end) AS high_line_count,
+                   sum(case when o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            then 1 else 0 end) AS low_line_count
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY l.l_linestatus
+        """,
+        "events_moving_avg": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+            FROM events
+        """,
+        "events_rank_in_type": """
+            SELECT event_id, event_type,
+                   dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk,
+                   round(sum(value) OVER (
+                     PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING), 2) AS running_value
+            FROM events
         """,
         # rows-only (non-ANSI-expressible): dedup_minhash_lsh, dedup_simhash,
         # ann_lsh_topk, dedup_embedding_cosine
