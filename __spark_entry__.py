@@ -649,6 +649,19 @@ def q_events_rank_in_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: trained centroids + cluster-pruned probe (rows-only)."""
+    from avc_parser_spark.functions.similarity import ivf_topk, train_centroids
+
+    _views(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings")
+    cents = train_centroids(emb, k=4, iters=1)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivf_topk(emb, list(qvec), cents, k=10, n_probe=2)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -706,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12ish_caseagg": q_tpch_q12ish,
         "events_moving_avg": q_events_moving_avg,
         "events_rank_in_type": q_events_rank_in_type,
+        "ann_ivf_topk": q_ann_ivf,
     }
 
 

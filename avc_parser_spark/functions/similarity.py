@@ -82,6 +82,94 @@ def make_planes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]
     return rng.randn(n_planes, dim).tolist()
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cluster assignment: argmax dot-product against a small centroid
+    set — native expressions only (one greatest() over N dot products).
+
+    At 10^12 scale the assigned table is written bucketed by `cluster`, so
+    a probe scans only its clusters (partition pruning), the IVF classic."""
+    dots = [
+        dot_expr(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+        for c in centroids
+    ]
+    best = F.lit(0)
+    best_score = dots[0]
+    for i in range(1, len(dots)):
+        cond = dots[i] > best_score
+        best = F.when(cond, F.lit(i)).otherwise(best)
+        best_score = F.when(cond, dots[i]).otherwise(best_score)
+    return embeddings.withColumn("cluster", best)
+
+
+def train_centroids(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Mini k-means: deterministic seeded init from a sample, then `iters`
+    Lloyd steps computed distributively (groupBy cluster → avg per dim via
+    posexplode — one shuffle per iteration on (cluster, dim))."""
+    import numpy as np
+
+    sample = np.array(
+        [list(r[vec_col]) for r in embeddings.select(vec_col).limit(512).collect()],
+        dtype="float64",
+    )
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+
+    for _ in range(iters):
+        assigned = ivf_assign(embeddings, centroids.tolist(), vec_col)
+        means = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = centroids.copy()
+        for r in means:
+            new[r["cluster"]][r["dim"]] = r["m"]
+        centroids = new
+    return centroids.tolist()
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: probe the n_probe nearest clusters, exact cosine
+    within them. Recall grows with n_probe; n_probe=len(centroids) is
+    exact."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype="float64")
+    order = np.argsort([-float(np.dot(q, c)) for c in centroids])
+    probe = [int(i) for i in order[:n_probe]]
+
+    assigned = ivf_assign(embeddings, centroids, vec_col)
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("cluster").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine_expr(F.col(vec_col), qcol), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],

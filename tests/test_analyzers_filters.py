@@ -125,3 +125,36 @@ def test_checkpoint_resume(spark, tmp_path):
         assert entry["input_rows"] > 0
         assert entry["output_rows"] >= entry["routed_rows"].get("parse_ok", 0)
         assert "input_fingerprint" in entry and "wall_sec" in entry
+
+
+def test_checkpoint_partial_write_recovery(spark, tmp_path):
+    """A crash between the event write and the manifest commit must cause
+    that partition to be reprocessed on the next run (manifest rename is
+    the commit point)."""
+    import os
+
+    from avc_parser_spark.checkpoint import (
+        MANIFEST_DIR,
+        read_events,
+        run_with_checkpoints,
+    )
+    from avc_parser_spark.datagen.pages import write_pages_warehouse
+
+    pages_path = str(tmp_path / "pages")
+    out_path = str(tmp_path / "out")
+    write_pages_warehouse(spark, pages_path, 300)
+
+    r1 = run_with_checkpoints(spark, pages_path, out_path)
+    part = r1["processed"][0]
+    total = read_events(spark, out_path).count()
+
+    # simulate the crash: output exists but the manifest entry is gone
+    os.remove(os.path.join(out_path, MANIFEST_DIR, f"{part}.json"))
+    r2 = run_with_checkpoints(spark, pages_path, out_path)
+    assert part in r2["processed"]  # reprocessed, not skipped
+    assert read_events(spark, out_path).count() == total  # idempotent
+
+    # and a changed input fingerprint also forces reprocessing
+    write_pages_warehouse(spark, pages_path, 330, overwrite=True)
+    r3 = run_with_checkpoints(spark, pages_path, out_path)
+    assert part in r3["processed"]

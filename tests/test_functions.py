@@ -114,3 +114,32 @@ def test_media_feature_plumbing(spark):
     # determinism
     again = {r["doc_id"]: r["sha1"] for r in extract_media_features(media).collect()}
     assert again == {r["doc_id"]: r["sha1"] for r in out}
+
+
+def test_ivf_topk_recall(spark):
+    import numpy as np
+
+    from avc_parser_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_centroids,
+    )
+
+    rng = np.random.RandomState(11)
+    # clustered data: 4 gaussian blobs in 8d
+    centers = rng.randn(4, 8) * 4
+    vecs = np.vstack([centers[i % 4] + rng.randn(8) * 0.3 for i in range(200)])
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+    cents = train_centroids(emb, k=4, iters=2)
+    assert len(cents) == 4 and len(cents[0]) == 8
+
+    q = [float(x) for x in vecs[7]]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
+    ann = [r["vec_id"] for r in ivf_topk(emb, q, cents, k=10, n_probe=1).collect()]
+    # probing 1 of 4 well-separated clusters must recover most of top-10
+    assert len(set(exact) & set(ann)) >= 8
+    # full probe == exact
+    full = [r["vec_id"] for r in ivf_topk(emb, q, cents, k=10, n_probe=4).collect()]
+    assert full == exact
