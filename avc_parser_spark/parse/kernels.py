@@ -266,7 +266,8 @@ def _parse_timestamps(tsid: pd.Series) -> pd.Series:
     t1 = pd.to_datetime(ts_str, format="%m/%d/%Y %H:%M:%S.%f", errors="coerce")
     t2 = pd.to_datetime(ts_str, format="%d/%m/%y %H:%M:%S.%f", errors="coerce")
     epoch = pd.to_numeric(ts_str, errors="coerce")
-    t3 = pd.to_datetime(epoch, unit="s", errors="coerce")
+    with np.errstate(over="ignore", invalid="ignore"):
+        t3 = pd.to_datetime(epoch, unit="s", errors="coerce")
     out = t1.fillna(t2).fillna(t3)
     # audit timestamps are ms-precision; round to remove float jitter from
     # the epoch path (e.g. .303 → .302999...), keeping goldens stable.
@@ -491,6 +492,21 @@ def parse_pages_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
         shared["path_dev"] = last_per_block(path_rows, "p_dev")
         shared["path_inode"] = last_per_block(path_rows, "p_inode")
 
+    # Reference quirk (verified by differential fuzzing): `event_id` and
+    # `host` on a denial come from the SHARED context, where every
+    # raw-epoch-form line overwrites them in line order — so the LAST
+    # raw-form line in the block wins for all denials, while the TIMESTAMP
+    # is re-parsed per AVC line (parse_avc.py:612-622 vs 900-927). In real
+    # ausearch blocks all lines share one event id, so this is invisible —
+    # but byte-exactness reproduces it.
+    raw_form = lines["is_audit"] & lines["tsid"].str.match(
+        r"^\d+\.\d+:\d+$", na=False
+    )
+    raw_lines = lines[raw_form]
+    blk_event_id = raw_lines.groupby("_blk")["tsid"].last()
+    host_lines = raw_lines[raw_lines["host"].notna()]
+    blk_host = host_lines.groupby("_blk")["host"].last()
+
     # ---- 4. denial records (AVC family) ------------------------------------
     avc = arecs[arecs["rtype"].isin(AVC_DENIAL_TYPES)].copy()
 
@@ -680,10 +696,11 @@ def parse_pages_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
         )
         avc["valid_denial"] = avc["valid_denial"] & ~crash_drop
 
-        avc = avc.rename(
+        avc["event_id"] = avc["_blk"].map(blk_event_id)
+        avc["host"] = avc["_blk"].map(blk_host)
+        avc = avc.drop(columns=["tsid"]).rename(
             columns={
                 "rtype": "denial_type",
-                "tsid": "event_id",
                 "scontext": "scontext_raw",
                 "tcontext": "tcontext_raw",
             }

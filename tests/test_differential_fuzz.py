@@ -125,6 +125,17 @@ def gen_block(rng: random.Random) -> str:
     parts.append(" ".join(fields))
     lines.insert(rng.randint(0, len(lines)), "".join(parts))
 
+    # occasionally a SECOND AVC line in the same block (distinct serial) —
+    # both share the block's non-AVC context (reference merges per block)
+    if rng.random() < 0.2:
+        lines.insert(
+            rng.randint(0, len(lines)),
+            f"type=AVC msg=audit({ts}:{serial + 1}): avc:  denied  "
+            f"{{ {rng.choice(PERMS)} }} for pid={rng.randint(1, 9999)} "
+            f"comm={rng.choice(COMMS)} scontext={rng.choice(CONTEXTS)} "
+            f"tcontext={rng.choice(CONTEXTS)} tclass={rng.choice(TCLASSES)}",
+        )
+
     rng.shuffle(lines)  # field order robustness (records are unordered)
     block = "\n".join(lines)
     if rng.random() < 0.2:
