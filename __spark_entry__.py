@@ -662,6 +662,15 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, list(qvec), cents, k=10, n_probe=2)
 
 
+
+
+def q_extracted_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The byte-exact invariant surface itself: canonical extracted_text per
+    url, reconstructed independently by the oracle."""
+    ev = _parsed(spark, sf_dir).filter(F.col("route") == "parse_ok")
+    return ev.select("url", "extracted_text")
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -720,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg": q_events_moving_avg,
         "events_rank_in_type": q_events_rank_in_type,
         "ann_ivf_topk": q_ann_ivf,
+        "pipeline_extracted_text": q_extracted_text,
     }
 
 
@@ -1152,6 +1162,24 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY event_type ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING), 2) AS running_value
             FROM events
+        """,
+        "pipeline_extracted_text": f"""
+            SELECT 'doc' || cast(doc_id as string) AS url,
+                   'denial_type=AVC|event_id=' || cast({EPOCH0} + doc_id as string)
+                   || '.000:' || cast(doc_id as string)
+                   || '|permission=' || {f['permission']}
+                   || '|pid=' || {f['pid']}
+                   || '|comm=' || {f['comm']}
+                   || (case when doc_id % 5 = 3 then ''
+                        else '|path=' || {f['path']} || '|path_type=file_path' end)
+                   || '|scontext_raw=' || {f['scontext_raw']}
+                   || '|tcontext_raw=' || {f['tcontext_raw']}
+                   || '|tclass=' || {f['tclass']}
+                   || (case when doc_id % 5 = 3 then '|dest_port=' || {f['dest_port']} else '' end)
+                   || '|permissive=' || {f['permissive']}
+                   || '|proctitle=' || {f['comm']}
+                   AS extracted_text
+            FROM documents
         """,
         # rows-only (non-ANSI-expressible): dedup_minhash_lsh, dedup_simhash,
         # ann_lsh_topk, dedup_embedding_cosine
