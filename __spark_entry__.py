@@ -782,7 +782,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt,
                    min({f['epoch']}) AS first_epoch,
                    max({f['epoch']}) AS last_epoch,
-                   sum(case when doc_id % 7 = 0 then 1 else 0 end) AS permissive_cnt
+                   cast(sum(case when doc_id % 7 = 0 then 1 else 0 end) as bigint) AS permissive_cnt
             FROM documents GROUP BY 1, 2, 3, 4
         """,
         "pipeline_signature_smart": f"""
@@ -803,7 +803,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt,
                    min(epoch) AS first_epoch,
                    max(epoch) AS last_epoch,
-                   sum(permissive) AS permissive_cnt,
+                   cast(sum(permissive) as bigint) AS permissive_cnt,
                    array_to_string(list_sort(list(DISTINCT permission)), ',') AS perms
             FROM base GROUP BY 1, 2, 3, 4, 5
         """,
@@ -850,7 +850,8 @@ def oracle_sql() -> dict[str, str]:
                           > 1800000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                           THEN 1 ELSE 0 END AS new_session
               FROM events)
-            SELECT user_id, sum(new_session) AS sessions, count(*) AS events
+            SELECT user_id, cast(sum(new_session) as bigint) AS sessions,
+                   count(*) AS events
             FROM gaps GROUP BY user_id
         """,
         "tpch_q1": """
@@ -908,8 +909,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats_per_lang": """
             SELECT lang, count(*) AS docs,
-                   sum(case when trim(text) = '' then 0
-                            else len(regexp_split_to_array(trim(text), '\\s+')) end) AS total_tokens,
+                   cast(sum(case when trim(text) = '' then 0
+                            else len(regexp_split_to_array(trim(text), '\\s+')) end) as bigint) AS total_tokens,
                    round(avg(case when trim(text) = '' then 0
                              else len(regexp_split_to_array(trim(text), '\\s+')) end), 4) AS avg_tokens
             FROM documents GROUP BY lang
@@ -1141,10 +1142,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q12ish_caseagg": """
             SELECT l.l_linestatus AS linestatus,
-                   sum(case when o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            then 1 else 0 end) AS high_line_count,
-                   sum(case when o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                            then 1 else 0 end) AS low_line_count
+                   cast(sum(case when o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            then 1 else 0 end) as bigint) AS high_line_count,
+                   cast(sum(case when o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            then 1 else 0 end) as bigint) AS low_line_count
             FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
             GROUP BY l.l_linestatus
         """,

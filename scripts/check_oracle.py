@@ -60,6 +60,20 @@ def frame_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, list[str
     return len(rows), sorted_cols, h
 
 
+def column_types(cols: list[str], rows: list[tuple]) -> dict[str, set[str]]:
+    """Per-column set of non-None python type names, sorted by column name.
+
+    The driver's value hash distinguishes physical types the old float
+    coercion hid (DuckDB HUGEINT/decimal vs Spark BIGINT) — so any
+    Decimal-vs-int / Decimal-vs-float split is a real driver failure."""
+    out: dict[str, set[str]] = {c: set() for c in cols}
+    for r in rows:
+        for c, v in zip(cols, r):
+            if v is not None:
+                out[c].add(type(v).__name__)
+    return {c: out[c] for c in sorted(cols)}
+
+
 def main() -> int:
     only = set(sys.argv[1:])
     queries = entrymod.queries()
@@ -107,6 +121,21 @@ def main() -> int:
             failures += 1
             continue
         oracle_fp = frame_fingerprint(ocols, orows)
+
+        stypes, otypes = column_types(scols, srows), column_types(ocols, orows)
+        if sorted(scols) == sorted(ocols) and stypes != otypes:
+            failures += 1
+            diff = {
+                c: (stypes[c], otypes[c])
+                for c in stypes
+                if stypes[c] != otypes[c] and stypes[c] and otypes[c]
+            }
+            if diff:
+                print(f"FAIL  {name:34s} column-type mismatch (driver hash would diverge)")
+                for c, (s, o) in diff.items():
+                    print(f"      {c}: spark={sorted(s)} oracle={sorted(o)}")
+                continue
+            failures -= 1  # only-None columns on one side: fall through to hash
 
         if spark_fp == oracle_fp:
             print(f"OK    {name:34s} rows={spark_fp[0]:>7} hash={spark_fp[2]} ({time.time()-t0:.1f}s)")
