@@ -218,12 +218,23 @@ def consolidate_resource_groups(subgroups: DataFrame) -> DataFrame:
 
 
 def stats_counters(events: DataFrame, dims: list[str] | None = None) -> DataFrame:
-    """A6 — per-dimension event counters in ONE pass using grouping sets
-    (stats_formatter.py:31-96 does one Counter per dimension; a single
-    GROUPING SETS scan replaces five passes)."""
+    """A6 — per-dimension event counters in ONE pass using true GROUPING SETS
+    (stats_formatter.py:31-96 does one Counter per dimension; n grouping sets
+    replace five passes — NOT cube(), which computes 2^n sets to keep n).
+
+    Reference null semantics: missing comm counts as 'unknown'
+    (stats_formatter.py:48); missing sc_type/tc_type/tclass/permission are
+    skipped (stats_formatter.py:51-81) — hence the exactly-one-non-null
+    filter, which drops genuine-NULL rollup rows of the non-comm dims."""
     dims = dims or ["comm", "sc_type", "tc_type", "tclass", "permission"]
-    grouped = events.cube(*dims).agg(F.count(F.lit(1)).alias("cnt"))
-    # keep only single-dimension rollups (exactly one non-null dim)
+    ev = events
+    if "comm" in dims:
+        ev = ev.withColumn("comm", F.coalesce(F.col("comm"), F.lit("unknown")))
+    grouped = ev.groupingSets([[d] for d in dims], *dims).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # each output row belongs to exactly one single-dim set; a NULL active
+    # dim means a genuine NULL value → skipped (matches the reference)
     non_null = sum(F.when(F.col(d).isNotNull(), 1).otherwise(0) for d in dims)
     return grouped.filter(non_null == 1)
 

@@ -47,7 +47,13 @@ def _partition_values(spark: SparkSession, pages_path: str) -> list[str]:
 def _input_fingerprint(pages_path: str, part: str) -> str:
     pdir = os.path.join(pages_path, f"warc_date={part}")
     entries = sorted(
-        (f, os.path.getsize(os.path.join(pdir, f)))
+        (
+            f,
+            os.path.getsize(os.path.join(pdir, f)),
+            # mtime (ns) so an in-place rewrite with identical name+size is
+            # still detected as changed input and reprocessed on resume
+            os.stat(os.path.join(pdir, f)).st_mtime_ns,
+        )
         for f in os.listdir(pdir)
         if f.endswith(".parquet")
     )

@@ -19,9 +19,9 @@ def _glob_to_rlike(pattern: str) -> str:
     """fnmatch glob → anchored Java-compatible regex (same translation
     fnmatch.translate performs, minus inline flags)."""
     rx = fnmatch.translate(pattern)
-    # fnmatch.translate emits '(?s:...)\Z'; Spark rlike is fine with it but
-    # normalize \Z → $ for clarity.
-    return rx.replace(r"\Z", "$")
+    # fnmatch.translate emits '(?s:...)\Z'. Spark rlike uses find() semantics
+    # (unanchored), while fnmatch fullmatches — anchor both ends.
+    return "^" + rx.replace(r"\Z", "$")
 
 
 def filter_process(groups: DataFrame, spec: str) -> DataFrame:

@@ -216,9 +216,11 @@ def _decode_proctitle_values(raw: pd.Series, strict: bool = False) -> pd.Series:
     256-hex-char / 128-char truncation marker. Vectorized over the
     deduplicated value set.
 
-    strict=True mirrors the PROCTITLE-record path (parse_avc.py:668:
-    bare .decode() → invalid utf-8 keeps the raw hex string); strict=False
-    mirrors the AVC-embedded path (parse_avc.py:993: errors="ignore").
+    strict=True mirrors the PROCTITLE-record path (parse_avc.py:666-688:
+    bare .decode(), unstripped result, 128-char marker on non-hex values);
+    strict=False mirrors the AVC-embedded path (parse_avc.py:989-1012:
+    errors="ignore", result .strip()ped, non-hex values pass through AS-IS
+    with no truncation marker).
     """
 
     def decode_one(v):
@@ -237,7 +239,7 @@ def _decode_proctitle_values(raw: pd.Series, strict: bool = False) -> pd.Series:
                 else:
                     decoded = bytes.fromhex(val).decode("utf-8", errors="ignore")
             except ValueError:
-                if len(val) == 128:
+                if strict and len(val) == 128:
                     return val + " [TRUNCATED BY AUDIT]"
                 return val
             with_spaces = decoded.replace("\x00", " ")
@@ -245,8 +247,8 @@ def _decode_proctitle_values(raw: pd.Series, strict: bool = False) -> pd.Series:
                 "\x00"
             ):
                 with_spaces += " [TRUNCATED BY AUDIT]"
-            return with_spaces
-        if len(val) == 128:
+            return with_spaces if strict else with_spaces.strip()
+        if strict and len(val) == 128:
             return val + " [TRUNCATED BY AUDIT]"
         return val
 
@@ -586,8 +588,6 @@ def parse_pages_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
             avc["best_path"] = avc["_blk"].map(best)
         else:
             avc["best_path"] = None
-        # SELINUX_ERR rows never reach the path cascade (early return)
-        avc["best_path"] = avc["best_path"].where(~selinux_err_mask, None)
         # SELINUX_ERR rows never reach the path cascade (early return)
         avc["best_path"] = avc["best_path"].where(~selinux_err_mask, None)
 

@@ -70,6 +70,13 @@ def test_filter_path_glob(spark, groups):
         assert any(p.startswith("/var/www/") for p in r["paths"])
 
 
+def test_filter_path_glob_anchored(spark, groups):
+    # fnmatch fullmatches: a non-prefix glob must not match mid-string even
+    # though Spark rlike has find() semantics ('var/*' vs '/var/www/x')
+    assert filter_path(groups, "var/*").count() == 0
+    assert filter_path(groups, "*www*").count() > 0
+
+
 def test_time_spec_parsing():
     now = datetime(2025, 9, 4, 12, 0, 0)
     assert parse_time_spec("now", now) == now

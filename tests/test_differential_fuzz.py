@@ -59,9 +59,12 @@ def gen_block(rng: random.Random) -> str:
         # quarantine (FIXTURES.md §3) — a documented routing divergence
         # covered by dedicated kernel tests, not by this parity fuzzer.
         argv = rng.choice(
-            ["/usr/sbin/httpd\x00-D", "/bin/x", "e9" * rng.choice([8, 128])]
+            ["/usr/sbin/httpd\x00-D", "/bin/x", "e9" * rng.choice([8, 128]),
+             "/usr/sbin/httpd\x00"]  # trailing NUL: strict path keeps ' ' suffix
         )
         pt = argv.encode(errors="replace").hex().upper() if "\x00" in argv or rng.random() < 0.7 else argv
+        if rng.random() < 0.1:
+            pt = "Z" * 128  # non-hex 128 chars: PROCTITLE path appends marker
         lines.append(f"type=PROCTITLE msg={aud}: proctitle={pt}")
     if rng.random() < 0.5:
         exitv = rng.choice(["-13", "0", "EACCES", "-2", "-99999"])
@@ -116,6 +119,16 @@ def gen_block(rng: random.Random) -> str:
         fields.append(f"dev=fd:0{rng.randint(0, 3)} ino={rng.randint(1, 9999)}")
     if rng.random() < 0.3:
         fields.append(f"dest={rng.choice(['80', '5432', ':1.42'])}")
+    if rng.random() < 0.3:
+        # AVC-embedded proctitle (non-strict decode path, parse_avc.py:989-1012):
+        # result is stripped; non-hex values pass AS-IS with no 128-char marker
+        fields.append("proctitle=" + rng.choice([
+            "666F6F00",            # → 'foo\x00' → 'foo ' → stripped 'foo'
+            "2F7573722F62696E2F78",  # → '/usr/bin/x'
+            "z" * 128,             # non-hex 128 chars: kept as-is, no marker
+            "41" * 127 + "00",     # 256 hex, trailing NUL → no marker, stripped
+            "41" * 128,            # 256 hex, no trailing NUL → marker appended
+        ]))
     fields.append(f"scontext={rng.choice(CONTEXTS)}")
     fields.append(f"tcontext={rng.choice(CONTEXTS)}")
     fields.append(f"tclass={rng.choice(TCLASSES)}")

@@ -98,6 +98,35 @@ def test_salted_agg_plan_has_two_aggregates(spark):
     assert "_salt" in plan
 
 
+def test_stats_counters_grouping_sets(spark):
+    """A6 must expand to exactly n single-dim grouping sets (not cube's 2^n),
+    sentinel missing comm as 'unknown', and drop genuine-NULL values of the
+    other dims (reference stats_formatter.py:48,51-81 semantics)."""
+    from avc_parser_spark.aggregate import stats_counters
+
+    df = spark.createDataFrame(
+        [("a", None, "file", "read"), (None, "t1", None, "write")],
+        "comm string, sc_type string, tclass string, permission string",
+    )
+    out = stats_counters(df, ["comm", "sc_type", "tclass", "permission"])
+    rows = {
+        (r["comm"], r["sc_type"], r["tclass"], r["permission"]): r["cnt"]
+        for r in out.collect()
+    }
+    assert rows[("unknown", None, None, None)] == 1  # missing comm sentinel
+    assert rows[("a", None, None, None)] == 1
+    assert rows[(None, "t1", None, None)] == 1
+    assert rows[(None, None, "file", None)] == 1
+    assert len(rows) == 6  # 2 comms + 1 sc_type + 1 tclass + 2 permissions
+
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # Expand lists one projection per grouping set — 4 here, not cube's 2^4.
+    # Format: Expand [[p1], [p2], [p3], [p4]], [outputCols] → '], [' appears
+    # (n-1) between projections + 1 before the output list.
+    expand_line = next(ln for ln in plan.split("\n") if "Expand" in ln)
+    assert expand_line.count("], [") == 4
+
+
 def test_tpch_q3ish_uses_broadcast_for_customer(spark):
     """Small dimension sides must broadcast under AQE at test scale."""
     import __spark_entry__ as em
