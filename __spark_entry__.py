@@ -87,11 +87,15 @@ def _parsed(spark: SparkSession, sf_dir: str, malformed: bool = False) -> DataFr
 
 
 def q_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1+P2: header + AVC-body grok battery field extraction."""
+    """P1+P2 battery + multi-record shared context: P3/P4 (context merge),
+    P8 (PROCTITLE hex), P9 (EXECVE argv), P12 (best-PATH), P13 (exe
+    priority), P14 (CWD resolution), P10 (exit errno translation)."""
     ev = _parsed(spark, sf_dir).filter(F.col("route") == "parse_ok")
     return ev.select(
-        "url", "permission", "pid", "comm", "path", "tclass",
+        "url", "permission", "pid", "comm", "path", "path_type", "tclass",
         "sc_type", "tc_type", "dest_port", "permissive", "scontext_raw",
+        "exe", "proctitle", "cwd", "syscall", "exit", "success",
+        "execve_cmdline", "saddr",
         F.col("event_ts").cast("long").alias("epoch"),
     )
 
@@ -760,12 +764,22 @@ def oracle_sql() -> dict[str, str]:
                    {f['pid']} AS pid,
                    {f['comm']} AS comm,
                    {f['path']} AS path,
+                   (case when doc_id % 5 = 3 then cast(null as string)
+                         else 'file_path' end) AS path_type,
                    {f['tclass']} AS tclass,
                    {f['sc_type']} AS sc_type,
                    {f['tc_type']} AS tc_type,
                    {f['dest_port']} AS dest_port,
                    {f['permissive']} AS permissive,
                    {f['scontext_raw']} AS scontext_raw,
+                   {f['exe']} AS exe,
+                   {f['proctitle']} AS proctitle,
+                   {f['cwd']} AS cwd,
+                   {f['syscall']} AS syscall,
+                   {f['exit']} AS exit,
+                   {f['success']} AS success,
+                   {f['execve_cmdline']} AS execve_cmdline,
+                   {f['saddr']} AS saddr,
                    {f['epoch']} AS epoch
             FROM documents
         """,
@@ -1171,6 +1185,7 @@ def oracle_sql() -> dict[str, str]:
                    || '|permission=' || {f['permission']}
                    || '|pid=' || {f['pid']}
                    || '|comm=' || {f['comm']}
+                   || '|exe=' || {f['exe']}
                    || (case when doc_id % 5 = 3 then ''
                         else '|path=' || {f['path']} || '|path_type=file_path' end)
                    || '|scontext_raw=' || {f['scontext_raw']}
@@ -1178,7 +1193,13 @@ def oracle_sql() -> dict[str, str]:
                    || '|tclass=' || {f['tclass']}
                    || (case when doc_id % 5 = 3 then '|dest_port=' || {f['dest_port']} else '' end)
                    || '|permissive=' || {f['permissive']}
-                   || '|proctitle=' || {f['comm']}
+                   || '|syscall=' || {f['syscall']}
+                   || '|exit=' || {f['exit']}
+                   || '|success=' || {f['success']}
+                   || '|cwd=' || {f['cwd']}
+                   || '|proctitle=' || {f['proctitle']}
+                   || '|execve_cmdline=' || {f['execve_cmdline']}
+                   || (case when doc_id % 5 = 3 then '|saddr=' || {f['saddr']} else '' end)
                    AS extracted_text
             FROM documents
         """,

@@ -40,28 +40,131 @@ PATH_DIR_CASE = (
     "when 2 then '/home/alice' when 3 then '/tmp' when 4 then '/opt/app' "
     "else '/var/log/app' end)"
 )
-# full path: <dir>/f<doc_id%10>.dat ; tcp_socket rows have no path
-PATH_CASE = (
-    f"(case when doc_id % 5 = 3 then cast(null as string) else "
-    f"{PATH_DIR_CASE} || '/f' || cast(doc_id % 10 as string) || '.dat' end)"
-)
 PERMISSIVE_CASE = "(case when doc_id % 7 = 0 then '1' else '0' end)"
 
 SCONTEXT = f"'system_u:system_r:' || {SC_TYPE_CASE} || ':s0'"
 TCONTEXT = f"'system_u:object_r:' || {TC_TYPE_CASE} || ':s0'"
 
-# One well-formed AVC line per document row.
-SYNTH_LINE = (
+# --- comm-keyed shared-context domains (multi-record block) ----------------
+_PT_CMDS = [
+    ("/usr/sbin/httpd", "-DFOREGROUND"),
+    ("/usr/sbin/mysqld", "--basedir=/usr"),
+    ("/usr/sbin/sshd", "-D"),
+    ("/usr/bin/python3", "app.py"),
+]
+
+
+def _case4(vals: list[str]) -> str:
+    return (
+        f"(case doc_id % 4 when 0 then '{vals[0]}' when 1 then '{vals[1]}' "
+        f"when 2 then '{vals[2]}' else '{vals[3]}' end)"
+    )
+
+
+EXE_CASE = _case4([e for e, _ in _PT_CMDS])
+# decoded PROCTITLE (NUL→space) == reassembled EXECVE argv by construction
+CMDLINE_CASE = _case4([f"{e} {fl}" for e, fl in _PT_CMDS])
+PROCTITLE_HEX_CASE = _case4(
+    [(e + "\x00" + fl).encode().hex().upper() for e, fl in _PT_CMDS]
+)
+# cwd domain chosen to hit distinct path-pattern branches on CWD-resolved
+# paths: /var/www(/.*)? | /var/lib(/.*)? | /etc(/.*)? | dirname fallback
+CWD_CASE = _case4(["/var/www", "/var/lib/mysql", "/etc/ssh", "/srv/app"])
+SYSCALL_CASE = (
+    "(case when doc_id % 5 = 3 then 'connect' "
+    "when doc_id % 5 = 4 then 'kill' else 'openat' end)"
+)
+EXIT_RAW_CASE = "(case doc_id % 3 when 0 then '-13' when 1 then '-1' else '0' end)"
+EXIT_NAME_CASE = (
+    "(case doc_id % 3 when 0 then 'EACCES' when 1 then 'EPERM' else 'SUCCESS' end)"
+)
+SUCCESS_CASE = "(case when doc_id % 3 = 2 then 'yes' else 'no' end)"
+SADDR_CASE = (
+    "(case doc_id % 3 when 0 then '02000050C0A80001' "
+    "when 1 then '02001538C0A80002' else '0200270FC0A80003' end)"
+)
+
+# Path-cascade sub-branches (file-class rows only): the AVC line DROPS its
+# embedded path= and the value must come from PATH-record best-path selection
+# (P12) — for CASCADE_CWD the selected name is relative and must be joined
+# against the CWD record (P14). CASCADE_BEST resolves to the same absolute
+# path an embedded path= would have carried, so only the *mechanism* differs.
+CASCADE_CWD = "(doc_id % 5 in (0, 1, 2) and doc_id % 9 = 5)"
+CASCADE_BEST = "(doc_id % 5 in (0, 1, 2) and doc_id % 9 = 7)"
+
+_FNAME = "'f' || cast(doc_id % 10 as string) || '.dat'"
+_DIR_PATH = f"{PATH_DIR_CASE} || '/' || {_FNAME}"
+
+# expected resolved path: tcp rows none; CWD-cascade rows cwd-joined;
+# everything else the directory path (embedded or via best-path)
+PATH_CASE = (
+    f"(case when doc_id % 5 = 3 then cast(null as string) "
+    f"when {CASCADE_CWD} then {CWD_CASE} || '/' || {_FNAME} "
+    f"else {_DIR_PATH} end)"
+)
+
+
+def _aud_line(rtype: str) -> str:
+    return (
+        f"'type={rtype} msg=audit(' || cast({EPOCH0} + doc_id as string) "
+        f"|| '.000:' || cast(doc_id as string) || '): '"
+    )
+
+
+_PT_LINE = f"{_aud_line('PROCTITLE')} || 'proctitle=' || {PROCTITLE_HEX_CASE}"
+_SYS_LINE = (
+    f"{_aud_line('SYSCALL')} || 'arch=c000003e syscall=' || {SYSCALL_CASE} "
+    f"|| ' success=' || {SUCCESS_CASE} || ' exit=' || {EXIT_RAW_CASE} "
+    f"|| ' comm=\"' || {COMM_CASE} || '\" exe=\"' || {EXE_CASE} || '\"'"
+)
+_CWD_LINE = f"{_aud_line('CWD')} || 'cwd=\"' || {CWD_CASE} || '\"'"
+_EXECVE_LINE = (
+    f"{_aud_line('EXECVE')} || 'argc=2 a0=\"' || {EXE_CASE} "
+    f"|| '\" a1=\"' || {_case4([fl for _, fl in _PT_CMDS])} || '\"'"
+)
+_PATH0_LINE = (
+    f"{_aud_line('PATH')} || 'item=0 name=\"' || {PATH_DIR_CASE} "
+    f"|| '\" nametype=PARENT inode=' || cast((doc_id % 50) + 2 as string) "
+    f"|| ' dev=fd:00'"
+)
+_PATH1_NAME = (
+    f"(case when {CASCADE_CWD} then {_FNAME} else {_DIR_PATH} end)"
+)
+_PATH1_LINE = (
+    f"{_aud_line('PATH')} || 'item=1 name=\"' || {_PATH1_NAME} "
+    f"|| '\" nametype=NORMAL inode=' || cast((doc_id % 50) + 3 as string) "
+    f"|| ' dev=fd:00'"
+)
+_SOCK_LINE = f"{_aud_line('SOCKADDR')} || 'saddr=' || {SADDR_CASE}"
+
+# The AVC denial line. Embedded path= only outside the cascade branches;
+# doc_id%11=0 rows additionally carry an AVC exe= that the SYSCALL exe must
+# override (P13 priority: SYSCALL exe > AVC exe).
+_AVC_LINE = (
     f"'type=AVC msg=audit(' || cast({EPOCH0} + doc_id as string) || '.000:' "
     f"|| cast(doc_id as string) || '): avc:  denied  {{ ' || {PERM_CASE} "
     f"|| ' }} for  pid=' || cast(1000 + doc_id % 97 as string) "
     f"|| ' comm=\"' || {COMM_CASE} || '\"' "
+    f"|| (case when doc_id % 11 = 0 then ' exe=\"/opt/override\"' else '' end) "
     f"|| (case when doc_id % 5 = 3 then ' dest=' || {DEST_CASE} "
-    f"    else ' path=\"' || {PATH_DIR_CASE} || '/f' || cast(doc_id % 10 as string) || '.dat\"' end) "
+    f"    when {CASCADE_CWD} or {CASCADE_BEST} then '' "
+    f"    else ' path=\"' || {_DIR_PATH} || '\"' end) "
     f"|| ' scontext=' || {SCONTEXT} "
     f"|| ' tcontext=' || {TCONTEXT} "
     f"|| ' tclass=' || {TCLASS_CASE} "
     f"|| (case when doc_id % 7 = 0 then ' permissive=1' else ' permissive=0' end)"
+)
+
+# One full multi-record ausearch-style block per document row:
+# PROCTITLE(hex) + SYSCALL + CWD + EXECVE + (PATH×2 | SOCKADDR) + AVC —
+# exercises shared context (P3/P4), proctitle hex decode (P8), EXECVE argv
+# (P9), best-PATH selection (P12), exe priority (P13), CWD resolution (P14).
+SYNTH_LINE = (
+    f"{_PT_LINE} || chr(10) || {_SYS_LINE} || chr(10) || {_CWD_LINE} "
+    f"|| chr(10) || {_EXECVE_LINE} "
+    f"|| (case when doc_id % 5 = 3 then chr(10) || {_SOCK_LINE} "
+    f"    else chr(10) || {_PATH0_LINE} || chr(10) || {_PATH1_LINE} end) "
+    f"|| chr(10) || {_AVC_LINE}"
 )
 
 # Variant corpus with deliberate malformed rows (doc_id % 20 = 19 → truncated
@@ -87,6 +190,16 @@ ORACLE_FIELDS = {
     "scontext_raw": SCONTEXT,
     "tcontext_raw": TCONTEXT,
     "epoch": f"({EPOCH0} + doc_id)",
+    # shared-context fields (P3/P4): SYSCALL exe wins over the AVC exe
+    # planted on doc_id%11 rows (P13); exit is errno-translated (P10)
+    "exe": EXE_CASE,
+    "cwd": CWD_CASE,
+    "syscall": SYSCALL_CASE,
+    "exit": EXIT_NAME_CASE,
+    "success": SUCCESS_CASE,
+    "proctitle": CMDLINE_CASE,
+    "execve_cmdline": CMDLINE_CASE,
+    "saddr": f"(case when doc_id % 5 = 3 then {SADDR_CASE} else cast(null as string) end)",
 }
 
 # --- smart-signature component oracles (mirror enrich/join.py expressions,
@@ -116,6 +229,11 @@ OBJECT_GROUP_ORACLE = (
 # process→exact path.
 PATH_PATTERN_ORACLE = (
     "(case when doc_id % 5 = 3 then 'no_path' "
+    # CWD-resolved cascade paths take the cwd's pattern branch
+    f"when {CASCADE_CWD} and doc_id % 4 = 0 then '/var/www(/.*)?' "
+    f"when {CASCADE_CWD} and doc_id % 4 = 1 then '/var/lib(/.*)?' "
+    f"when {CASCADE_CWD} and doc_id % 4 = 2 then '/etc(/.*)?' "
+    f"when {CASCADE_CWD} then '/srv/app/*' "
     "when doc_id % 6 = 0 then '/var/www(/.*)?' "
     "when doc_id % 6 = 1 then '/etc(/.*)?' "
     "when doc_id % 6 = 2 then '/home/[^/]+(/.*)?' "

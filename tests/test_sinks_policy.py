@@ -111,9 +111,12 @@ def test_stats_counters_single_pass(spark, events):
     for r in cnt:
         non_null = sum(1 for d in dims if r[d] is not None)
         assert non_null == 1
-    # comm rollup total equals event count
+    # comm rollup covers EVERY event (missing comm counts as 'unknown',
+    # reference stats_formatter.py:48)
     comm_total = sum(r["cnt"] for r in cnt if r["comm"] is not None)
-    assert comm_total == ok.filter(F.col("comm").isNotNull()).count()
+    assert comm_total == ok.count()
+    if ok.filter(F.col("comm").isNull()).count() > 0:
+        assert any(r["comm"] == "unknown" for r in cnt)
 
 
 def test_brief_report(spark, events):
