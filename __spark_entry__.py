@@ -534,6 +534,111 @@ def q_sort_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
+def q_filter_path_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: anchored fnmatch glob over group path sets."""
+    from avc_parser_spark.filters import filter_path
+
+    groups = _smart_groups(spark, sf_dir)
+    kept = filter_path(groups, "/var/www/*")
+    return kept.select(
+        "process_category", "sig_target", "object_group", "sig_extra",
+        "permission_category", F.col("count").alias("cnt"),
+    )
+
+
+def q_filter_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: source-context matcher — glob term OR substring term (comma=OR)."""
+    from avc_parser_spark.filters import filter_source_context
+
+    groups = _smart_groups(spark, sf_dir)
+    kept = filter_source_context(groups, "*:httpd_t:*,mysqld")
+    return kept.select(
+        "process_category", "sig_target", "object_group", "sig_extra",
+        "permission_category", F.col("count").alias("cnt"),
+    )
+
+
+def q_filter_mls_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: keep groups whose contexts carry a non-trivial MLS component."""
+    from avc_parser_spark.filters import filter_mls_only
+
+    _views(spark, sf_dir, ["documents"])
+    groups = spark.sql(
+        """
+        SELECT doc_id,
+               named_struct(
+                 'scontext_raw',
+                 case when doc_id % 3 = 2 then 'u:r:t:s0' else 'u:r:t' end,
+                 'tcontext_raw',
+                 case when doc_id % 3 = 1 then 'u:r:ot:s5:c1' else 'u:r:ot' end
+               ) AS representative
+        FROM documents
+        """
+    )
+    return filter_mls_only(groups).select("doc_id")
+
+
+def q_sort_groups_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: recent ordering (last_seen desc, first_seen desc, signature) —
+    LIMIT makes row membership order-sensitive, so the hash checks the sort."""
+    from avc_parser_spark.sorts import sort_groups
+
+    groups = _smart_groups(spark, sf_dir)
+    return sort_groups(groups, "recent").select(
+        "signature",
+        F.col("last_seen").cast("long").alias("last_epoch"),
+        F.col("first_seen").cast("long").alias("first_epoch"),
+    ).limit(15)
+
+
+def q_sort_groups_chrono(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: chronological ordering (first_seen asc, last_seen asc, signature)."""
+    from avc_parser_spark.sorts import sort_groups
+
+    groups = _smart_groups(spark, sf_dir)
+    return sort_groups(groups, "chrono").select(
+        "signature",
+        F.col("first_seen").cast("long").alias("first_epoch"),
+        F.col("last_seen").cast("long").alias("last_epoch"),
+    ).limit(15)
+
+
+def q_resource_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: consolidated resource groups flattened via the
+    resources_by_permission map (permission → [(resource, count)])."""
+    from avc_parser_spark.aggregate import (
+        consolidate_resource_groups,
+        resource_subgroups,
+    )
+
+    ev = signature_exprs(_parsed(spark, sf_dir).filter(F.col("route") == "parse_ok"))
+    cons = consolidate_resource_groups(resource_subgroups(ev))
+    return (
+        cons.select(
+            F.array_join("pids", ",").alias("pids_str"),
+            F.array_join("comms", ",").alias("comms_str"),
+            F.explode("resources_by_permission").alias("permission", "res_list"),
+        )
+        .select(
+            "pids_str", "comms_str", "permission",
+            F.explode("res_list").alias("r"),
+        )
+        .select(
+            "pids_str", "comms_str", "permission",
+            F.col("r.resource").alias("resource"),
+            F.col("r.count").cast("long").alias("rcount"),
+        )
+    )
+
+
+def q_optimality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 scalar report: efficiency_score = unique commands / total groups."""
+    from avc_parser_spark.aggregate import grouping_optimality_report
+
+    groups = _smart_groups(spark, sf_dir)
+    return grouping_optimality_report(groups)
+
+
 def q_grouping_optimality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: regroup signature groups by sesearch command; mergeable = shared
     command."""
@@ -548,6 +653,57 @@ def q_grouping_optimality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _analyzer_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic group table planting every detector/analyzer trigger
+    (shared fragments AZ_* in oracle_shared.py)."""
+    from avc_parser_spark.oracle_shared import (
+        AZ_CNT, AZ_COMM, AZ_DPATH, AZ_DPERM, AZ_PERM, AZ_PERMISSIVE,
+        AZ_STYPE, AZ_TTYPE,
+    )
+
+    _views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        f"""
+        SELECT doc_id AS sig_id,
+               {AZ_CNT} AS count,
+               timestamp_seconds({EPOCH0} + doc_id) AS first_seen,
+               timestamp_seconds({EPOCH0} + doc_id) AS last_seen,
+               array({AZ_PERM}, {AZ_DPERM}) AS permissions,
+               array({AZ_PERMISSIVE}) AS permissives,
+               array({AZ_DPATH}) AS paths,
+               named_struct(
+                 'sc_type', {AZ_STYPE},
+                 'tc_type', {AZ_TTYPE},
+                 'scontext_raw', 'system_u:system_r:' || {AZ_STYPE} || ':s0',
+                 'tcontext_raw', 'system_u:object_r:' || {AZ_TTYPE} || ':s0',
+                 'comm', {AZ_COMM},
+                 'permissive', {AZ_PERMISSIVE}) AS representative
+        FROM documents
+        """
+    )
+
+
+def q_detector_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1-D4: per-group detector flag columns
+    (reference detectors/anomaly_detector.py:10-229)."""
+    from avc_parser_spark.analyzers import detector_flags
+
+    flagged = detector_flags(_analyzer_groups(spark, sf_dir))
+    return flagged.select(
+        "sig_id", "flag_dontaudit", "flag_permissive",
+        "flag_container_paths", "flag_custom_paths",
+    )
+
+
+def q_analyzer_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AN1/AN3/AN4/AN5 threshold findings over the planted group table
+    (reference analyzers/labeling.py, relabeling.py, boot_impact.py,
+    patterns.py)."""
+    from avc_parser_spark.analyzers import run_analyzers
+
+    return run_analyzers(_analyzer_groups(spark, sf_dir))
 
 
 def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -725,7 +881,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_time_range": q_filter_time_range,
         "filter_process": q_filter_process,
         "sort_groups_by_count": q_sort_groups,
+        "sort_groups_recent": q_sort_groups_recent,
+        "sort_groups_chrono": q_sort_groups_chrono,
+        "filter_path_glob": q_filter_path_glob,
+        "filter_context": q_filter_context,
+        "filter_mls_only": q_filter_mls_only,
+        "resource_consolidation": q_resource_consolidation,
         "grouping_optimality": q_grouping_optimality,
+        "grouping_optimality_report": q_optimality_report,
+        "detector_flags": q_detector_flags,
+        "analyzer_findings": q_analyzer_findings,
         "dedup_jaccard_adjacent": q_jaccard_adjacent,
         "tpch_q4ish_semijoin": q_tpch_q4ish,
         "tpch_antijoin": q_tpch_antijoin,
@@ -753,6 +918,50 @@ def _errno_case() -> str:
         if 0 < c < 40
     )
     return f"(case (event_id % 40) when 0 then 'SUCCESS' {whens} else '-' || cast(event_id % 40 as string) end)"
+
+
+def _analyzer_findings_oracle() -> str:
+    from avc_parser_spark.oracle_shared import (
+        AZ_COMM, AZ_PERM, AZ_STYPE, AZ_TTYPE,
+    )
+
+    return f"""
+        WITH g AS (
+          SELECT doc_id,
+                 (doc_id % 5) + 1 AS cnt,
+                 {AZ_STYPE} AS s_type,
+                 {AZ_TTYPE} AS t_type,
+                 {AZ_COMM} AS comm,
+                 {AZ_PERM} AS perm
+          FROM documents)
+        SELECT 'WARNING' AS severity, 'labeling' AS category,
+               'Widespread unlabeled_t files' AS title,
+               cast(count(*) as bigint) AS affected_groups,
+               cast(sum(cnt) as bigint) AS total_events,
+               cast(count(*) as string) || ' groups / ' || cast(sum(cnt) as string)
+                 || ' events target unlabeled_t' AS detail
+        FROM g WHERE t_type = 'unlabeled_t'
+        UNION ALL
+        SELECT 'CRITICAL', 'relabeling', 'Relabeling tools are being denied',
+               cast(count(*) as bigint), cast(sum(cnt) as bigint),
+               'tools: setfiles'
+        FROM g WHERE s_type = 'setfiles_t' AND perm = 'relabelfrom'
+        UNION ALL
+        SELECT 'CRITICAL', 'boot_impact', 'Boot-blocking denials detected',
+               cast(count(*) as bigint), cast(sum(cnt) as bigint),
+               'services: init'
+        FROM g WHERE s_type = 'init_t' AND t_type = 'lib_t'
+        UNION ALL
+        SELECT 'WARNING', 'systemic',
+               'Systemic issue: ' || cast(count(distinct s_type) as string)
+                 || ' processes denied on shared_target_t',
+               cast(count(*) as bigint), cast(sum(cnt) as bigint),
+               'target=shared_target_t mls=s0'
+        FROM g WHERE t_type = 'shared_target_t'
+    """
+
+
+_ANALYZER_FINDINGS_ORACLE = _analyzer_findings_oracle()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1080,6 +1289,129 @@ def oracle_sql() -> dict[str, str]:
             FROM base GROUP BY 1,2,3,4,5
             HAVING bool_or(comm LIKE '%httpd%' OR comm LIKE '%mysqld%')
         """,
+        "filter_path_glob": f"""
+            WITH base AS (
+              SELECT {PROCESS_CATEGORY_ORACLE} AS process_category,
+                     (case when doc_id % 5 = 4 then {TC_TYPE_CASE} else {TCONTEXT} end) AS sig_target,
+                     {OBJECT_GROUP_ORACLE} AS object_group,
+                     (case when doc_id % 5 = 3 then {f['dest_port']}
+                           when doc_id % 5 = 4 then ''
+                           else {PATH_PATTERN_ORACLE} end) AS sig_extra,
+                     {PERMISSION_CATEGORY_ORACLE} AS permission_category,
+                     {f['path']} AS path
+              FROM documents)
+            SELECT process_category, sig_target, object_group, sig_extra,
+                   permission_category, count(*) AS cnt
+            FROM base GROUP BY 1,2,3,4,5
+            HAVING bool_or(path LIKE '/var/www/%')
+        """,
+        "filter_context": f"""
+            WITH base AS (
+              SELECT {PROCESS_CATEGORY_ORACLE} AS process_category,
+                     (case when doc_id % 5 = 4 then {TC_TYPE_CASE} else {TCONTEXT} end) AS sig_target,
+                     {OBJECT_GROUP_ORACLE} AS object_group,
+                     (case when doc_id % 5 = 3 then {f['dest_port']}
+                           when doc_id % 5 = 4 then ''
+                           else {PATH_PATTERN_ORACLE} end) AS sig_extra,
+                     {PERMISSION_CATEGORY_ORACLE} AS permission_category
+              FROM documents
+              WHERE doc_id % 4 in (0, 1))
+            SELECT process_category, sig_target, object_group, sig_extra,
+                   permission_category, count(*) AS cnt
+            FROM base GROUP BY 1,2,3,4,5
+        """,
+        "filter_mls_only": """
+            SELECT doc_id FROM documents WHERE doc_id % 3 <> 0
+        """,
+        "sort_groups_recent": f"""
+            WITH base AS (
+              SELECT {PROCESS_CATEGORY_ORACLE} || '␟' ||
+                     (case when doc_id % 5 = 4 then {TC_TYPE_CASE} else {TCONTEXT} end) || '␟' ||
+                     {OBJECT_GROUP_ORACLE} || '␟' ||
+                     (case when doc_id % 5 = 3 then {f['dest_port']}
+                           when doc_id % 5 = 4 then ''
+                           else {PATH_PATTERN_ORACLE} end) || '␟' ||
+                     {PERMISSION_CATEGORY_ORACLE} AS signature,
+                     {f['epoch']} AS epoch
+              FROM documents),
+            grp AS (
+              SELECT signature, max(epoch) AS last_epoch, min(epoch) AS first_epoch
+              FROM base GROUP BY 1)
+            SELECT signature, last_epoch, first_epoch FROM grp
+            ORDER BY last_epoch DESC, first_epoch DESC, signature ASC
+            LIMIT 15
+        """,
+        "sort_groups_chrono": f"""
+            WITH base AS (
+              SELECT {PROCESS_CATEGORY_ORACLE} || '␟' ||
+                     (case when doc_id % 5 = 4 then {TC_TYPE_CASE} else {TCONTEXT} end) || '␟' ||
+                     {OBJECT_GROUP_ORACLE} || '␟' ||
+                     (case when doc_id % 5 = 3 then {f['dest_port']}
+                           when doc_id % 5 = 4 then ''
+                           else {PATH_PATTERN_ORACLE} end) || '␟' ||
+                     {PERMISSION_CATEGORY_ORACLE} AS signature,
+                     {f['epoch']} AS epoch
+              FROM documents),
+            grp AS (
+              SELECT signature, min(epoch) AS first_epoch, max(epoch) AS last_epoch
+              FROM base GROUP BY 1)
+            SELECT signature, first_epoch, last_epoch FROM grp
+            ORDER BY first_epoch ASC, last_epoch ASC, signature ASC
+            LIMIT 15
+        """,
+        "resource_consolidation": f"""
+            WITH base AS (
+              SELECT {PROCESS_CATEGORY_ORACLE} AS pc,
+                     (case when doc_id % 5 = 4 then {TC_TYPE_CASE} else {TCONTEXT} end) AS st,
+                     {OBJECT_GROUP_ORACLE} AS og,
+                     (case when doc_id % 5 = 3 then {f['dest_port']}
+                           when doc_id % 5 = 4 then ''
+                           else {PATH_PATTERN_ORACLE} end) AS se,
+                     {PERMISSION_CATEGORY_ORACLE} AS pcat,
+                     (case when doc_id % 5 = 3 then 'port:' || {f['dest_port']}
+                           else {f['path']} end) AS resource,
+                     {f['permission']} AS permission,
+                     {f['pid']} AS pid,
+                     {f['comm']} AS comm
+              FROM documents),
+            sub AS (
+              SELECT pc, st, og, se, pcat, resource,
+                     count(*) AS event_count,
+                     list_sort(list(DISTINCT permission)) AS perms,
+                     array_to_string(list_sort(list(DISTINCT pid)), ',') AS pids_str,
+                     array_to_string(list_sort(list(DISTINCT comm)), ',') AS comms_str
+              FROM base GROUP BY 1,2,3,4,5,6)
+            SELECT pids_str, comms_str, unnest(perms) AS permission, resource,
+                   cast(event_count as bigint) AS rcount
+            FROM sub
+        """,
+        "grouping_optimality_report": f"""
+            WITH base AS (
+              SELECT {PROCESS_CATEGORY_ORACLE} AS pc,
+                     (case when doc_id % 5 = 4 then {TC_TYPE_CASE} else {TCONTEXT} end) AS st,
+                     {OBJECT_GROUP_ORACLE} AS og,
+                     (case when doc_id % 5 = 3 then {f['dest_port']}
+                           when doc_id % 5 = 4 then ''
+                           else {PATH_PATTERN_ORACLE} end) AS se,
+                     {PERMISSION_CATEGORY_ORACLE} AS pcat,
+                     {f['sc_type']} AS sc_type, {f['tc_type']} AS tc_type,
+                     {f['tclass']} AS tclass, {f['permission']} AS permission
+              FROM documents),
+            grp AS (
+              SELECT pc, st, og, se, pcat,
+                     'sesearch -A -s ' || min(sc_type) || ' -t ' || min(tc_type)
+                     || ' -c ' || min(tclass) || ' -p '
+                     || array_to_string(list_sort(list(DISTINCT permission)), ',')
+                     AS sesearch_command
+              FROM base GROUP BY 1,2,3,4,5),
+            cmds AS (
+              SELECT sesearch_command, count(*) AS c FROM grp GROUP BY 1)
+            SELECT cast(sum(c) as bigint) AS total_groups,
+                   cast(count(*) as bigint) AS unique_commands,
+                   cast(sum(case when c > 1 then 1 else 0 end) as bigint) AS mergeable_commands,
+                   (round(count(*) * 1.0 / sum(c), 6))::DOUBLE AS efficiency_score
+            FROM cmds
+        """,
         "sort_groups_by_count": f"""
             WITH base AS (
               SELECT {PROCESS_CATEGORY_ORACLE} || '␟' ||
@@ -1119,6 +1451,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) > 1 AS mergeable
             FROM grp GROUP BY 1
         """,
+        "detector_flags": """
+            SELECT doc_id AS sig_id,
+                   (doc_id % 6) in (0, 2, 4) AS flag_dontaudit,
+                   doc_id % 7 = 0 AS flag_permissive,
+                   doc_id % 5 = 0 AS flag_container_paths,
+                   (doc_id % 5) in (1, 3) AS flag_custom_paths
+            FROM documents
+        """,
+        "analyzer_findings": _ANALYZER_FINDINGS_ORACLE,
         "dedup_jaccard_adjacent": """
             WITH sh AS (
               SELECT doc_id,

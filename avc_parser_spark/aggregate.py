@@ -203,10 +203,16 @@ def resource_subgroups(events: DataFrame) -> DataFrame:
 
 def consolidate_resource_groups(subgroups: DataFrame) -> DataFrame:
     """A5 — merge resource subgroups sharing (pid set, comm set) into one
-    consolidated row with a resources-by-permission map
-    (consolidate_resource_groups, parse_avc.py:2473-2553)."""
-    return (
-        subgroups.groupBy("sig_id", "pids", "comms")
+    consolidated row with a resources_by_permission map: permission →
+    [(resource, count)...] (consolidate_resource_groups,
+    parse_avc.py:2473-2553 builds exactly this dict per consolidated group).
+
+    Both aggregations key on group-level tuples (the table is already tiny
+    post-dedup), so the extra map costs one more small shuffle, not a scan.
+    """
+    keys = ["sig_id", "pids", "comms"]
+    base = (
+        subgroups.groupBy(*keys)
         .agg(
             F.sort_array(F.collect_list("resource")).alias("resources"),
             F.sum("event_count").alias("total_events"),
@@ -215,6 +221,30 @@ def consolidate_resource_groups(subgroups: DataFrame) -> DataFrame:
             ).alias("permissions"),
         )
     )
+    per_perm = (
+        subgroups.select(
+            *keys, "resource", "event_count",
+            F.explode("permissions").alias("perm"),
+        )
+        .groupBy(*keys, "perm")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("resource").alias("resource"),
+                        F.col("event_count").alias("count"),
+                    )
+                )
+            ).alias("res_list")
+        )
+        .groupBy(*keys)
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct(F.col("perm"), F.col("res_list"))))
+            ).alias("resources_by_permission")
+        )
+    )
+    return base.join(per_perm, keys, "left")
 
 
 def stats_counters(events: DataFrame, dims: list[str] | None = None) -> DataFrame:
@@ -260,4 +290,21 @@ def grouping_optimality(groups: DataFrame) -> DataFrame:
             F.sort_array(F.collect_list("sig_id")).alias("sigs"),
         )
         .withColumn("mergeable", F.col("group_count") > 1)
+    )
+
+
+def grouping_optimality_report(groups: DataFrame) -> DataFrame:
+    """A8 scalar report: total_groups, unique_sesearch_commands,
+    mergeable command count and efficiency_score = unique/total
+    (validate_grouping_optimality, parse_avc.py:1806-1869)."""
+    opt = grouping_optimality(groups)
+    return opt.agg(
+        F.sum("group_count").cast("long").alias("total_groups"),
+        F.count(F.lit(1)).cast("long").alias("unique_commands"),
+        F.sum(F.when(F.col("mergeable"), 1).otherwise(0))
+        .cast("long")
+        .alias("mergeable_commands"),
+        F.round(F.count(F.lit(1)) / F.sum("group_count"), 6).alias(
+            "efficiency_score"
+        ),
     )

@@ -202,6 +202,41 @@ ORACLE_FIELDS = {
     "saddr": f"(case when doc_id % 5 = 3 then {SADDR_CASE} else cast(null as string) end)",
 }
 
+# --- analyzer/detector synthetic group-table domains (D1-D4, AN1/3/4/5) ----
+# A deterministic group table derived from doc_id, planting each detector's
+# trigger: unlabeled_t targets (AN1), setfiles_t+relabelfrom (AN3),
+# init_t→lib_t (AN4), 17 distinct sources on one target (AN5), dontaudit
+# indicator perms / permissive / container / custom paths (D1-D4).
+AZ_STYPE = (
+    "(case when doc_id % 10 = 1 then 'svc' || cast(doc_id % 17 as string) || '_t' "
+    "when doc_id % 10 = 3 then 'setfiles_t' "
+    "when doc_id % 10 = 6 then 'init_t' else 'httpd_t' end)"
+)
+AZ_TTYPE = (
+    "(case when doc_id % 10 = 0 then 'unlabeled_t' "
+    "when doc_id % 10 = 1 then 'shared_target_t' "
+    "when doc_id % 10 = 6 then 'lib_t' else 'var_log_t' end)"
+)
+AZ_COMM = (
+    "(case when doc_id % 10 = 3 then 'setfiles' "
+    "when doc_id % 10 = 6 then 'init' else 'httpd' end)"
+)
+AZ_PERM = "(case when doc_id % 10 = 3 then 'relabelfrom' else 'read' end)"
+AZ_CNT = "cast((doc_id % 5) + 1 as bigint)"
+AZ_PERMISSIVE = "(case when doc_id % 7 = 0 then '1' else '0' end)"
+# detector path domain: container / custom(/opt, /usr/local) / neutral
+AZ_DPERM = (
+    "(case doc_id % 6 when 0 then 'noatsecure' when 2 then 'rlimitinh' "
+    "when 4 then 'siginh' else 'read' end)"
+)
+AZ_DPATH = (
+    "(case doc_id % 5 when 0 then '/var/lib/containers/storage/ov1/payload' "
+    "when 1 then '/opt/app/data.bin' "
+    "when 2 then '/var/www/html/index.html' "
+    "when 3 then '/usr/local/bin/tool' "
+    "else '/etc/passwd' end)"
+)
+
 # --- smart-signature component oracles (mirror enrich/join.py expressions,
 #     restricted to this corpus's value domain) -----------------------------
 
