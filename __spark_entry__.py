@@ -470,11 +470,23 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (rows-only; O(n²) path at this scale)."""
+    """Embedding-cosine near-dup pairs over a corpus with PLANTED duplicates
+    (every vec_id%10==1 is a 1.5× scaled copy of its predecessor — same
+    direction, cosine exactly 1, always the same bucket). LSH equi-join;
+    oracle is the brute-force all-pairs cosine in DuckDB."""
     from avc_parser_spark.functions.dedup import embedding_near_dups
 
     _views(spark, sf_dir, ["embeddings"])
-    emb = spark.table("embeddings").limit(200)
+    emb = spark.sql(
+        """
+        SELECT a.vec_id,
+               case when a.vec_id % 10 = 1
+                    then transform(b.embedding, x -> cast(x as double) * 1.5)
+                    else transform(a.embedding, x -> cast(x as double)) end
+                 AS embedding
+        FROM embeddings a LEFT JOIN embeddings b ON b.vec_id = a.vec_id - 1
+        """
+    )
     return embedding_near_dups(emb, threshold=0.8)
 
 
@@ -1544,8 +1556,23 @@ def oracle_sql() -> dict[str, str]:
                    AS extracted_text
             FROM documents
         """,
+        "dedup_embedding_cosine": """
+            WITH e AS (
+              SELECT a.vec_id,
+                     case when a.vec_id % 10 = 1
+                          then list_transform(b.embedding::DOUBLE[], x -> x * 1.5)
+                          else a.embedding::DOUBLE[] end AS v
+              FROM embeddings a LEFT JOIN embeddings b ON b.vec_id = a.vec_id - 1),
+            p AS (
+              SELECT x.vec_id AS a, y.vec_id AS b,
+                     list_dot_product(x.v, y.v)
+                       / (sqrt(list_dot_product(x.v, x.v))
+                          * sqrt(list_dot_product(y.v, y.v))) AS c
+              FROM e x JOIN e y ON x.vec_id < y.vec_id)
+            SELECT a, b, (round(c, 6))::DOUBLE AS cosine FROM p WHERE c >= 0.8
+        """,
         # rows-only (non-ANSI-expressible): dedup_minhash_lsh, dedup_simhash,
-        # ann_lsh_topk, dedup_embedding_cosine
+        # ann_lsh_topk
         "top_signatures": f"""
             SELECT sig, cnt FROM (
               SELECT {PROCESS_CATEGORY_ORACLE} || '␟' ||

@@ -115,13 +115,20 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     num_perms: int = DEFAULT_PERMS,
     bands: int = DEFAULT_BANDS,
+    max_bucket: int = 512,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs.
 
     plan: sketch (narrow) → explode bands (narrow) → groupBy band bucket
-    (ONE shuffle) → pairs within bucket. Bucket sizes are bounded in
-    practice; a hot bucket (boilerplate pages) can be capped upstream by
-    filtering giant buckets.
+    (ONE shuffle) → pairs within bucket.
+
+    Pair generation within a bucket is O(|bucket|²), so buckets larger than
+    `max_bucket` are DROPPED (standard at web scale: a band bucket holding
+    millions of documents is boilerplate noise whose members are better
+    handled by exact dedup; emitting its 10^11+ pairs would be the classic
+    LSH blow-up). Pair count is therefore bounded by
+    buckets × C(max_bucket, 2). Use `minhash_bucket_stats` to observe how
+    many buckets/documents the cap dropped.
     Returns distinct candidate (a, b) id pairs with a < b.
     """
     rows_per_band = num_perms // bands
@@ -153,7 +160,7 @@ def minhash_lsh_candidates(
     )
     grouped = banded.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_set("_id")).alias("members")
-    ).filter(F.size("members") >= 2)
+    ).filter(F.size("members").between(2, max_bucket))
     pairs = grouped.select(
         F.explode(
             F.flatten(
@@ -168,6 +175,54 @@ def minhash_lsh_candidates(
         ).alias("p")
     ).select("p.a", "p.b").distinct()
     return pairs
+
+
+def minhash_bucket_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = DEFAULT_PERMS,
+    bands: int = DEFAULT_BANDS,
+    max_bucket: int = 512,
+) -> DataFrame:
+    """Observability for the bucket cap: per-band bucket-size histogram plus
+    how many buckets/members exceed `max_bucket` (those are dropped by
+    `minhash_lsh_candidates`). One row: total/oversized bucket and member
+    counts — cheap enough to log every run at scale."""
+    rows_per_band = num_perms // bands
+    sig_udf = minhash_signature_udf(num_perms)
+    sketched = docs.select(
+        F.col(id_col).alias("_id"),
+        sig_udf(base_shingle_hashes(word_shingles(F.col(text_col)))).alias("sig"),
+    )
+    banded = sketched.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        ),
+                        F.lit(b),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("sz"))
+    over = F.col("sz") > max_bucket
+    return sizes.agg(
+        F.count(F.lit(1)).alias("buckets"),
+        F.max("sz").alias("max_bucket_size"),
+        F.sum(F.when(over, 1).otherwise(0)).alias("oversized_buckets"),
+        F.sum(F.when(over, F.col("sz")).otherwise(0)).alias("oversized_members"),
+    )
 
 
 def ngram_jaccard(
@@ -246,19 +301,36 @@ def embedding_near_dups(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs above `threshold`.
 
-    Sandbox-scale implementation is the exact O(n²) self-join (fine ≤ ~10k);
-    the 100 TB path buckets by LSH sign-projection first (similarity.py) so
-    the join key is the bucket, not the cross product.
+    Scale shape: sign-random-projection bucket is the EQUI-JOIN key (one
+    shuffle on bucket), cosine is evaluated only within buckets — never an
+    all-pairs cross join. Same-direction duplicates (scaled copies) always
+    share every sign bit, so their recall is exactly 1; merely-similar pairs
+    have recall (1 - θ/π)^n_planes — lower n_planes for higher recall, add
+    multi-probe (bit flips) for more. At 10^12 rows the bucketed table is
+    written bucketed-by(bucket) so the join is co-located.
     """
-    from avc_parser_spark.functions.similarity import cosine_expr
+    from avc_parser_spark.functions.similarity import (
+        cosine_expr,
+        lsh_project_bucket,
+        make_planes,
+    )
 
-    a = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    dim = int(embeddings.select(F.size(vec_col)).head()[0])
+    planes = make_planes(dim, n_planes)
+    bucketed = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        lsh_project_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = bucketed.select("bucket", F.col("_id").alias("a"), F.col("_v").alias("va"))
+    b = bucketed.select("bucket", F.col("_id").alias("b"), F.col("_v").alias("vb"))
     return (
-        a.join(b, F.col("a") < F.col("b"))
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
         .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", F.round("cosine", 6).alias("cosine"))

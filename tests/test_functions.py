@@ -50,6 +50,54 @@ def test_minhash_lsh_finds_near_dups(docs):
             assert 0.3 < j < 1.0
 
 
+def test_minhash_lsh_bucket_cap_bounds_pairs(spark):
+    """A pathological boilerplate corpus (600 identical docs) must NOT emit
+    C(600,2) pairs per band: oversized buckets are dropped, so the pair
+    count is bounded by buckets x C(max_bucket, 2)."""
+    from avc_parser_spark.functions.dedup import minhash_bucket_stats
+
+    n = 600
+    rows = [(i, "identical boilerplate footer text repeated on every page") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = minhash_lsh_candidates(docs, num_perms=32, bands=8, max_bucket=100)
+    assert capped.count() == 0  # every bucket holds all 600 docs → dropped
+
+    stats = minhash_bucket_stats(docs, num_perms=32, bands=8, max_bucket=100).head()
+    assert stats["oversized_buckets"] == 8  # one bucket per band, all over cap
+    assert stats["max_bucket_size"] == n
+
+    # raising the cap above the corpus restores the pairs
+    uncapped = minhash_lsh_candidates(docs, num_perms=32, bands=8, max_bucket=1000)
+    assert uncapped.count() == n * (n - 1) // 2
+
+
+def test_embedding_near_dups_bucketed_no_cross_join(spark):
+    """Scaled copies are always found (same sign bits) and the physical plan
+    joins on the bucket key — no cartesian / nested-loop join."""
+    from avc_parser_spark.functions.dedup import embedding_near_dups
+
+    import random
+
+    rnd = random.Random(7)
+    base = [[rnd.gauss(0, 1) for _ in range(16)] for _ in range(40)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        if i % 4 == 0:  # plant a scaled copy (cosine exactly 1)
+            rows.append((2 * i + 1, [float(1.5 * x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = embedding_near_dups(emb, threshold=0.95)
+    found = {(r["a"], r["b"]) for r in out.collect()}
+    for i in range(0, 40, 4):
+        assert (2 * i, 2 * i + 1) in found
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_simhash_clusters_exact_dups(docs):
     clusters = simhash_near_dups(docs).collect()
     assert any(set(c["doc_ids"]) == {0, 1} for c in clusters)
