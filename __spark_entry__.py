@@ -836,6 +836,30 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_json_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 JSON-contract normalization: typed pid/ino, boolean permissive,
+    numeric port + class, context component structs, saddr laddr/lport
+    decomposition (reference formatters/json_formatter.py:39-191)."""
+    from avc_parser_spark.sinks import normalize_events_for_json
+
+    ev = _parsed(spark, sf_dir).filter(F.col("route") == "parse_ok")
+    n = normalize_events_for_json(ev)
+    return n.select(
+        "url",
+        "pid",
+        "permissive",
+        "dest_port_num",
+        "dest_port_class",
+        F.col("scontext_components.user").alias("sc_user_c"),
+        F.col("scontext_components.type").alias("sc_type_c"),
+        F.col("scontext_components.level").alias("sc_level_c"),
+        F.col("tcontext_components.type").alias("tc_type_c"),
+        F.col("local_address").alias("laddr"),
+        F.col("local_port").alias("lport"),
+        "path",
+    )
+
+
 def q_extracted_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The byte-exact invariant surface itself: canonical extracted_text per
     url, reconstructed independently by the oracle."""
@@ -910,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg": q_events_moving_avg,
         "events_rank_in_type": q_events_rank_in_type,
         "ann_ivf_topk": q_ann_ivf,
+        "pipeline_json_normalize": q_json_normalize,
         "pipeline_extracted_text": q_extracted_text,
     }
 
@@ -1531,6 +1556,28 @@ def oracle_sql() -> dict[str, str]:
                      ROWS UNBOUNDED PRECEDING), 2) AS running_value
             FROM events
         """,
+        "pipeline_json_normalize": f"""
+            SELECT 'doc' || cast(doc_id as string) AS url,
+                   cast(1000 + doc_id % 97 as int) AS pid,
+                   (doc_id % 7 = 0) AS permissive,
+                   (case when doc_id % 5 = 3
+                         then cast({f['dest_port']} as int) end) AS dest_port_num,
+                   (case when doc_id % 5 = 3
+                         then (case when doc_id % 3 = 0 then 'system'
+                                    else 'registered' end) end) AS dest_port_class,
+                   'system_u' AS sc_user_c,
+                   {f['sc_type']} AS sc_type_c,
+                   's0' AS sc_level_c,
+                   {f['tc_type']} AS tc_type_c,
+                   (case when doc_id % 5 = 3 and doc_id % 2 = 0
+                         then '192.168.1.' || cast(doc_id % 9 as string) end) AS laddr,
+                   (case when doc_id % 5 = 3 and doc_id % 2 = 0
+                         then cast((case doc_id % 3 when 0 then '80'
+                                    when 1 then '5432' else '9999' end) as int)
+                    end) AS lport,
+                   {f['path']} AS path
+            FROM documents
+        """,
         "pipeline_extracted_text": f"""
             SELECT 'doc' || cast(doc_id as string) AS url,
                    'denial_type=AVC|event_id=' || cast({EPOCH0} + doc_id as string)
@@ -1552,7 +1599,8 @@ def oracle_sql() -> dict[str, str]:
                    || '|cwd=' || {f['cwd']}
                    || '|proctitle=' || {f['proctitle']}
                    || '|execve_cmdline=' || {f['execve_cmdline']}
-                   || (case when doc_id % 5 = 3 then '|saddr=' || {f['saddr']} else '' end)
+                   || (case when doc_id % 5 = 3 and doc_id % 2 = 1
+                            then '|saddr=' || {f['saddr']} else '' end)
                    AS extracted_text
             FROM documents
         """,

@@ -64,10 +64,16 @@ REPRESENTATIVE_FIELDS = [
     "tc_type",
     "tclass",
     "dest_port",
+    "dbus_dest",
     "permissive",
     "syscall",
     "exit",
+    "success",
+    "cwd",
     "proctitle",
+    "saddr",
+    "saddr_struct",
+    "execve_cmdline",
 ]
 
 

@@ -135,7 +135,17 @@ _PATH1_LINE = (
     f"|| '\" nametype=NORMAL inode=' || cast((doc_id % 50) + 3 as string) "
     f"|| ' dev=fd:00'"
 )
-_SOCK_LINE = f"{_aud_line('SOCKADDR')} || 'saddr=' || {SADDR_CASE}"
+# interpreted ausearch struct form on even docs (→ saddr_struct column,
+# laddr/lport decomposition); raw hex form on odd docs (→ saddr column)
+SADDR_STRUCT_CASE = (
+    f"'saddr_fam=inet laddr=192.168.1.' || cast(doc_id % 9 as string) "
+    f"|| ' lport=' || {DEST_CASE}"
+)
+_SOCK_LINE = (
+    f"{_aud_line('SOCKADDR')} || (case when doc_id % 2 = 0 "
+    f"then 'saddr={{ ' || {SADDR_STRUCT_CASE} || ' }}' "
+    f"else 'saddr=' || {SADDR_CASE} end)"
+)
 
 # The AVC denial line. Embedded path= only outside the cascade branches;
 # doc_id%11=0 rows additionally carry an AVC exe= that the SYSCALL exe must
@@ -199,7 +209,14 @@ ORACLE_FIELDS = {
     "success": SUCCESS_CASE,
     "proctitle": CMDLINE_CASE,
     "execve_cmdline": CMDLINE_CASE,
-    "saddr": f"(case when doc_id % 5 = 3 then {SADDR_CASE} else cast(null as string) end)",
+    "saddr": (
+        f"(case when doc_id % 5 = 3 and doc_id % 2 = 1 then {SADDR_CASE} "
+        f"else cast(null as string) end)"
+    ),
+    "saddr_struct": (
+        f"(case when doc_id % 5 = 3 and doc_id % 2 = 0 then {SADDR_STRUCT_CASE} "
+        f"else cast(null as string) end)"
+    ),
 }
 
 # --- analyzer/detector synthetic group-table domains (D1-D4, AN1/3/4/5) ----

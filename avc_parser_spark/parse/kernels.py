@@ -70,6 +70,9 @@ AVC_PATTERNS: dict[str, str] = {
     "tcontext": r"tcontext=(\S+)",
     "tclass": r"tclass=(\S+)",
     "dest_port": r"dest=(\S+)",
+    # D-Bus destination (parse_avc.py:945): dest=:1.42 — matches ALONGSIDE
+    # dest_port (whose \S+ also captures the dbus form), like the reference
+    "dbus_dest": r"dest=(:\d+\.\d+)",
     "permissive": r"permissive=(\d+)",
 }
 
@@ -140,6 +143,7 @@ EXTRACT_FIELD_ORDER = [
     "tcontext_raw",
     "tclass",
     "dest_port",
+    "dbus_dest",
     "permissive",
     "syscall",
     "exit",
@@ -182,6 +186,7 @@ EVENT_COLUMNS = [
     "tc_mls",
     "tclass",
     "dest_port",
+    "dbus_dest",
     "permissive",
     "syscall",
     "exit",
@@ -550,7 +555,7 @@ def parse_pages_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
             for f in [
                 "permission", "pid", "comm", "exe", "proctitle", "avc_path",
                 "path_quoted", "path_unquoted", "name", "dev", "ino",
-                "dest_port", "permissive",
+                "dest_port", "dbus_dest", "permissive",
             ]:
                 if f in avc.columns:
                     avc[f] = avc[f].where(~selinux_err_mask, None)

@@ -49,6 +49,7 @@ EVENT_SCHEMA_DDL = ", ".join(
         "tc_mls string",
         "tclass string",
         "dest_port string",
+        "dbus_dest string",
         "permissive string",
         "syscall string",
         "exit string",

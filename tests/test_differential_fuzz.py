@@ -90,9 +90,13 @@ def gen_block(rng: random.Random) -> str:
     # occasionally: node= prefix, interpreted timestamps, USER_AVC,
     # SELINUX_ERR — the full record-shape domain
     if rng.random() < 0.1:
+        dbus_dest = (
+            f"dest=:1.{rng.randint(1, 99)} " if rng.random() < 0.5 else ""
+        )
         lines.append(
             f"type=USER_AVC msg={aud}: pid={rng.randint(100, 999)} uid=81 "
             f"auid=4294967295 msg='avc:  denied  {{ {rng.choice(['send_msg', 'acquire_svc'])} }} for "
+            f"{dbus_dest}"
             f"scontext={rng.choice(CONTEXTS)} tcontext={rng.choice(CONTEXTS)} tclass=dbus'"
         )
     if rng.random() < 0.08:

@@ -213,6 +213,12 @@ def test_hot_signature_salting_splits_state(spark):
         F2.lit(None).cast("string").alias("denial_type"),
         F2.lit(None).cast("string").alias("syscall"),
         F2.lit(None).cast("string").alias("exit"),
+        F2.lit(None).cast("string").alias("dbus_dest"),
+        F2.lit(None).cast("string").alias("success"),
+        F2.lit(None).cast("string").alias("cwd"),
+        F2.lit(None).cast("string").alias("saddr"),
+        F2.lit(None).cast("string").alias("saddr_struct"),
+        F2.lit(None).cast("string").alias("execve_cmdline"),
     )
     ev = (
         base.withColumn("sig_id", F2.xxhash64("signature"))

@@ -31,6 +31,7 @@ FIELD_MAP = {
     "path_type": "path_type",
     "tclass": "tclass",
     "dest_port": "dest_port",
+    "dbus_dest": "dbus_dest",
     "permissive": "permissive",
     "syscall": "syscall",
     "exit": "exit",

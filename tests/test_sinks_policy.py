@@ -163,3 +163,47 @@ def test_sealert_report(spark, events):
     assert "scontext=" in r["raw_audit_message"]
     assert r["unique_pids"] >= 1
     assert r["sesearch_command"].startswith("sesearch -A -s ")
+
+
+def test_normalize_log_fields_reference_parity():
+    """Our K4 JSON normalization must reproduce the reference's
+    formatters/json_formatter.py:normalize_json_fields output dict-for-dict
+    across the type/decomposition matrix."""
+    from tests.reference_loader import load_reference
+
+    if load_reference() is None:
+        pytest.skip("reference unavailable")
+    import importlib
+
+    jf = importlib.import_module("formatters.json_formatter")
+    from avc_parser_spark.sinks import normalize_log_fields
+
+    cases = [
+        {"path": "var/www//html/./x", "pid": "123", "permissive": "1"},
+        {"path": "  ", "ino": "99", "permissive": "0"},
+        {"path": "/a/b/../c", "pid": "not-a-pid", "permissive": "maybe"},
+        {"dest_port": "80"},
+        {"dest_port": "5432"},
+        {"dest_port": "99999"},
+        {"dest_port": ":1.42"},
+        {"scontext": "system_u:system_r:httpd_t:s0"},
+        {"scontext": "system_u:system_r:httpd_t:s0-s0:c0.c1023",
+         "tcontext": "system_u:object_r:var_t:s5:c1,c3.c5"},
+        {"scontext": "invalidcontext", "tcontext": "a:b"},
+        {"saddr": "saddr_fam=inet laddr=192.168.1.7 lport=80"},
+        {"saddr": "saddr_fam=inet laddr=::1 lport=notnum"},
+        {"saddr": "0200005000000000"},
+        {"comm": "ht\x00tpd  x", "exe": " /usr/sbin/httpd ", "tclass": "file\x7f"},
+        {"timestamp": "1700000123.303"},
+        {"timestamp": "not-a-ts"},
+        {"permission": "read", "denial_type": "AVC", "syscall": "openat"},
+    ]
+    for case in cases:
+        expected = jf.normalize_json_fields(dict(case))
+        ours = normalize_log_fields(
+            dict(case),
+            scontext_key="scontext",
+            tcontext_key="tcontext",
+            saddr_key="saddr",
+        )
+        assert ours == expected, f"case {case}:\nours={ours}\nref ={expected}"
