@@ -360,7 +360,7 @@ def _resolve_cwd_relative(path: pd.Series, cwd: pd.Series) -> pd.Series:
 # ---------------------------------------------------------------------------
 
 
-def parse_pages_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+def parse_pages_pdf(pdf: pd.DataFrame, build_extracted_text: bool = True) -> pd.DataFrame:
     """Parse a batch of pages rows into routed event rows.
 
     Input columns:  url, warc_ts, text, lang
@@ -760,16 +760,23 @@ def parse_pages_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
             out[col] = None
 
     # byte-exact extracted_text: canonical k=v join in fixed field order
-    # (non-null fields only; single pass, no regex cleanup)
-    ok_mask = out["route"] == "parse_ok"
-    pieces = None
-    for f in EXTRACT_FIELD_ORDER:
-        col = out[f]
-        piece = (f + "=" + col.astype("string") + "|").where(col.notna() & ok_mask, "")
-        pieces = piece if pieces is None else pieces.str.cat(piece)
-    out["extracted_text"] = (
-        pieces.str.replace(r"\|$", "", regex=True).where(ok_mask, None)
-    )
+    # (non-null fields only). The Spark path builds this JVM-side from the
+    # same columns (udf.extracted_text_expr — whole-stage codegen, and the
+    # big string never crosses the Arrow boundary); build_extracted_text=True
+    # keeps the pandas construction for direct kernel users and the
+    # pandas-vs-JVM equivalence test.
+    if build_extracted_text:
+        ok_mask = out["route"] == "parse_ok"
+        pieces = None
+        for f in EXTRACT_FIELD_ORDER:
+            col = out[f]
+            piece = (f + "=" + col.astype("string") + "|").where(col.notna() & ok_mask, "")
+            pieces = piece if pieces is None else pieces.str.cat(piece)
+        out["extracted_text"] = (
+            pieces.str.replace(r"\|$", "", regex=True).where(ok_mask, None)
+        )
+    else:
+        out["extracted_text"] = None
 
     # dtypes for Arrow
     out["event_ts"] = pd.to_datetime(out["event_ts"], errors="coerce")

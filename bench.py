@@ -86,9 +86,17 @@ def main() -> None:
     for _trial in range(2):
         t0 = time.time()
         events = signature_exprs(parse_pages(pages)).persist()
+        # sum(length(extracted_text)) forces the byte-exact invariant to be
+        # materialized (it is JVM-built post-UDF and would otherwise be
+        # pruned by queries that don't read it)
         routes = {
             r["route"]: r["rows"]
-            for r in events.groupBy("route").agg(F.count(F.lit(1)).alias("rows")).collect()
+            for r in events.groupBy("route")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.length("extracted_text")).alias("et_bytes"),
+            )
+            .collect()
         }
         groups_cnt = denial_groups(events).count()
         rollup_cnt = per_lang_hour_rollup(events).count()

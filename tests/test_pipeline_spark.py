@@ -242,3 +242,18 @@ def test_hot_signature_salting_splits_state(spark):
     assert salts == NUM_SALTS
     # capped sets stay bounded on the hot group
     assert len(groups["hot"]["pids"]) <= 128
+
+
+def test_arrow_and_pandas_parse_paths_byte_equal(spark):
+    """The mapInArrow path (JVM-assembled extracted_text) must be
+    byte-identical to the mapInPandas path (kernel-built extracted_text)
+    across all 43 columns — this is the equivalence gate for the
+    Arrow-boundary optimization."""
+    from avc_parser_spark.datagen import build_pages_df
+    from avc_parser_spark.parse.udf import parse_pages
+
+    pages = build_pages_df(spark, 800).cache()
+    a = sorted(tuple(r) for r in parse_pages(pages, arrow_output=True).collect())
+    b = sorted(tuple(r) for r in parse_pages(pages, arrow_output=False).collect())
+    assert a == b
+    assert len(a) >= 800 * 0.9
