@@ -363,6 +363,27 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(docs).select("simhash", "dup_count")
 
 
+def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming≤3 pairs via pigeonhole band bucketing (rows-only:
+    recall is exact but the hash itself isn't ANSI-expressible). Planted:
+    every doc_id%10==2 shares one of three close text variants."""
+    from avc_parser_spark.functions.dedup import simhash_pairs
+
+    _views(spark, sf_dir, ["documents"])
+    docs = spark.sql(
+        """
+        SELECT doc_id,
+               case when doc_id % 10 = 2
+                    then 'shared base text for simhash near duplicate detection '
+                         || 'across web pages with a tail variant '
+                         || cast(doc_id % 3 as string)
+                    else text end AS text
+        FROM documents
+        """
+    )
+    return simhash_pairs(docs, max_hamming=3)
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against the vec_id=0 embedding."""
     _views(spark, sf_dir, ["embeddings"])
@@ -905,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_minhash_candidates,
         "dedup_simhash": q_simhash_dups,
+        "dedup_simhash_hamming": q_simhash_hamming,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "top_signatures": q_top_signatures,

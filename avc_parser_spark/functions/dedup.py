@@ -283,8 +283,8 @@ def simhash64(text: Column) -> Column:
 def simhash_near_dups(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Near-dup clusters via identical SimHash (Hamming 0 buckets; widen by
-    prefix-rotation bucketing for Hamming ≤ 3 at scale)."""
+    """Near-dup clusters via identical SimHash (Hamming-0 buckets).
+    For Hamming ≤ k pairs use `simhash_pairs` (banded bucketing)."""
     return (
         docs.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("simhash"))
         .groupBy("simhash")
@@ -293,6 +293,74 @@ def simhash_near_dups(
             F.sort_array(F.collect_list("_id")).alias("doc_ids"),
         )
         .filter(F.col("dup_count") >= 2)
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 512,
+) -> DataFrame:
+    """SimHash near-dup PAIRS with Hamming distance ≤ max_hamming.
+
+    Banded bucketing with a pigeonhole guarantee: the 64-bit simhash is
+    split into (max_hamming+1) disjoint bands, so any two hashes within
+    Hamming ≤ max_hamming agree EXACTLY on at least one band — recall is 1,
+    not probabilistic. Shuffle key is (band, band_value); candidates are
+    verified with a native bit_count(xor) filter. Oversized buckets (all-
+    identical boilerplate) are dropped like in minhash_lsh_candidates — those
+    members are exact dups caught by `exact_duplicates`/Hamming-0 clustering.
+    Returns (a, b, hamming) with a < b.
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands  # last band absorbs any remainder bits
+    sh = docs.select(
+        F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("simhash")
+    )
+    band_vals = []
+    for b in range(n_bands):
+        lo = b * width
+        hi = 64 if b == n_bands - 1 else lo + width
+        mask = (1 << (hi - lo)) - 1
+        shifted = F.shiftrightunsigned(F.col("simhash"), lo)
+        band_vals.append(shifted.bitwiseAND(F.lit(mask)))
+    banded = sh.select(
+        "_id", "simhash", F.posexplode(F.array(*band_vals)).alias("band", "val")
+    )
+    grouped = (
+        banded.groupBy("band", "val")
+        .agg(F.sort_array(F.collect_set("_id")).alias("members"))
+        .filter(F.size("members").between(2, max_bucket))
+    )
+    pairs = (
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("members"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("members"), i + 2, F.size("members")),
+                            lambda b: F.struct(a.alias("a"), b.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    ha = sh.select(F.col("_id").alias("a"), F.col("simhash").alias("_sha"))
+    hb = sh.select(F.col("_id").alias("b"), F.col("simhash").alias("_shb"))
+    return (
+        pairs.join(ha, "a")
+        .join(hb, "b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
     )
 
 

@@ -103,6 +103,40 @@ def test_simhash_clusters_exact_dups(docs):
     assert any(set(c["doc_ids"]) == {0, 1} for c in clusters)
 
 
+def test_simhash_pairs_hamming_banding_matches_brute_force(spark):
+    """Pigeonhole guarantee: banded bucketing must find EVERY pair within
+    Hamming <= 3 that brute force finds (recall 1, not probabilistic)."""
+    from itertools import combinations
+
+    from avc_parser_spark.functions.dedup import simhash64, simhash_pairs
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    words = base.split()
+    rows = []
+    for i in range(30):
+        w = list(words)
+        # perturb a few words per doc so some pairs land within Hamming<=3
+        for j in range(i % 4):
+            w[(i + 5 * j) % len(w)] = f"tok{i}_{j}"
+        rows.append((i, " ".join(w)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    hashes = {
+        r["doc_id"]: r["h"]
+        for r in docs.select("doc_id", simhash64(F.col("text")).alias("h")).collect()
+    }
+    expected = {
+        (a, b)
+        for a, b in combinations(sorted(hashes), 2)
+        if bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    assert expected, "corpus must contain at least one near-dup pair"
+
+    got = {(r["a"], r["b"]) for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert got == expected
+
+
 def test_text_profile(docs, spark):
     prof = {r["doc_id"]: r for r in document_profile(docs).collect()}
     assert prof[0]["n_tokens"] == 13
