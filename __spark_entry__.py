@@ -733,10 +733,15 @@ def q_detector_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_analyzer_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AN1/AN3/AN4/AN5 threshold findings over the planted group table
     (reference analyzers/labeling.py, relabeling.py, boot_impact.py,
-    patterns.py)."""
+    patterns.py). Scalar columns only — affected_sigs/hints/evidence are
+    pytest-verified (arrays/maps aren't comparable through the DuckDB
+    oracle)."""
     from avc_parser_spark.analyzers import run_analyzers
 
-    return run_analyzers(_analyzer_groups(spark, sf_dir))
+    return run_analyzers(_analyzer_groups(spark, sf_dir)).select(
+        "severity", "category", "title", "affected_groups", "total_events",
+        "detail",
+    )
 
 
 def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:

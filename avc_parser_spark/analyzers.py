@@ -54,8 +54,37 @@ CORE_SYSTEM_TYPES = [
 
 FINDINGS_SCHEMA = (
     "severity string, category string, title string, "
-    "affected_groups bigint, total_events bigint, detail string"
+    "affected_groups bigint, total_events bigint, detail string, "
+    "affected_sigs array<bigint>, hints array<string>, "
+    "evidence map<string,string>"
 )
+
+# Canned investigation hints per rule (reference findings carry these as
+# investigation_hints, analyzers/*.py; relational sig ids replace the
+# reference's positional group indices — stable under any row order).
+HINTS = {
+    "labeling": [
+        "filter groups with --target unlabeled_t to inspect the denials",
+        "run: fixfiles -v check",
+        "run: rpm -V selinux-policy-*",
+    ],
+    "relabeling": [
+        "check file-context rules: semanage fcontext -l",
+        "complete the relabel: restorecon -Rv <path> (or touch /.autorelabel)",
+    ],
+    "boot_impact": [
+        "inspect early-boot denials: journalctl -b -t audit",
+        "if boot is blocked, consider enforcing=0 on the kernel cmdline while fixing policy",
+    ],
+    "systemic": [
+        "many sources denied on one target usually means the TARGET is mislabeled",
+        "verify the expected label: matchpathcon <path>",
+    ],
+    "recurrence": [
+        "denials persisting across policy reloads mean the loaded policy does not cover them",
+        "re-check the generated policy module against the recurring signatures",
+    ],
+}
 
 
 def detector_flags(groups: DataFrame) -> DataFrame:
@@ -103,9 +132,19 @@ def _startswith_any(col, prefixes):
     return expr
 
 
-def _finding(spark: SparkSession, severity, category, title, affected, events, detail):
+def _finding(
+    spark: SparkSession, severity, category, title, affected, events, detail,
+    sigs=None, evidence=None,
+):
     return spark.createDataFrame(
-        [(severity, category, title, int(affected), int(events), detail)],
+        [
+            (
+                severity, category, title, int(affected), int(events), detail,
+                sorted(int(s) for s in (sigs or [])),
+                HINTS.get(category, []),
+                {k: str(v) for k, v in (evidence or {}).items()},
+            )
+        ],
         FINDINGS_SCHEMA,
     )
 
@@ -145,6 +184,7 @@ def run_analyzers(
         F.count(F.lit(1)).alias("grp"),
         F.coalesce(F.sum("count"), F.lit(0)).alias("ev"),
         F.max(F.col("rep_permissive") == "1").alias("any_perm"),
+        F.slice(F.sort_array(F.collect_set("sig_id")), 1, 128).alias("sigs"),
     ).head()
     if unl["grp"] >= 3 or unl["ev"] >= 10:
         findings.append(
@@ -156,6 +196,8 @@ def run_analyzers(
                 unl["grp"],
                 unl["ev"],
                 f"{unl['grp']} groups / {unl['ev']} events target unlabeled_t",
+                sigs=unl["sigs"],
+                evidence={"unlabeled_groups": unl["grp"], "unlabeled_events": unl["ev"]},
             )
         )
 
@@ -172,6 +214,7 @@ def run_analyzers(
         F.countDistinct("t_type").alias("types"),
         F.count(F.lit(1)).alias("grp"),
         F.coalesce(F.sum("count"), F.lit(0)).alias("ev"),
+        F.slice(F.sort_array(F.collect_set("sig_id")), 1, 128).alias("sigs"),
     ).head()
     if mls_bad["types"] >= 5:
         findings.append(
@@ -180,6 +223,8 @@ def run_analyzers(
                 "MLS labeling inconsistency: system files at wrong level",
                 mls_bad["grp"], mls_bad["ev"],
                 f"{mls_bad['types']} core types labeled s15 vs s0 sources",
+                sigs=mls_bad["sigs"],
+                evidence={"wrong_level_types": mls_bad["types"]},
             )
         )
 
@@ -191,6 +236,7 @@ def run_analyzers(
         F.count(F.lit(1)).alias("grp"),
         F.coalesce(F.sum("count"), F.lit(0)).alias("ev"),
         F.sort_array(F.collect_set("comm")).alias("tools"),
+        F.slice(F.sort_array(F.collect_set("sig_id")), 1, 128).alias("sigs"),
     ).head()
     if rel["grp"] > 0:
         findings.append(
@@ -199,6 +245,8 @@ def run_analyzers(
                 "Relabeling tools are being denied",
                 rel["grp"], rel["ev"],
                 "tools: " + ",".join(t for t in rel["tools"] if t),
+                sigs=rel["sigs"],
+                evidence={"tools": ",".join(t for t in rel["tools"] if t)},
             )
         )
 
@@ -210,6 +258,7 @@ def run_analyzers(
         F.count(F.lit(1)).alias("grp"),
         F.coalesce(F.sum("count"), F.lit(0)).alias("ev"),
         F.sort_array(F.collect_set("comm")).alias("svcs"),
+        F.slice(F.sort_array(F.collect_set("sig_id")), 1, 128).alias("sigs"),
     ).head()
     if boot["grp"] > 0:
         findings.append(
@@ -218,6 +267,8 @@ def run_analyzers(
                 "Boot-blocking denials detected",
                 boot["grp"], boot["ev"],
                 "services: " + ",".join(s for s in boot["svcs"][:5] if s),
+                sigs=boot["sigs"],
+                evidence={"services": ",".join(s for s in boot["svcs"][:5] if s)},
             )
         )
 
@@ -228,6 +279,7 @@ def run_analyzers(
             F.countDistinct("s_type").alias("sources"),
             F.count(F.lit(1)).alias("grp"),
             F.sum("count").alias("ev"),
+            F.slice(F.sort_array(F.collect_set("sig_id")), 1, 128).alias("sigs"),
         )
         .filter(F.col("sources") >= 10)
         .collect()
@@ -239,6 +291,8 @@ def run_analyzers(
                 f"Systemic issue: {row['sources']} processes denied on {row['t_type']}",
                 row["grp"], row["ev"],
                 f"target={row['t_type']} mls={row['t_mls']}",
+                sigs=row["sigs"],
+                evidence={"sources": row["sources"], "target": row["t_type"]},
             )
         )
 
@@ -258,7 +312,11 @@ def run_analyzers(
                     F.when(F.col("last_seen") >= bounds["hi"], F.col("count")).otherwise(0),
                 )
                 .groupBy("t_type")
-                .agg(F.sum("before_ev").alias("before"), F.sum("after_ev").alias("after"))
+                .agg(
+                    F.sum("before_ev").alias("before"),
+                    F.sum("after_ev").alias("after"),
+                    F.slice(F.sort_array(F.collect_set("sig_id")), 1, 128).alias("sigs"),
+                )
                 .filter((F.col("before") > 0) & (F.col("after") >= F.col("before") * 0.3))
                 .collect()
             )
@@ -270,6 +328,8 @@ def run_analyzers(
                         f"Recurring denials for {row['t_type']} across policy reloads",
                         0, row["before"] + row["after"],
                         f"before={row['before']} after={row['after']} trend={trend}",
+                        sigs=row["sigs"],
+                        evidence={"before": row["before"], "after": row["after"], "trend": trend},
                     )
                 )
 

@@ -52,6 +52,13 @@ def test_run_analyzers_produces_findings(spark, groups):
     assert any("unlabeled_t" in t for t in titles)
     for f in findings:
         assert f["severity"] in ("CRITICAL", "WARNING", "INFO")
+        # richness: every finding carries hints, evidence and (except AN6,
+        # which aggregates across reload windows) the affected sig ids
+        assert len(f["hints"]) > 0
+        assert len(f["evidence"]) > 0
+        if f["category"] != "recurrence":
+            assert f["affected_groups"] == 0 or len(f["affected_sigs"]) > 0
+            assert len(f["affected_sigs"]) <= 128
 
 
 def test_filter_process(spark, groups):
