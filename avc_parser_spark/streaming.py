@@ -58,6 +58,92 @@ def stream_lang_hour_rollup(
     )
 
 
+SESSION_OUT_DDL = (
+    "comm string, session_start timestamp, session_end timestamp, events long"
+)
+SESSION_STATE_DDL = "start_us long, last_us long, cnt long"
+
+
+def stream_denial_sessions(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): per-comm
+    denial sessions with a `gap_minutes` inactivity window — the streaming
+    twin of the batch `events_sessions` lag/cumsum sessionizer.
+
+    State per key: (session_start, last_seen, count) as int64 microseconds.
+    A session closes two ways: data-driven (a new event arrives more than
+    `gap` after last_seen — emitted immediately in that micro-batch) or by
+    EVENT-TIME TIMEOUT (watermark passes last_seen + gap — emitted at the
+    start of the next micro-batch). Events within the watermark are sorted
+    per batch before merging, so bounded disorder is handled; the still-open
+    session per key stays in state (flushed by timeout as the watermark
+    advances).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def _emit(comm: str, start_us: int, last_us: int, cnt: int) -> dict:
+        return {
+            "comm": comm,
+            "session_start": pd.Timestamp(start_us, unit="us"),
+            "session_end": pd.Timestamp(last_us, unit="us"),
+            "events": cnt,
+        }
+
+    def sessionize(key, pdf_iter, state: GroupState):
+        comm = key[0]
+        out: list[dict] = []
+        if state.hasTimedOut:
+            start_us, last_us, cnt = state.get
+            out.append(_emit(comm, start_us, last_us, cnt))
+            state.remove()
+        else:
+            ts_us = []
+            for pdf in pdf_iter:
+                vals = pd.to_datetime(pdf["event_ts"]).dropna()
+                ts_us.extend(vals.astype("int64") // 1000)
+            if ts_us:
+                ts_us.sort()
+                if state.exists:
+                    start_us, last_us, cnt = state.get
+                else:
+                    start_us, last_us, cnt = ts_us[0], ts_us[0] - 1, 0
+                    # sentinel: first event below starts the session cleanly
+                for t in ts_us:
+                    if cnt and t - last_us > gap_us:
+                        out.append(_emit(comm, start_us, last_us, cnt))
+                        start_us, cnt = t, 0
+                    last_us = max(last_us, t)
+                    cnt += 1
+                state.update((int(start_us), int(last_us), int(cnt)))
+                # fire when the watermark passes the inactivity gap
+                timeout_ms = last_us // 1000 + gap_us // 1000
+                state.setTimeoutTimestamp(
+                    max(timeout_ms, state.getCurrentWatermarkMs() + 1)
+                )
+        yield pd.DataFrame(
+            out, columns=["comm", "session_start", "session_end", "events"]
+        )
+
+    ok = (
+        events.filter(F.col("route") == "parse_ok")
+        .filter(F.col("comm").isNotNull() & F.col("event_ts").isNotNull())
+        .withWatermark("event_ts", watermark)
+    )
+    return ok.groupBy("comm").applyInPandasWithState(
+        sessionize,
+        SESSION_OUT_DDL,
+        SESSION_STATE_DDL,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     landing_dir: str,

@@ -135,3 +135,61 @@ def test_tpch_q3ish_uses_broadcast_for_customer(spark):
     df.collect()  # trigger AQE final plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_stateful_streaming_sessions(spark, tmp_path):
+    """applyInPandasWithState sessionizer: data-driven gap closure within a
+    micro-batch AND event-time-timeout closure across micro-batches."""
+    import os
+
+    from avc_parser_spark.streaming import stream_denial_sessions
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    ddl = "comm string, event_ts timestamp, route string"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(landing, name))
+
+    from datetime import datetime
+
+    t = lambda h, m: datetime(2025, 1, 1, h, m)  # noqa: E731
+    write_batch("b1", [
+        ("httpd", t(0, 0), "parse_ok"),
+        ("httpd", t(0, 10), "parse_ok"),
+        ("httpd", t(0, 20), "parse_ok"),
+        ("mysqld", t(0, 5), "parse_ok"),
+        ("mysqld", t(0, 6), "malformed"),  # filtered out
+    ])
+    write_batch("b2", [("httpd", t(3, 0), "parse_ok")])
+    write_batch("b3", [("httpd", t(6, 0), "parse_ok")])
+
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing + "/*")
+    )
+    q = (
+        stream_denial_sessions(stream, gap_minutes=30, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        (r["comm"], r["session_start"], r["session_end"], r["events"])
+        for r in spark.table("sess_test").collect()
+    }
+    # httpd 00:00-00:20 closes when the 03:00 event arrives (gap closure);
+    # mysqld 00:05 closes via event-time timeout once the watermark passes
+    # 00:35; httpd 03:00 closes via gap when 06:00 arrives. httpd 06:00
+    # stays open in state (stream ended) - correctly NOT emitted.
+    assert ("httpd", t(0, 0), t(0, 20), 3) in got
+    assert ("httpd", t(3, 0), t(3, 0), 1) in got
+    assert ("mysqld", t(0, 5), t(0, 5), 1) in got
+    assert not any(s[1] == t(6, 0) for s in got)
