@@ -175,28 +175,38 @@ def lsh_topk(
     query_vec: list[float],
     k: int = 10,
     n_planes: int = 8,
+    multi_probe: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k: probe only the query's LSH bucket, then exact cosine.
+    """ANN top-k: probe the query's LSH bucket (plus multi-probe neighbors),
+    then exact cosine within the probed buckets.
 
-    Recall < 1.0 by construction; at scale add multi-probe (flip one bit per
-    probe). The bucket column doubles as a bucketing key for the stored
-    table so a probe is a pruned scan, not a full pass."""
+    multi_probe = number of extra single-bit-flip buckets to probe, ordered
+    by how close the query sits to each hyperplane (|dot| ascending — the
+    planes most likely to have put a true neighbor on the other side).
+    multi_probe=0 is the classic single-bucket probe (recall < 1);
+    multi_probe=n_planes probes all Hamming-1 neighbors. The bucket column
+    doubles as a bucketing key for the stored table so every probe is a
+    pruned scan, not a full pass."""
     planes = make_planes(len(query_vec), n_planes)
     import numpy as np
 
+    dots = [float(np.dot(query_vec, p)) for p in planes]
     qbits = 0
-    for i, p in enumerate(planes):
-        if float(np.dot(query_vec, p)) >= 0:
+    for i, d in enumerate(dots):
+        if d >= 0:
             qbits |= 1 << i
+    # nearest-plane-first bit flips
+    flip_order = sorted(range(n_planes), key=lambda i: abs(dots[i]))
+    probes = [qbits] + [qbits ^ (1 << i) for i in flip_order[:multi_probe]]
 
     bucketed = embeddings.withColumn(
         "bucket", lsh_project_bucket(F.col(vec_col), planes)
     )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        bucketed.filter(F.col("bucket") == qbits)
+        bucketed.filter(F.col("bucket").isin(probes))
         .select(
             F.col(id_col),
             F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"),

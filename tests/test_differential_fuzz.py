@@ -105,6 +105,22 @@ def gen_block(rng: random.Random) -> str:
             f"x:y:z:s99 for scontext={rng.choice(CONTEXTS)} "
             f"tcontext={rng.choice(CONTEXTS)} tclass=process"
         )
+    if rng.random() < 0.08:
+        # AVC_PATH: denial-family record run through the full battery
+        # (parse_avc.py:886-895). The bare path-info form has no permission
+        # → invalid denial, dropped by BOTH implementations; the rare
+        # denied-clause form parses like an AVC with denial_type=AVC_PATH.
+        if rng.random() < 0.5:
+            lines.append(
+                f'type=AVC_PATH msg={aud}:  path="/var/www/html/p{rng.randint(0, 9)}"'
+            )
+        else:
+            lines.append(
+                f"type=AVC_PATH msg={aud}: avc:  denied  {{ {rng.choice(PERMS)} }} for "
+                f"pid={rng.randint(1, 9999)} comm={rng.choice(COMMS)} "
+                f"path=\"/srv/p{rng.randint(0, 9)}\" scontext={rng.choice(CONTEXTS)} "
+                f"tcontext={rng.choice(CONTEXTS)} tclass={rng.choice(TCLASSES)}"
+            )
     node = f"node=h{rng.randint(1, 9)} " if rng.random() < 0.15 else ""
 
     # the AVC line itself (sometimes FANOTIFY, an AVC-shaped variant)

@@ -179,6 +179,31 @@ def test_lsh_topk_subset_of_exact(spark):
         assert abs(exact[r["vec_id"]] - r["cosine"]) < 1e-6
 
 
+def test_lsh_topk_multi_probe_improves_recall(spark):
+    """Multi-probe (nearest-plane bit flips) must weakly improve recall vs
+    the exact top-k at every probe depth, and scores stay exact."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(16)
+    # 20 planted near-neighbors of the query + 280 unrelated vectors
+    planted = base + 0.25 * rng.randn(20, 16)
+    noise = rng.randn(280, 16)
+    vecs = np.vstack([base[None, :], planted, noise]).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[0]]
+    exact_top = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
+
+    last_recall = -1.0
+    for probes in (0, 4, 8):
+        ann = [r["vec_id"] for r in lsh_topk(emb, q, k=10, multi_probe=probes).collect()]
+        recall = len(set(ann) & set(exact_top)) / len(exact_top)
+        assert recall >= last_recall  # weakly monotone in probe depth
+        last_recall = recall
+    assert last_recall >= 0.7  # clustered data + Hamming-1 probes → high recall
+
+
 def test_media_feature_plumbing(spark):
     rows = [
         (0, "image", bytearray(b"\x89PNG fake")),
