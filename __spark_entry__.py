@@ -849,6 +849,55 @@ def q_events_rank_in_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear interpolation)."""
+    _views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT event_type,
+               round(percentile(value, 0.5), 4) AS p50,
+               round(percentile(value, 0.95), 4) AS p95,
+               round(min(value), 4) AS vmin,
+               round(max(value), 4) AS vmax
+        FROM events GROUP BY event_type
+        """
+    )
+
+
+def q_tpch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: per-nation, per-region and grand-total balances."""
+    _views(spark, sf_dir, ["supplier", "nation", "region"])
+    return spark.sql(
+        """
+        SELECT coalesce(r.r_name, 'ALL') AS region,
+               coalesce(n.n_name, 'ALL') AS nation,
+               round(sum(s.s_acctbal), 2) AS total_acctbal,
+               count(*) AS suppliers
+        FROM supplier s
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP(r.r_name, n.n_name)
+        """
+    )
+
+
+def q_events_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: users who clicked AND viewed but never made a
+    high-value purchase."""
+    _views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'view'
+        EXCEPT
+        SELECT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 180
+        """
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k: trained centroids + cluster-pruned probe (rows-only)."""
     from avc_parser_spark.functions.similarity import ivf_topk, train_centroids
@@ -960,6 +1009,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12ish_caseagg": q_tpch_q12ish,
         "events_moving_avg": q_events_moving_avg,
         "events_rank_in_type": q_events_rank_in_type,
+        "events_percentiles": q_events_percentiles,
+        "events_set_ops": q_events_set_ops,
+        "tpch_rollup_revenue": q_tpch_rollup,
         "ann_ivf_topk": q_ann_ivf,
         "pipeline_json_normalize": q_json_normalize,
         "pipeline_extracted_text": q_extracted_text,
@@ -1582,6 +1634,32 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY event_type ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING), 2) AS running_value
             FROM events
+        """,
+        "events_percentiles": """
+            SELECT event_type,
+                   (round(quantile_cont(value, 0.5), 4))::DOUBLE AS p50,
+                   (round(quantile_cont(value, 0.95), 4))::DOUBLE AS p95,
+                   (round(min(value), 4))::DOUBLE AS vmin,
+                   (round(max(value), 4))::DOUBLE AS vmax
+            FROM events GROUP BY event_type
+        """,
+        "events_set_ops": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'view'
+            EXCEPT
+            SELECT user_id FROM events
+            WHERE event_type = 'purchase' AND value > 180
+        """,
+        "tpch_rollup_revenue": """
+            SELECT coalesce(r.r_name, 'ALL') AS region,
+                   coalesce(n.n_name, 'ALL') AS nation,
+                   round(sum(s.s_acctbal), 2) AS total_acctbal,
+                   count(*) AS suppliers
+            FROM supplier s
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY ROLLUP(r.r_name, n.n_name)
         """,
         "pipeline_json_normalize": f"""
             SELECT 'doc' || cast(doc_id as string) AS url,
