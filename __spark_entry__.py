@@ -911,6 +911,45 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column through the Arrow-batched
+    featurize UDF. Oracle checks the REAL plumbing outputs (byte counts /
+    routing); the decode kernel itself is an honest stub (no codecs in the
+    container), so feature/decode_status stay pytest-verified."""
+    from avc_parser_spark.functions.multimodal import extract_media_features
+
+    _views(spark, sf_dir, ["documents"])
+    media = spark.sql(
+        """
+        SELECT doc_id,
+               case when doc_id % 2 = 0 then 'image' else 'audio' end AS media_type,
+               cast(text as binary) AS payload
+        FROM documents
+        """
+    )
+    return extract_media_features(media).select("doc_id", "media_type", "n_bytes")
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out (sequence+explode, shuffle-free): one
+    work unit per sampled frame index."""
+    from avc_parser_spark.functions.multimodal import frame_sample_plan
+
+    _views(spark, sf_dir, ["documents"])
+    media = spark.sql(
+        """
+        SELECT doc_id, 'video' AS media_type, cast(null as binary) AS payload,
+               cast(null as int) AS width, cast(null as int) AS height,
+               cast(1 + doc_id % 120 as int) AS n_frames,
+               cast(null as int) AS sample_rate
+        FROM documents WHERE doc_id % 3 = 0
+        """
+    )
+    return frame_sample_plan(media, every_n=30).select(
+        "doc_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
 def q_json_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4 JSON-contract normalization: typed pid/ino, boolean permissive,
     numeric port + class, context component structs, saddr laddr/lport
@@ -1014,6 +1053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_rollup_revenue": q_tpch_rollup,
         "ann_ivf_topk": q_ann_ivf,
         "pipeline_json_normalize": q_json_normalize,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
         "pipeline_extracted_text": q_extracted_text,
     }
 
@@ -1660,6 +1701,17 @@ def oracle_sql() -> dict[str, str]:
               JOIN nation n ON s.s_nationkey = n.n_nationkey
               JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY ROLLUP(r.r_name, n.n_name)
+        """,
+        "multimodal_features": """
+            SELECT doc_id,
+                   (case when doc_id % 2 = 0 then 'image' else 'audio' end) AS media_type,
+                   cast(octet_length(encode(text)) as bigint) AS n_bytes
+            FROM documents
+        """,
+        "multimodal_frame_sample": """
+            SELECT doc_id,
+                   unnest(generate_series(0, doc_id % 120, 30)) AS frame_idx
+            FROM documents WHERE doc_id % 3 = 0
         """,
         "pipeline_json_normalize": f"""
             SELECT 'doc' || cast(doc_id as string) AS url,
