@@ -71,15 +71,18 @@ EVENT_SCHEMA_DDL = ", ".join(
 # largest string column never crosses the Arrow boundary.
 INNER_SCHEMA_DDL = EVENT_SCHEMA_DDL.replace(", extracted_text string", "")
 
-_ARROW_SCHEMA = None
+_DDL_TYPES = dict(
+    part.rsplit(" ", 1) for part in EVENT_SCHEMA_DDL.split(", ")
+)
+
+_ARROW_SCHEMAS: dict[str, object] = {}
 
 
-def _arrow_schema():
-    """INNER_SCHEMA_DDL as the exact Arrow schema Spark's mapInArrow expects
+def _arrow_schema(ddl: str = INNER_SCHEMA_DDL):
+    """A DDL string as the exact Arrow schema Spark's mapInArrow expects
     (strings, timestamp[us, tz=UTC] under the pinned UTC session, bool,
     int64)."""
-    global _ARROW_SCHEMA
-    if _ARROW_SCHEMA is None:
+    if ddl not in _ARROW_SCHEMAS:
         import pyarrow as pa
 
         type_map = {
@@ -89,11 +92,11 @@ def _arrow_schema():
             "bigint": pa.int64(),
         }
         fields = []
-        for part in INNER_SCHEMA_DDL.split(", "):
+        for part in ddl.split(", "):
             name, typ = part.rsplit(" ", 1)
             fields.append(pa.field(name, type_map[typ]))
-        _ARROW_SCHEMA = pa.schema(fields)
-    return _ARROW_SCHEMA
+        _ARROW_SCHEMAS[ddl] = pa.schema(fields)
+    return _ARROW_SCHEMAS[ddl]
 
 
 def extracted_text_expr():
@@ -113,7 +116,7 @@ def extracted_text_expr():
     return F.when(F.col("route") == "parse_ok", F.concat_ws("|", *pieces))
 
 
-def _pdf_to_batch(out: pd.DataFrame):
+def _pdf_to_batch(out: pd.DataFrame, ddl: str = INNER_SCHEMA_DDL):
     """pandas event frame → Arrow RecordBatch, column-at-a-time.
 
     This replaces Spark's generic pandas→Arrow serializer on the OUTPUT side
@@ -121,7 +124,7 @@ def _pdf_to_batch(out: pd.DataFrame):
     types, no intermediate Series coercion pass."""
     import pyarrow as pa
 
-    schema = _arrow_schema()
+    schema = _arrow_schema(ddl)
     arrays = []
     for field in schema:
         col = out[field.name]
@@ -136,9 +139,17 @@ def _pdf_to_batch(out: pd.DataFrame):
 
 
 def parse_pages(
-    pages: DataFrame, jvm_pregate: bool = True, arrow_output: bool = True
+    pages: DataFrame,
+    jvm_pregate: bool = True,
+    arrow_output: bool = True,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → routed event DataFrame.
+
+    columns: optional subset of EVENT columns for aggregate-only consumers —
+    only those columns cross the Arrow boundary (url/route/parse_status are
+    always included; asking for extracted_text pulls in its source columns
+    internally but still projects to the requested set). Arrow path only.
 
     arrow_output=True runs the kernel under mapInArrow: the input batch is
     converted to pandas once (same as mapInPandas), but the 43-column event
@@ -206,10 +217,31 @@ def parse_pages(
         for pdf in batches:
             yield parse_with_salvage(pdf)
 
+    from avc_parser_spark.parse.kernels import EVENT_COLUMNS
+
+    if columns is None:
+        inner_cols = [c for c in EVENT_COLUMNS if c != "extracted_text"]
+        want_et, final_cols = True, None
+    else:
+        unknown = set(columns) - set(EVENT_COLUMNS)
+        if unknown:
+            raise ValueError(f"unknown event columns: {sorted(unknown)}")
+        want_et = "extracted_text" in columns
+        final_cols = list(
+            dict.fromkeys(["url", "route", "parse_status", *columns])
+        )
+        inner = set(final_cols) - {"extracted_text"}
+        if want_et:
+            from avc_parser_spark.parse.kernels import EXTRACT_FIELD_ORDER
+
+            inner |= set(EXTRACT_FIELD_ORDER)
+        inner_cols = [c for c in EVENT_COLUMNS if c in inner]
+    inner_ddl = ", ".join(f"{c} {_DDL_TYPES[c]}" for c in inner_cols)
+
     def run_arrow(batches):
         for batch in batches:
             out = parse_with_salvage(batch.to_pandas(), build_extracted_text=False)
-            yield _pdf_to_batch(out)
+            yield _pdf_to_batch(out, inner_ddl)
 
     pruned = pages.select("url", "warc_ts", "text", "lang")
     if jvm_pregate:
@@ -230,7 +262,10 @@ def parse_pages(
             "url", "warc_ts", gated_text.alias("text"), "lang"
         )
     if arrow_output:
-        return pruned.mapInArrow(run_arrow, schema=INNER_SCHEMA_DDL).withColumn(
-            "extracted_text", extracted_text_expr()
-        )
+        out = pruned.mapInArrow(run_arrow, schema=inner_ddl)
+        if want_et:
+            out = out.withColumn("extracted_text", extracted_text_expr())
+        return out.select(*final_cols) if final_cols else out
+    if columns is not None:
+        raise ValueError("columns narrowing requires arrow_output=True")
     return pruned.mapInPandas(run, schema=EVENT_SCHEMA_DDL)

@@ -257,3 +257,36 @@ def test_arrow_and_pandas_parse_paths_byte_equal(spark):
     b = sorted(tuple(r) for r in parse_pages(pages, arrow_output=False).collect())
     assert a == b
     assert len(a) >= 800 * 0.9
+
+
+def test_parse_pages_narrow_output(spark):
+    """The columns= narrowing must project without changing values, always
+    carry routing essentials, and reject unknown columns / the pandas path."""
+    from avc_parser_spark.parse.udf import parse_pages
+
+    pages = build_pages_df(spark, 400).cache()
+    full = parse_pages(pages)
+    narrow = parse_pages(pages, columns=["lang", "event_ts", "comm"])
+    assert narrow.columns == ["url", "route", "parse_status", "lang", "event_ts", "comm"]
+    a = sorted(tuple(r) for r in narrow.collect())
+    b = sorted(
+        tuple(r)
+        for r in full.select(
+            "url", "route", "parse_status", "lang", "event_ts", "comm"
+        ).collect()
+    )
+    assert a == b
+
+    et = parse_pages(pages, columns=["extracted_text"])
+    assert et.columns == ["url", "route", "parse_status", "extracted_text"]
+    ea = sorted(tuple(r) for r in et.collect())
+    eb = sorted(
+        tuple(r)
+        for r in full.select("url", "route", "parse_status", "extracted_text").collect()
+    )
+    assert ea == eb
+
+    with pytest.raises(ValueError):
+        parse_pages(pages, columns=["nope"])
+    with pytest.raises(ValueError):
+        parse_pages(pages, columns=["lang"], arrow_output=False)
