@@ -332,19 +332,23 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates over a corpus with planted near-dups
-    (rows-only check: LSH banding isn't ANSI-SQL-expressible)."""
+    (rows-only check: LSH banding isn't ANSI-SQL-expressible). Planting
+    density 1/25 — dense enough to always yield verified pairs, sparse
+    enough that the pair count stays linear in corpus size."""
     _views(spark, sf_dir, ["documents"])
-    # plant near-dups: every doc_id%5==0 gets a shared boilerplate prefix
     docs = spark.sql(
         """
         SELECT doc_id,
-               case when doc_id % 5 = 0
-                    then 'common boilerplate header text for every fifth page '
+               case when doc_id % 25 = 0
+                    then 'common boilerplate header text for these pages '
                          || substr(text, 1, 40)
                     else text end AS text
         FROM documents
         """
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
+    # ^ the driver testdata parquet is a single row group → one split; the
+    # sketch is the UDF-heavy stage, so buy parallelism with one tiny shuffle
+    # (at warehouse scale the table is written pre-distributed instead)
     pairs = minhash_lsh_candidates(docs)
     verified = ngram_jaccard(docs, pairs).filter(F.col("jaccard") >= 0.5)
     return verified.orderBy("a", "b")
@@ -380,7 +384,7 @@ def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
                     else text end AS text
         FROM documents
         """
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     return simhash_pairs(docs, max_hamming=3)
 
 

@@ -88,18 +88,54 @@ def minhash_signature_udf(num_perms: int = DEFAULT_PERMS):
     b = np.array(b_list, dtype=np.uint64)
     m = np.uint64(MERSENNE61)
 
+    # bound the (num_perms × chunk) work matrix to ~32 MB
+    chunk_hashes = max(1, (4 << 20) // num_perms)
+
     @pandas_udf("array<long>")
     def _sig(base_hashes: pd.Series) -> pd.Series:
-        out = []
-        for hs in base_hashes:
-            if hs is None or len(hs) == 0:
-                out.append([0] * num_perms)
-                continue
-            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-            # (num_perms, n_shingles) universal hash, min per row
-            vals = (np.outer(a, h) + b[:, None]) % m
-            out.append(vals.min(axis=1).astype(np.int64).tolist())
-        return pd.Series(out)
+        n_docs = len(base_hashes)
+        lens = np.fromiter(
+            (0 if hs is None else len(hs) for hs in base_hashes),
+            dtype=np.int64,
+            count=n_docs,
+        )
+        total = int(lens.sum())
+        empty_sig = [0] * num_perms
+        if total == 0:
+            return pd.Series([empty_sig] * n_docs)
+
+        # flatten every doc's shingle hashes into ONE array, then compute the
+        # (num_perms × hashes) universal-hash matrix in doc-aligned chunks and
+        # take per-document segment minima — no per-row python/numpy calls.
+        flat = np.concatenate(
+            [np.asarray(hs, dtype=np.int64) for hs in base_hashes if hs is not None and len(hs)]
+        ).astype(np.uint64)
+        seg_lens = lens[lens > 0]
+        starts = np.zeros(len(seg_lens), dtype=np.int64)
+        np.cumsum(seg_lens[:-1], out=starts[1:])
+
+        mins = np.empty((num_perms, len(seg_lens)), dtype=np.uint64)
+        doc_lo = 0
+        while doc_lo < len(seg_lens):
+            doc_hi = doc_lo
+            span = 0
+            while doc_hi < len(seg_lens) and (
+                span + seg_lens[doc_hi] <= chunk_hashes or doc_hi == doc_lo
+            ):
+                span += seg_lens[doc_hi]
+                doc_hi += 1
+            lo = starts[doc_lo]
+            vals = (np.outer(a, flat[lo : lo + span]) + b[:, None]) % m
+            mins[:, doc_lo:doc_hi] = np.minimum.reduceat(
+                vals, (starts[doc_lo:doc_hi] - lo).astype(np.int64), axis=1
+            )
+            doc_lo = doc_hi
+
+        sigs = mins.T.astype(np.int64).tolist()
+        it = iter(sigs)
+        return pd.Series(
+            [next(it) if n else empty_sig for n in lens]
+        )
 
     return _sig
 
@@ -231,13 +267,19 @@ def ngram_jaccard(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = DEFAULT_SHINGLE,
+    hashed: bool = True,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for candidate pairs: join shingle sets back on
-    both sides (2 broadcast-or-shuffle joins), compute |∩|/|∪| natively."""
-    sh = docs.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh"),
-    )
+    """n-gram Jaccard for candidate pairs: join shingle sets back on both
+    sides (2 broadcast-or-shuffle joins), compute |∩|/|∪| natively.
+
+    hashed=True intersects 64-bit shingle hashes instead of the shingle
+    strings — same Jaccard up to xxhash64 collisions (~n²/2⁶⁴, negligible)
+    at a fraction of the compare cost; hashed=False keeps byte-exact string
+    sets for oracle-grade comparisons."""
+    shingles = F.array_distinct(word_shingles(F.col(text_col), k))
+    if hashed:
+        shingles = F.transform(shingles, lambda s: F.xxhash64(s))
+    sh = docs.select(F.col(id_col).alias("_id"), shingles.alias("sh"))
     return (
         pairs.join(sh.withColumnRenamed("_id", "a").withColumnRenamed("sh", "sh_a"), "a")
         .join(sh.withColumnRenamed("_id", "b").withColumnRenamed("sh", "sh_b"), "b")
