@@ -76,8 +76,19 @@ AVC_PATTERNS: dict[str, str] = {
     "permissive": r"permissive=(\d+)",
 }
 
-# SELINUX_ERR bodies carry contexts but no `denied { }` (parse_avc.py:778-815).
-SELINUX_ERR_RE = r"(?:invalid context|security_compute_sid|op=security_compute_av)"
+# SELINUX_ERR bodies carry contexts but no `denied { }`. Validity is the
+# reference's ORDERED grammar (parse_avc.py:781-784): a recognized error
+# marker, then scontext, tcontext, tclass in that order — otherwise the
+# record is dropped ({}).
+SELINUX_ERR_ORDERED_RE = (
+    r"(?:security_compute_sid|security_bounded_transition|op=\w+)"
+    r".*?scontext=(\S+).*?tcontext=(\S+).*?tclass=(\S+)"
+)
+# USER_SELINUX_ERR parses its msg='...' content with an op-first grammar and
+# old/new-context aliases; NO tclass is set (parse_avc.py:818-864).
+USER_SELINUX_ERR_RE = (
+    r"op=(\w+).*?(?:oldcontext|scontext)=(\S+).*?(?:newcontext|tcontext)=(\S+)"
+)
 
 # Shared (non-AVC) record patterns (parse_avc.py:584-602).
 PAT_CWD = r"cwd=\"([^\"]+)\""
@@ -97,9 +108,11 @@ PAT_EXECVE_ARG = r'a\d+=(?:"([^"]*)"|(\S+))'
 
 CTRL_CHARS_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
 
-# Record types the pipeline parses as denials (parse_avc.py:63-76).
+# Record types the pipeline parses as denials (parse_avc.py:63-76), incl.
+# the numeric forms: 1400 ≡ AVC, 1107 ≡ USER_AVC (parse_avc.py:770,890-898).
 AVC_DENIAL_TYPES = frozenset(
-    {"AVC", "USER_AVC", "AVC_PATH", "FANOTIFY", "SELINUX_ERR", "USER_SELINUX_ERR"}
+    {"AVC", "USER_AVC", "AVC_PATH", "FANOTIFY", "SELINUX_ERR",
+     "USER_SELINUX_ERR", "1400", "1107"}
 )
 POLICY_TYPES = frozenset({"MAC_POLICY_LOAD", "MAC_STATUS"})
 CONTEXT_TYPES = frozenset(
@@ -473,9 +486,12 @@ def parse_pages_pdf(pdf: pd.DataFrame, build_extracted_text: bool = True) -> pd.
 
     ex_rows = arecs[arecs["rtype"] == "EXECVE"]
     if len(ex_rows):
-        # argv reassembly a0=".." a1=".." → joined cmdline (parse_avc.py:639-644)
+        # argv reassembly a0=".." a1=".." → joined cmdline (parse_avc.py:639-644).
+        # pandas extractall yields NaN for EMPTY captures (a0="") where the
+        # reference's findall yields '' — final fillna("") restores parity
+        # (empty args keep their separator slot in the joined cmdline).
         alist = ex_rows["line"].str.extractall(PAT_EXECVE_ARG)
-        alist["arg"] = alist[0].fillna(alist[1])
+        alist["arg"] = alist[0].fillna(alist[1]).fillna("")
         cmd = alist.groupby(level=0)["arg"].agg(" ".join)
         ex_rows = ex_rows.assign(execve_cmdline=cmd)
         shared["execve_cmdline"] = last_per_block(ex_rows, "execve_cmdline")
@@ -539,26 +555,45 @@ def parse_pages_pdf(pdf: pd.DataFrame, build_extracted_text: bool = True) -> pd.
         avc["avc_path"] = avc["path_quoted"].fillna(avc["path_unquoted"])
         avc["path_from_avc"] = avc["avc_path"].notna()
 
-        # SELINUX_ERR-style records are valid denials without permission
-        # (parse_avc.py:298-326)
-        avc["is_selinux_err"] = avc["rtype"].str.contains(
-            "SELINUX_ERR"
-        ) | avc["line"].str.contains(SELINUX_ERR_RE, regex=True)
+        # SELINUX_ERR family: each subtype has its OWN validity grammar and
+        # early-return field set (parse_avc.py:778-864). Records failing
+        # their grammar are dropped ({}), exactly like the reference.
+        se_mask = avc["rtype"] == "SELINUX_ERR"
+        use_mask = avc["rtype"] == "USER_SELINUX_ERR"
+        avc["is_selinux_err"] = pd.Series(False, index=avc.index)
+        if se_mask.any():
+            m = avc.loc[se_mask, "line"].str.extract(SELINUX_ERR_ORDERED_RE)
+            ok = m[0].notna()
+            avc.loc[se_mask, "is_selinux_err"] = ok
+            avc.loc[se_mask, "scontext"] = m[0].where(ok, None)
+            avc.loc[se_mask, "tcontext"] = m[1].where(ok, None)
+            avc.loc[se_mask, "tclass"] = m[2].where(ok, None)
+        if use_mask.any():
+            inner = _extract1(avc.loc[use_mask, "line"], r"msg='([^']+)'")
+            um = inner.astype("string").str.extract(USER_SELINUX_ERR_RE)
+            ok = um[0].notna()
+            avc.loc[use_mask, "is_selinux_err"] = ok
+            avc.loc[use_mask, "scontext"] = um[1].where(ok, None)
+            avc.loc[use_mask, "tcontext"] = um[2].where(ok, None)
+            # the reference never sets tclass for USER_SELINUX_ERR
+            avc.loc[use_mask, "tclass"] = None
         avc["valid_denial"] = avc["permission"].notna() | avc["is_selinux_err"]
 
-        # SELINUX_ERR records return early in the reference with ONLY
-        # scontext/tcontext/tclass extracted (parse_avc.py:778-815) —
-        # no battery fields, no path cascade; shared-context fields
-        # (cwd/syscall/exe/proctitle/saddr) are retained via the copy.
-        selinux_err_mask = avc["rtype"].isin(["SELINUX_ERR", "USER_SELINUX_ERR"])
+        # Early-return field sets: SELINUX_ERR keeps ONLY the matched
+        # contexts+tclass; USER_SELINUX_ERR additionally keeps the OUTER pid
+        # (parse_avc.py:825-833); no battery fields, no path cascade;
+        # shared-context fields (cwd/syscall/exe/proctitle/saddr) are
+        # retained via the copy.
+        selinux_err_mask = se_mask | use_mask
         if selinux_err_mask.any():
             for f in [
-                "permission", "pid", "comm", "exe", "proctitle", "avc_path",
+                "permission", "comm", "exe", "proctitle", "avc_path",
                 "path_quoted", "path_unquoted", "name", "dev", "ino",
                 "dest_port", "dbus_dest", "permissive",
             ]:
                 if f in avc.columns:
                     avc[f] = avc[f].where(~selinux_err_mask, None)
+            avc["pid"] = avc["pid"].where(~se_mask, None)
             avc["path_from_avc"] = avc["path_from_avc"] & ~selinux_err_mask
 
         avc["proctitle"] = _decode_proctitle_values(avc["proctitle"])
@@ -700,6 +735,10 @@ def parse_pages_pdf(pdf: pd.DataFrame, build_extracted_text: bool = True) -> pd.
             & avc["sc_type"].isna()
         )
         avc["valid_denial"] = avc["valid_denial"] & ~crash_drop
+
+        # numeric record types display as their named family
+        # (parse_avc.py:890-898: 1400 → AVC, 1107 → USER_AVC)
+        avc["rtype"] = avc["rtype"].replace({"1400": "AVC", "1107": "USER_AVC"})
 
         avc["event_id"] = avc["_blk"].map(blk_event_id)
         avc["host"] = avc["_blk"].map(blk_host)

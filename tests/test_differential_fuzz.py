@@ -76,6 +76,23 @@ def gen_block(rng: random.Random) -> str:
         )
     if rng.random() < 0.4:
         lines.append(f'type=CWD msg={aud}: cwd="/home/{rng.choice(["user", "a b"])}"')
+    if rng.random() < 0.25:
+        # SOCKADDR: hex form populates saddr; interpreted struct form does
+        # NOT (reference pattern is hex-only, parse_avc.py:600)
+        sa = rng.choice([
+            "0200005000000000",
+            "02001538C0A80002" * rng.choice([1, 2]),
+            "{ saddr_fam=inet laddr=10.0.0.%d lport=%d }" % (rng.randint(1, 9), rng.randint(1, 65535)),
+            "01002F72756E2F64627573",
+        ])
+        lines.append(f"type=SOCKADDR msg={aud}: saddr={sa}")
+    if rng.random() < 0.25:
+        argc = rng.randint(1, 3)
+        args = " ".join(
+            f'a{i}="{rng.choice(["/usr/bin/x", "-v", "two words", ""])}"'
+            for i in range(argc)
+        )
+        lines.append(f"type=EXECVE msg={aud}: argc={argc} {args}")
     for item in range(rng.randint(0, 3)):
         nt = rng.choice(["NORMAL", "PARENT", "CREATE"])
         lines.append(
@@ -99,12 +116,37 @@ def gen_block(rng: random.Random) -> str:
             f"{dbus_dest}"
             f"scontext={rng.choice(CONTEXTS)} tcontext={rng.choice(CONTEXTS)} tclass=dbus'"
         )
-    if rng.random() < 0.08:
-        lines.append(
-            f"type=SELINUX_ERR msg={aud}: security_compute_sid: invalid context "
-            f"x:y:z:s99 for scontext={rng.choice(CONTEXTS)} "
-            f"tcontext={rng.choice(CONTEXTS)} tclass=process"
-        )
+    if rng.random() < 0.12:
+        form = rng.random()
+        if form < 0.4:
+            lines.append(
+                f"type=SELINUX_ERR msg={aud}: security_compute_sid: invalid context "
+                f"x:y:z:s99 for scontext={rng.choice(CONTEXTS)} "
+                f"tcontext={rng.choice(CONTEXTS)} tclass=process"
+            )
+        elif form < 0.55:
+            # tclass missing → fails the ordered grammar → dropped by both
+            lines.append(
+                f"type=SELINUX_ERR msg={aud}: op=security_bounded_transition "
+                f"scontext={rng.choice(CONTEXTS)} tcontext={rng.choice(CONTEXTS)}"
+            )
+        elif form < 0.85:
+            # valid USER_SELINUX_ERR: op-first grammar inside msg='...'
+            sckey = rng.choice(["oldcontext", "scontext"])
+            tckey = "newcontext" if sckey == "oldcontext" else "tcontext"
+            lines.append(
+                f"type=USER_SELINUX_ERR msg={aud}: pid={rng.randint(10, 999)} uid=0 "
+                f"msg='op=security_compute_av invalid context "
+                f"{sckey}={rng.choice(CONTEXTS)} {tckey}={rng.choice(CONTEXTS)} "
+                f"seresult=deny'"
+            )
+        else:
+            # bare USER_SELINUX_ERR without msg content → dropped by both
+            lines.append(
+                f"type=USER_SELINUX_ERR msg={aud}: security_compute_sid: invalid "
+                f"context x:y:z for scontext={rng.choice(CONTEXTS)} "
+                f"tcontext={rng.choice(CONTEXTS)} tclass=process"
+            )
     if rng.random() < 0.08:
         # AVC_PATH: denial-family record run through the full battery
         # (parse_avc.py:886-895). The bare path-info form has no permission
@@ -123,8 +165,9 @@ def gen_block(rng: random.Random) -> str:
             )
     node = f"node=h{rng.randint(1, 9)} " if rng.random() < 0.15 else ""
 
-    # the AVC line itself (sometimes FANOTIFY, an AVC-shaped variant)
-    rtype = "FANOTIFY" if rng.random() < 0.06 else "AVC"
+    # the AVC line itself (sometimes FANOTIFY or the numeric 1400 ≡ AVC)
+    r = rng.random()
+    rtype = "FANOTIFY" if r < 0.06 else ("1400" if r < 0.12 else "AVC")
     parts = [f"{node}type={rtype} msg={aud}: avc:  denied  {{ {rng.choice(PERMS)} }} for "]
     fields = []
     if rng.random() < 0.95:
