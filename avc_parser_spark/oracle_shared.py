@@ -147,11 +147,29 @@ _SOCK_LINE = (
     f"else 'saddr=' || {SADDR_CASE} end)"
 )
 
+# P5 — the AVC line's own timestamp cycles through all THREE formats the
+# reference accepts (parse_avc.py:900-927): interpreted MM/DD/YYYY and
+# DD/MM/YY forms use CONSTANT wall-clock texts (portable across both SQL
+# dialects) whose epochs are fixed; everything else is raw-epoch form.
+# event_id/host still come from the block's raw-form records (shared
+# context), so only event_ts moves.
+TS_TEXT = (
+    "(case when doc_id % 13 = 1 then '11/14/2023 22:21:33.000' "
+    "when doc_id % 13 = 2 then '14/11/23 22:21:34.000' "
+    f"else cast({EPOCH0} + doc_id as string) || '.000' end)"
+)
+# 2023-11-14 22:21:33 UTC = 1700000493; 22:21:34 = 1700000494
+EPOCH_CASE = (
+    "(case when doc_id % 13 = 1 then 1700000493 "
+    "when doc_id % 13 = 2 then 1700000494 "
+    f"else {EPOCH0} + doc_id end)"
+)
+
 # The AVC denial line. Embedded path= only outside the cascade branches;
 # doc_id%11=0 rows additionally carry an AVC exe= that the SYSCALL exe must
 # override (P13 priority: SYSCALL exe > AVC exe).
 _AVC_LINE = (
-    f"'type=AVC msg=audit(' || cast({EPOCH0} + doc_id as string) || '.000:' "
+    f"'type=AVC msg=audit(' || {TS_TEXT} || ':' "
     f"|| cast(doc_id as string) || '): avc:  denied  {{ ' || {PERM_CASE} "
     f"|| ' }} for  pid=' || cast(1000 + doc_id % 97 as string) "
     f"|| ' comm=\"' || {COMM_CASE} || '\"' "
@@ -199,7 +217,7 @@ ORACLE_FIELDS = {
     "permissive": PERMISSIVE_CASE,
     "scontext_raw": SCONTEXT,
     "tcontext_raw": TCONTEXT,
-    "epoch": f"({EPOCH0} + doc_id)",
+    "epoch": EPOCH_CASE,
     # shared-context fields (P3/P4): SYSCALL exe wins over the AVC exe
     # planted on doc_id%11 rows (P13); exit is errno-translated (P10)
     "exe": EXE_CASE,
