@@ -913,6 +913,19 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, list(qvec), cents, k=10, n_probe=2)
 
 
+def q_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with n_probe = all clusters is EXACT by construction, so the
+    whole train→assign→probe machinery is hash-checked against the DuckDB
+    brute-force cosine oracle."""
+    from avc_parser_spark.functions.similarity import ivf_topk, train_centroids
+
+    _views(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings")
+    cents = train_centroids(emb, k=4, iters=2)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivf_topk(emb, list(qvec), cents, k=10, n_probe=len(cents))
+
+
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1056,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_set_ops": q_events_set_ops,
         "tpch_rollup_revenue": q_tpch_rollup,
         "ann_ivf_topk": q_ann_ivf,
+        "ann_ivf_exact_topk": q_ann_ivf_exact,
         "pipeline_json_normalize": q_json_normalize,
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -1310,6 +1324,18 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus GROUP BY 1 HAVING count(*) >= 2
         """,
         "ann_cosine_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            ex AS (
+              SELECT vec_id,
+                     unnest(embedding)::DOUBLE AS x,
+                     unnest((SELECT qe FROM q))::DOUBLE AS y
+              FROM embeddings)
+            SELECT vec_id,
+                   round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cosine
+            FROM ex GROUP BY vec_id
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "ann_ivf_exact_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
             ex AS (
               SELECT vec_id,
