@@ -853,6 +853,42 @@ def q_events_rank_in_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type count matrix (DataFrame.pivot vs the
+    oracle's conditional aggregation)."""
+    _views(spark, sf_dir, ["events"])
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        spark.table("events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
+def q_events_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF surface: Arrow-batched GROUPED_AGG pandas UDF (geometric
+    mean of value per event_type) — the UDAF extension point the reference
+    lacks, verified against exp(avg(ln(x))) in DuckDB."""
+    import numpy as np
+    import pandas as _pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def _geomean(v: _pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    _geomean.__annotations__ = {"v": _pd.Series, "return": float}
+    geomean = pandas_udf(_geomean, "double")
+
+    _views(spark, sf_dir, ["events"])
+    return (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(F.round(geomean("value"), 4).alias("geo_value"))
+    )
+
+
 def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event_type (Spark `percentile` ==
     DuckDB `quantile_cont`, both linear interpolation)."""
@@ -1067,6 +1103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rank_in_type": q_events_rank_in_type,
         "events_percentiles": q_events_percentiles,
         "events_set_ops": q_events_set_ops,
+        "events_pivot": q_events_pivot,
+        "events_geomean_udaf": q_events_geomean_udaf,
         "tpch_rollup_revenue": q_tpch_rollup,
         "ann_ivf_topk": q_ann_ivf,
         "ann_ivf_exact_topk": q_ann_ivf_exact,
@@ -1712,6 +1750,20 @@ def oracle_sql() -> dict[str, str]:
                    (round(quantile_cont(value, 0.95), 4))::DOUBLE AS p95,
                    (round(min(value), 4))::DOUBLE AS vmin,
                    (round(max(value), 4))::DOUBLE AS vmax
+            FROM events GROUP BY event_type
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   cast(count(*) FILTER (event_type = 'click') as bigint) AS click,
+                   cast(count(*) FILTER (event_type = 'view') as bigint) AS view,
+                   cast(count(*) FILTER (event_type = 'purchase') as bigint) AS purchase,
+                   cast(count(*) FILTER (event_type = 'signup') as bigint) AS signup,
+                   cast(count(*) FILTER (event_type = 'error') as bigint) AS error
+            FROM events GROUP BY user_id
+        """,
+        "events_geomean_udaf": """
+            SELECT event_type,
+                   (round(exp(avg(ln(value))), 4))::DOUBLE AS geo_value
             FROM events GROUP BY event_type
         """,
         "events_set_ops": """
