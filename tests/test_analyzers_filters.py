@@ -172,3 +172,26 @@ def test_checkpoint_partial_write_recovery(spark, tmp_path):
     write_pages_warehouse(spark, pages_path, 330, overwrite=True)
     r3 = run_with_checkpoints(spark, pages_path, out_path)
     assert part in r3["processed"]
+
+
+def test_checkpoint_detects_in_place_rewrite(spark, tmp_path):
+    """An input file rewritten IN PLACE with identical name+size must still
+    invalidate the partition fingerprint (mtime_ns is part of it)."""
+    import glob
+    import os
+
+    from avc_parser_spark.checkpoint import run_with_checkpoints
+    from avc_parser_spark.datagen.pages import write_pages_warehouse
+
+    pages_path = str(tmp_path / "pages")
+    out_path = str(tmp_path / "out")
+    write_pages_warehouse(spark, pages_path, 200)
+    r1 = run_with_checkpoints(spark, pages_path, out_path)
+    part = r1["processed"][0]
+
+    f = glob.glob(os.path.join(pages_path, f"warc_date={part}", "*.parquet"))[0]
+    st = os.stat(f)
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+
+    r2 = run_with_checkpoints(spark, pages_path, out_path)
+    assert part in r2["processed"]  # reprocessed despite same name+size
