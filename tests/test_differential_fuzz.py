@@ -75,7 +75,9 @@ def gen_block(rng: random.Random) -> str:
             f"exe={rng.choice(['/usr/sbin/httpd', chr(34) + '/usr/bin/a b' + chr(34)])} subj=a:b:c"
         )
     if rng.random() < 0.4:
-        lines.append(f'type=CWD msg={aud}: cwd="/home/{rng.choice(["user", "a b"])}"')
+        # node= on context records too: shared host is last-raw-line-wins
+        nd = f"node=ctx{rng.randint(1, 5)} " if rng.random() < 0.2 else ""
+        lines.append(f'{nd}type=CWD msg={aud}: cwd="/home/{rng.choice(["user", "a b"])}"')
     if rng.random() < 0.25:
         # SOCKADDR: hex form populates saddr; interpreted struct form does
         # NOT (reference pattern is hex-only, parse_avc.py:600)

@@ -42,6 +42,7 @@ FIELD_MAP = {
     "ino": "ino",
     "cwd": "cwd",
     "saddr": "saddr",
+    "host": "host",
 }
 
 
