@@ -2,9 +2,11 @@
 
 Images/audio/video ride as `binary` columns with a metadata struct; decode /
 feature-extract / resize / frame-sample run as Arrow-batched pandas UDFs via
-mapInPandas. The decode kernels themselves are STUBBED in this container
-(no PIL/ffmpeg available) behind a deterministic fake, clearly marked — the
-Spark-side plumbing (schema, batch shape, partitioning) is real and tested.
+mapInPandas. Decode kernels: REAL for formats decodable without external
+codecs — binary PPM/PGM images (pure numpy) and RIFF/WAVE audio (stdlib
+`wave`) — and an honest deterministic fake (decode_status='stubbed_fake')
+for compressed formats (JPEG/PNG/MP4) this container can't decode; swap the
+fake for PIL/ffmpeg kernels where they ship.
 """
 
 from __future__ import annotations
@@ -31,11 +33,115 @@ FEATURE_DIM = 8
 
 
 def _fake_decode_features(payload: bytes) -> list[float]:
-    """Deterministic stand-in for a real decoder: derives FEATURE_DIM floats
-    from the payload digest. Replace with PIL/librosa kernels in a container
-    that ships them (gate: _HAVE_REAL_DECODERS)."""
+    """Deterministic stand-in for compressed formats (JPEG/PNG/MP4 — no
+    codecs in this container): derives FEATURE_DIM floats from the payload
+    digest. Replace with PIL/ffmpeg kernels where they ship (gate:
+    _HAVE_REAL_DECODERS)."""
     digest = hashlib.sha1(payload or b"").digest()
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
+
+
+def _decode_ppm(payload: bytes) -> tuple[list[float], str] | None:
+    """REAL decode for binary PPM/PGM (P6/P5) images — pure numpy, no
+    external codec. Features: per-quadrant mean intensity (4) + global
+    mean/std + normalized width/height."""
+    import numpy as np
+
+    if not payload[:2] in (b"P6", b"P5"):
+        return None
+    # header: magic, width, height, maxval — whitespace/comment separated
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(payload):
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to EOL
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    try:
+        width, height, maxval = (int(t) for t in tokens)
+    except (ValueError, TypeError):
+        return None
+    channels = 3 if payload[:2] == b"P6" else 1
+    need = width * height * channels
+    raw = payload[i : i + need]
+    if maxval > 255 or len(raw) < need or not need:
+        return None
+    px = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) / maxval
+    img = px.reshape(height, width, channels).mean(axis=2)
+    h2, w2 = max(height // 2, 1), max(width // 2, 1)
+    quads = [
+        float(img[:h2, :w2].mean()),
+        float(img[:h2, w2:].mean() if width > 1 else img[:h2, :w2].mean()),
+        float(img[h2:, :w2].mean() if height > 1 else img[:h2, :w2].mean()),
+        float(
+            img[h2:, w2:].mean()
+            if height > 1 and width > 1
+            else img[:h2, :w2].mean()
+        ),
+    ]
+    feats = quads + [
+        float(img.mean()),
+        float(img.std()),
+        min(width / 4096.0, 1.0),
+        min(height / 4096.0, 1.0),
+    ]
+    return feats, "ok_ppm"
+
+
+def _decode_wav(payload: bytes) -> tuple[list[float], str] | None:
+    """REAL decode for RIFF/WAVE audio — stdlib `wave`, no external codec.
+    Features: RMS energy over 6 equal time chunks + normalized duration +
+    normalized sample rate."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            n, width, rate = w.getnframes(), w.getsampwidth(), w.getframerate()
+            frames = w.readframes(n)
+    except (wave.Error, EOFError):
+        return None
+    if width == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128) / 128.0
+    else:
+        return None
+    if not len(x) or not rate:
+        return None
+    chunks = np.array_split(x, 6)
+    rms = [float(np.sqrt((c**2).mean())) if len(c) else 0.0 for c in chunks]
+    feats = rms + [min(len(x) / rate / 3600.0, 1.0), min(rate / 96000.0, 1.0)]
+    return feats, "ok_wav"
+
+
+def decode_features(payload: bytes) -> tuple[list[float], str]:
+    """Best-available decode: real PPM/PGM and WAV kernels (pure
+    stdlib/numpy), deterministic fake for formats needing codecs this
+    container doesn't ship."""
+    if payload:
+        for dec in (_decode_ppm, _decode_wav):
+            try:
+                out = dec(payload)
+            except Exception:  # noqa: BLE001 — corrupt media must not fail the job
+                out = None
+            if out is not None:
+                return out
+    return _fake_decode_features(payload), (
+        "ok" if _HAVE_REAL_DECODERS else "stubbed_fake"
+    )
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
@@ -48,8 +154,10 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            feats = [
-                _fake_decode_features(p if isinstance(p, (bytes, bytearray)) else b"")
+            decoded = [
+                decode_features(
+                    bytes(p) if isinstance(p, (bytes, bytearray)) else b""
+                )
                 for p in payloads
             ]
             yield pd.DataFrame(
@@ -60,10 +168,8 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                     "sha1": payloads.map(
                         lambda p: hashlib.sha1(p or b"").hexdigest()
                     ),
-                    "feature": feats,
-                    "decode_status": "stubbed_fake"
-                    if not _HAVE_REAL_DECODERS
-                    else "ok",
+                    "feature": [f for f, _ in decoded],
+                    "decode_status": [s for _, s in decoded],
                 }
             )
 

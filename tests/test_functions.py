@@ -250,3 +250,45 @@ def test_ivf_topk_recall(spark):
     # full probe == exact
     full = [r["vec_id"] for r in ivf_topk(emb, q, cents, k=10, n_probe=4).collect()]
     assert full == exact
+
+
+def test_media_real_decoders_ppm_wav(spark):
+    """PPM/PGM and WAV payloads decode for REAL (pure numpy / stdlib wave):
+    features reflect actual pixel/sample content, not the digest fake."""
+    import io
+    import struct
+    import wave as wavmod
+
+    # 2x2 P6 image: white, black, white, black → mean 0.5, quadrant means 1/0
+    ppm = b"P6\n# comment\n2 2\n255\n" + bytes(
+        [255, 255, 255, 0, 0, 0, 0, 0, 0, 255, 255, 255]
+    )
+    # 1-second 8kHz mono 16-bit WAV: constant half-amplitude square
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<h", 16384) * 8000)
+    wav = buf.getvalue()
+
+    rows = [
+        (0, "image", bytearray(ppm)),
+        (1, "audio", bytearray(wav)),
+        (2, "image", bytearray(b"\x89PNG compressed")),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    out = {r["doc_id"]: r for r in extract_media_features(media).collect()}
+
+    assert out[0]["decode_status"] == "ok_ppm"
+    f0 = out[0]["feature"]
+    assert abs(f0[0] - 1.0) < 1e-6 and abs(f0[1] - 0.0) < 1e-6  # quadrants
+    assert abs(f0[4] - 0.5) < 1e-6  # global mean
+
+    assert out[1]["decode_status"] == "ok_wav"
+    f1 = out[1]["feature"]
+    for rms in f1[:6]:
+        assert abs(rms - 0.5) < 1e-3  # constant half-amplitude signal
+    assert abs(f1[7] - 8000 / 96000) < 1e-6  # sample-rate feature
+
+    assert out[2]["decode_status"] == "stubbed_fake"  # compressed: honest fake
