@@ -177,6 +177,83 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return pruned.mapInPandas(run, schema=FEATURE_SCHEMA_DDL)
 
 
+def _resize_ppm(payload: bytes, max_dim: int) -> bytes | None:
+    """REAL nearest-neighbor resize for binary PPM (P6) payloads — pure
+    numpy. Returns a re-encoded P6 whose longest side is ≤ max_dim, or None
+    if the payload isn't decodable PPM (caller passes those through)."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        return None
+    dec = _decode_ppm(payload)
+    if dec is None:
+        return None
+    # re-parse the header for dimensions (cheap; _decode_ppm validated it)
+    tokens, i = [], 2
+    while len(tokens) < 3:
+        while payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    i += 1
+    width, height, maxval = (int(t) for t in tokens)
+    img = np.frombuffer(payload[i : i + width * height * 3], dtype=np.uint8)
+    img = img.reshape(height, width, 3)
+    scale = max(width, height) / max_dim
+    if scale <= 1:
+        return payload
+    nw, nh = max(int(width / scale), 1), max(int(height / scale), 1)
+    ys = (np.arange(nh) * height // nh).clip(0, height - 1)
+    xs = (np.arange(nw) * width // nw).clip(0, width - 1)
+    small = img[ys][:, xs]
+    return b"P6\n%d %d\n%d\n" % (nw, nh, maxval) + small.tobytes()
+
+
+def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
+    """Resize op over the media table (Arrow-batched mapInPandas): PPM
+    payloads are REALLY downsampled (nearest neighbor) to max_dim; other
+    formats pass through unchanged with resize_status='passthrough'."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payloads, statuses = [], []
+            for p in pdf["payload"]:
+                raw = bytes(p) if isinstance(p, (bytes, bytearray)) else b""
+                try:
+                    resized = _resize_ppm(raw, max_dim)
+                except Exception:  # noqa: BLE001 — corrupt media passes through
+                    resized = None
+                if resized is None:
+                    out_payloads.append(raw)
+                    statuses.append("passthrough")
+                else:
+                    out_payloads.append(resized)
+                    statuses.append(
+                        "resized" if resized is not raw else "already_small"
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": out_payloads,
+                    "resize_status": statuses,
+                }
+            )
+
+    pruned = media.select("doc_id", "media_type", "payload")
+    return pruned.mapInPandas(
+        run,
+        schema="doc_id bigint, media_type string, payload binary, resize_status string",
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Frame-sampling plumbing: expands per-video frame indices natively
     (sequence+explode) so the decode UDF receives (payload, frame_idx) work

@@ -292,3 +292,37 @@ def test_media_real_decoders_ppm_wav(spark):
     assert abs(f1[7] - 8000 / 96000) < 1e-6  # sample-rate feature
 
     assert out[2]["decode_status"] == "stubbed_fake"  # compressed: honest fake
+
+
+def test_media_resize_ppm(spark):
+    """resize_media really downsamples P6 payloads (longest side <= max_dim,
+    still-decodable PPM, preserved intensity), passes others through."""
+    import numpy as np
+
+    from avc_parser_spark.functions.multimodal import _decode_ppm, resize_media
+
+    w, h = 16, 8
+    grad = np.tile(np.linspace(0, 255, w, dtype=np.uint8), (h, 1))
+    px = np.repeat(grad[:, :, None], 3, axis=2)
+    big = b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+    rows = [
+        (0, "image", bytearray(big)),
+        (1, "audio", bytearray(b"RIFF not really")),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    out = {r["doc_id"]: r for r in resize_media(media, max_dim=4).collect()}
+
+    assert out[0]["resize_status"] == "resized"
+    small = bytes(out[0]["payload"])
+    assert small[:2] == b"P6"
+    feats_small, status = _decode_ppm(small)
+    assert status == "ok_ppm"
+    feats_big, _ = _decode_ppm(big)
+    assert abs(feats_small[4] - feats_big[4]) < 0.1  # global mean preserved
+    header = small.split(b"\n")
+    nw, nh = (int(x) for x in header[1].split())
+    assert max(nw, nh) <= 4
+
+    assert out[1]["resize_status"] == "passthrough"
+    assert bytes(out[1]["payload"]) == b"RIFF not really"
