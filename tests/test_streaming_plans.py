@@ -193,3 +193,78 @@ def test_stateful_streaming_sessions(spark, tmp_path):
     assert ("httpd", t(3, 0), t(3, 0), 1) in got
     assert ("mysqld", t(0, 5), t(0, 5), 1) in got
     assert not any(s[1] == t(6, 0) for s in got)
+
+
+def test_stateful_sessions_match_batch_sessionization(spark, tmp_path):
+    """CLOSED streaming sessions must equal the batch lag/cumsum
+    sessionization of the same events (same 30-min gap rule)."""
+    import os
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F2
+    from pyspark.sql.window import Window
+
+    from avc_parser_spark.streaming import stream_denial_sessions
+
+    rows = []
+    t0 = datetime(2025, 3, 1)
+    steps = [1, 50, 3, 7, 90, 2, 31, 4, 200, 5, 29, 61]
+    for c, comm in enumerate(["httpd", "mysqld", "sshd"]):
+        ts = t0 + timedelta(minutes=c * 11)
+        for s in steps:
+            ts = ts + timedelta(minutes=s + c)
+            rows.append((comm, ts, "parse_ok"))
+    ddl = "comm string, event_ts timestamp, route string"
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(landing + "/b1")
+    # far-future flush batch: advances the watermark so every real session
+    # closes via event-time timeout
+    spark.createDataFrame(
+        [("flush", t0 + timedelta(days=2), "parse_ok")], ddl
+    ).coalesce(1).write.parquet(landing + "/b2")
+
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing + "/*")
+    )
+    q = (
+        stream_denial_sessions(stream, gap_minutes=30, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sess_eq")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        (r["comm"], r["session_start"], r["session_end"], r["events"])
+        for r in spark.table("sess_eq").collect()
+        if r["comm"] != "flush"
+    }
+
+    w = Window.partitionBy("comm").orderBy("event_ts")
+    batch_sessions = (
+        spark.createDataFrame(rows, ddl)
+        .withColumn("prev", F2.lag("event_ts").over(w))
+        .withColumn(
+            "new_sess",
+            F2.col("prev").isNull()
+            | ((F2.unix_timestamp("event_ts") - F2.unix_timestamp("prev")) > 1800),
+        )
+        .withColumn("sess_id", F2.sum(F2.col("new_sess").cast("long")).over(w))
+        .groupBy("comm", "sess_id")
+        .agg(
+            F2.min("event_ts").alias("s"),
+            F2.max("event_ts").alias("e"),
+            F2.count(F2.lit(1)).alias("n"),
+        )
+    )
+    expected = {
+        (r["comm"], r["s"], r["e"], r["n"]) for r in batch_sessions.collect()
+    }
+    assert got == expected
+    assert len(expected) >= 9  # several sessions per comm actually closed
