@@ -530,6 +530,14 @@ def parse_pages_pdf(pdf: pd.DataFrame, build_extracted_text: bool = True) -> pd.
     host_lines = raw_lines[raw_lines["host"].notna()]
     blk_host = host_lines.groupby("_blk")["host"].last()
 
+    # Block-default timestamp: the FIRST `msg=audit(...)` match in the block
+    # (parse_avc.py:495,524-566 searches the whole block once). Denial rows
+    # normally override it per-line — but SELINUX_ERR-family records
+    # early-return BEFORE that override, and a failed per-line parse falls
+    # back to it (the shared copy already carried it).
+    msg_ts = _extract1(lines["line"], r"msg=audit\(([^)]+)\)")
+    blk_first_ts = _parse_timestamps(msg_ts.groupby(lines["_blk"]).first())
+
     # ---- 4. denial records (AVC family) ------------------------------------
     avc = arecs[arecs["rtype"].isin(AVC_DENIAL_TYPES)].copy()
 
@@ -739,6 +747,13 @@ def parse_pages_pdf(pdf: pd.DataFrame, build_extracted_text: bool = True) -> pd.
         # numeric record types display as their named family
         # (parse_avc.py:890-898: 1400 → AVC, 1107 → USER_AVC)
         avc["rtype"] = avc["rtype"].replace({"1400": "AVC", "1107": "USER_AVC"})
+
+        # SELINUX_ERR-family rows keep the block-default timestamp (their
+        # early return precedes the per-line parse); other rows use it only
+        # as the fallback when their own timestamp failed to parse.
+        blk_ts_col = avc["_blk"].map(blk_first_ts)
+        avc["event_ts"] = avc["event_ts"].where(~selinux_err_mask, blk_ts_col)
+        avc["event_ts"] = avc["event_ts"].fillna(blk_ts_col)
 
         avc["event_id"] = avc["_blk"].map(blk_event_id)
         avc["host"] = avc["_blk"].map(blk_host)

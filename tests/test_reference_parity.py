@@ -127,14 +127,13 @@ def test_parity_synthetic_corpus():
     assert not errors, "\n".join(errors[:25]) + f"\n... {len(errors)} total"
 
 
-CORPUS_FILES = [
-    "multi_AVC.log",
-    "network_AVC.log",
-    "2AVC.log",
-    "file_context_AVC.log",
-    "dev_inode_only_test.log",
-    "unconfined_AVC.log",
-]
+# EVERY .log in the reference's own curated corpus (discovered at collect
+# time so new reference fixtures are picked up automatically)
+_CORPUS_DIR = "/root/reference/testAVC"
+CORPUS_FILES = sorted(
+    f for f in (os.listdir(_CORPUS_DIR) if os.path.isdir(_CORPUS_DIR) else [])
+    if f.endswith(".log")
+)
 
 
 @pytest.mark.parametrize("fname", CORPUS_FILES)
