@@ -103,6 +103,19 @@ def gen_block(rng: random.Random) -> str:
         )
     if rng.random() < 0.3:
         lines.append(f"type=JUNKTYPE msg={aud}: some unparsed record kind")
+    if rng.random() < 0.1:
+        # policy records inside a denial block are inert for denial parsing
+        lines.append(
+            f"type=MAC_POLICY_LOAD msg={aud}: policy loaded auid=500 ses=2"
+            if rng.random() < 0.5
+            else f"type=MAC_STATUS msg={aud}: enforcing=1 old_enforcing=0 auid=500"
+        )
+    if rng.random() < 0.06:
+        # USER_AVC without msg='...' content → dropped by both
+        lines.append(
+            f"type=USER_AVC msg={aud}: pid={rng.randint(10, 99)} uid=81 "
+            f"auid=4294967295 ses=7 policyload notice"
+        )
     if rng.random() < 0.15:
         lines.append("totally not an audit line at all")
 
