@@ -270,4 +270,17 @@ def test_differential_fuzz_1000_blocks():
                     mismatches.append(
                         f"{url}[{i}].{ours_f}: ref={rv!r} ours={ov!r} | {block[:120]!r}"
                     )
+            # timestamps: per-line for normal denials, block-default for
+            # SELINUX_ERR-family / unparseable per-line forms
+            rts = rd.get("datetime_obj")
+            ots = our_rows.iloc[i]["event_ts"]
+            if rts is not None and pd.notna(ots):
+                if pd.Timestamp(rts) != pd.Timestamp(ots):
+                    mismatches.append(
+                        f"{url}[{i}].event_ts: ref={rts} ours={ots} | {block[:120]!r}"
+                    )
+            elif (rts is None) != bool(pd.isna(ots)):
+                mismatches.append(
+                    f"{url}[{i}].event_ts presence: ref={rts} ours={ots}"
+                )
     assert not mismatches, "\n".join(mismatches[:20]) + f"\n({len(mismatches)} total)"
