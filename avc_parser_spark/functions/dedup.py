@@ -292,34 +292,59 @@ def ngram_jaccard(
     )
 
 
-def simhash64(text: Column) -> Column:
-    """64-bit SimHash over whitespace tokens.
+def _simhash_from_hashes_udf():
+    """Arrow-vectorized SimHash majority vote over precomputed token hashes.
 
-    Per-bit majority vote of token-hash bits, implemented with native
-    bitwise expressions: for each bit position, sum(sign bits) vs half the
-    token count."""
+    The string hashing stays native (one xxhash64 per token, JVM-side); the
+    64 per-bit majority votes — which previously ran as 64 separate
+    `F.filter` passes over the hash array — collapse into one numpy pass:
+    flatten every doc's hashes, unpack to a (tokens × 64) bit matrix, segment
+    sum per document (reduceat), majority-compare against the token count,
+    repack to int64. Semantics identical to the per-bit filter formulation
+    (vote: sum(bit) * 2 > n_tokens)."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _sim(hashes: pd.Series) -> pd.Series:
+        n_docs = len(hashes)
+        lens = np.fromiter(
+            (0 if hs is None else len(hs) for hs in hashes),
+            dtype=np.int64,
+            count=n_docs,
+        )
+        out = np.zeros(n_docs, dtype=np.uint64)
+        if int(lens.sum()):
+            flat = np.concatenate(
+                [
+                    np.asarray(hs, dtype=np.int64)
+                    for hs in hashes
+                    if hs is not None and len(hs)
+                ]
+            ).astype(np.uint64)
+            # bit matrix: little-endian byte view → unpackbits per byte
+            bits = np.unpackbits(
+                flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )  # (tokens, 64), column b == bit b of the hash
+            nz = lens > 0
+            starts = np.zeros(int(nz.sum()), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=starts[1:])
+            sums = np.add.reduceat(bits, starts, axis=0)  # (docs_nz, 64)
+            votes = (sums * 2) > lens[nz][:, None]
+            weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+            out[nz] = (votes.astype(np.uint64) * weights).sum(axis=1)
+        # reinterpret (not convert) as two's-complement signed 64-bit
+        return pd.Series(out.view(np.int64))
+
+    return _sim
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over whitespace tokens: per-bit majority vote of the
+    native xxhash64 token hashes (one Arrow-batched numpy vote pass)."""
     toks = F.split(normalized_text(text), " ")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    n = F.size(toks)
-    def _mask(b: int) -> int:
-        # two's-complement signed 64-bit literal (bit 63 is the sign bit)
-        return (1 << b) if b < 63 else -(1 << 63)
-
-    def _bit_test(mask: int):
-        # single-arg lambda (PySpark passes (elem, idx) to 2-arg callables)
-        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
-
-    bits = [
-        F.when(
-            F.size(F.filter(hashes, _bit_test(_mask(b)))) * 2 > n,
-            F.lit(_mask(b)),
-        ).otherwise(F.lit(0).cast("long"))
-        for b in range(64)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    return _simhash_from_hashes_udf()(hashes)
 
 
 def simhash_near_dups(
@@ -338,38 +363,73 @@ def simhash_near_dups(
     )
 
 
+def _simhash_block_keys(n_blocks: int, max_hamming: int) -> list[Column]:
+    """Manku-style block-permutation bucket keys over a `simhash` column.
+
+    Split the 64 bits into `n_blocks` near-equal disjoint blocks; for every
+    combination of (n_blocks - max_hamming) blocks, emit one table key =
+    xxhash64(table_id, block values…). Two hashes within Hamming ≤
+    max_hamming differ in at most max_hamming blocks, so at least one
+    combination avoids every differing block → they share that table's key
+    exactly (recall 1). Key entropy is 64·(n_blocks-max_hamming)/n_blocks
+    bits (≈32 for the default 6/3), so buckets stay small even at 10^12
+    docs — unlike bucketing on raw (max_hamming+1)-way bands whose 16-bit
+    values saturate at web scale."""
+    from itertools import combinations
+
+    base, rem = divmod(64, n_blocks)
+    blocks = []
+    lo = 0
+    for b in range(n_blocks):
+        w = base + (1 if b < rem else 0)
+        mask = (1 << w) - 1
+        blocks.append(
+            F.shiftrightunsigned(F.col("simhash"), lo).bitwiseAND(F.lit(mask))
+        )
+        lo += w
+    keys = []
+    for t, combo in enumerate(combinations(range(n_blocks), n_blocks - max_hamming)):
+        keys.append(F.xxhash64(F.lit(t), *[blocks[b] for b in combo]))
+    return keys
+
+
 def simhash_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket: int = 512,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup PAIRS with Hamming distance ≤ max_hamming.
 
-    Banded bucketing with a pigeonhole guarantee: the 64-bit simhash is
-    split into (max_hamming+1) disjoint bands, so any two hashes within
-    Hamming ≤ max_hamming agree EXACTLY on at least one band — recall is 1,
-    not probabilistic. Shuffle key is (band, band_value); candidates are
-    verified with a native bit_count(xor) filter. Oversized buckets (all-
-    identical boilerplate) are dropped like in minhash_lsh_candidates — those
-    members are exact dups caught by `exact_duplicates`/Hamming-0 clustering.
+    Manku-style block permutation (Manku, Jain & Sarma, WWW'07 — the
+    Google-crawl simhash dedup design): 64 bits → `n_blocks` disjoint blocks
+    (default max_hamming+3, i.e. 6 for k=3); bucket once per combination of
+    (n_blocks-max_hamming) blocks — C(6,3)=20 tables with ~32-bit keys for
+    the default. Pigeonhole: any pair within Hamming ≤ k agrees on every
+    block of at least one combination → recall is exactly 1, while the
+    ~32-bit key space keeps bucket sizes tractable at web scale (the old
+    (k+1)-band scheme had 16-bit band values that saturate ≥10^8 docs and
+    the cap then silently dropped all near-dup buckets). max_hamming=0
+    degenerates to one table keyed on the full hash (exact clustering).
+    Shuffle key is (table, key); candidates are verified with a native
+    bit_count(xor) filter. Oversized buckets (all-identical boilerplate) are
+    dropped like in minhash_lsh_candidates — those members are exact dups
+    caught by `exact_duplicates`/Hamming-0 clustering.
     Returns (a, b, hamming) with a < b.
     """
-    n_bands = max_hamming + 1
-    width = 64 // n_bands  # last band absorbs any remainder bits
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    n_blocks = n_blocks or max_hamming + 3
+    if not max_hamming < n_blocks <= 64:
+        raise ValueError(f"need max_hamming < n_blocks <= 64, got {n_blocks}")
     sh = docs.select(
         F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("simhash")
     )
-    band_vals = []
-    for b in range(n_bands):
-        lo = b * width
-        hi = 64 if b == n_bands - 1 else lo + width
-        mask = (1 << (hi - lo)) - 1
-        shifted = F.shiftrightunsigned(F.col("simhash"), lo)
-        band_vals.append(shifted.bitwiseAND(F.lit(mask)))
+    keys = _simhash_block_keys(n_blocks, max_hamming)
     banded = sh.select(
-        "_id", "simhash", F.posexplode(F.array(*band_vals)).alias("band", "val")
+        "_id", "simhash", F.posexplode(F.array(*keys)).alias("band", "val")
     )
     grouped = (
         banded.groupBy("band", "val")
@@ -406,12 +466,42 @@ def simhash_pairs(
     )
 
 
+def simhash_bucket_stats(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int = 512,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Observability for the Manku block-permutation bucketing: bucket-size
+    histogram over a DataFrame that already carries a `simhash` column (so
+    web-scale audits can run it on the stored sketch without re-hashing
+    text). One row: total buckets, max size, oversized bucket/member counts
+    relative to `max_bucket` — the saturation signal that the old 16-bit
+    band scheme tripped at ≥10^8 docs."""
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    n_blocks = n_blocks or max_hamming + 3
+    keys = _simhash_block_keys(n_blocks, max_hamming)
+    banded = hashes.select(
+        F.posexplode(F.array(*keys)).alias("band", "val")
+    )
+    sizes = banded.groupBy("band", "val").agg(F.count(F.lit(1)).alias("sz"))
+    over = F.col("sz") > max_bucket
+    return sizes.agg(
+        F.count(F.lit(1)).alias("buckets"),
+        F.max("sz").alias("max_bucket_size"),
+        F.sum(F.when(over, 1).otherwise(0)).alias("oversized_buckets"),
+        F.sum(F.when(over, F.col("sz")).otherwise(0)).alias("oversized_members"),
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs above `threshold`.
 
@@ -429,7 +519,20 @@ def embedding_near_dups(
         make_planes,
     )
 
-    dim = int(embeddings.select(F.size(vec_col)).head()[0])
+    if dim is None:
+        # probe the vector width once (skip NULL vectors); empty input →
+        # empty pairs frame instead of a TypeError at plan-build time
+        first = (
+            embeddings.filter(F.col(vec_col).isNotNull())
+            .select(F.size(vec_col).alias("d"))
+            .head()
+        )
+        if first is None:
+            id_type = embeddings.schema[id_col].dataType.simpleString()
+            return embeddings.sparkSession.createDataFrame(
+                [], f"a {id_type}, b {id_type}, cosine double"
+            )
+        dim = int(first["d"])
     planes = make_planes(dim, n_planes)
     bucketed = embeddings.select(
         F.col(id_col).alias("_id"),

@@ -41,13 +41,11 @@ def _fake_decode_features(payload: bytes) -> list[float]:
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
 
 
-def _decode_ppm(payload: bytes) -> tuple[list[float], str] | None:
-    """REAL decode for binary PPM/PGM (P6/P5) images — pure numpy, no
-    external codec. Features: per-quadrant mean intensity (4) + global
-    mean/std + normalized width/height."""
-    import numpy as np
-
-    if not payload[:2] in (b"P6", b"P5"):
+def _parse_ppm_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """Parse a P5/P6 header: returns (width, height, maxval, data_offset) or
+    None. Single bounded implementation shared by decode and resize so the
+    two can never drift (and neither can loop past the payload end)."""
+    if payload[:2] not in (b"P6", b"P5"):
         return None
     # header: magic, width, height, maxval — whitespace/comment separated
     tokens: list[bytes] = []
@@ -69,6 +67,19 @@ def _decode_ppm(payload: bytes) -> tuple[list[float], str] | None:
         width, height, maxval = (int(t) for t in tokens)
     except (ValueError, TypeError):
         return None
+    return width, height, maxval, i
+
+
+def _decode_ppm(payload: bytes) -> tuple[list[float], str] | None:
+    """REAL decode for binary PPM/PGM (P6/P5) images — pure numpy, no
+    external codec. Features: per-quadrant mean intensity (4) + global
+    mean/std + normalized width/height."""
+    import numpy as np
+
+    header = _parse_ppm_header(payload)
+    if header is None:
+        return None
+    width, height, maxval, i = header
     channels = 3 if payload[:2] == b"P6" else 1
     need = width * height * channels
     raw = payload[i : i + need]
@@ -185,25 +196,12 @@ def _resize_ppm(payload: bytes, max_dim: int) -> bytes | None:
 
     if payload[:2] != b"P6":
         return None
-    dec = _decode_ppm(payload)
-    if dec is None:
+    if _decode_ppm(payload) is None:
         return None
-    # re-parse the header for dimensions (cheap; _decode_ppm validated it)
-    tokens, i = [], 2
-    while len(tokens) < 3:
-        while payload[i : i + 1].isspace():
-            i += 1
-        if payload[i : i + 1] == b"#":
-            while payload[i : i + 1] != b"\n":
-                i += 1
-            continue
-        j = i
-        while j < len(payload) and not payload[j : j + 1].isspace():
-            j += 1
-        tokens.append(payload[i:j])
-        i = j
-    i += 1
-    width, height, maxval = (int(t) for t in tokens)
+    header = _parse_ppm_header(payload)
+    if header is None:  # unreachable after the decode check; keep the guard
+        return None
+    width, height, maxval, i = header
     img = np.frombuffer(payload[i : i + width * height * 3], dtype=np.uint8)
     img = img.reshape(height, width, 3)
     scale = max(width, height) / max_dim

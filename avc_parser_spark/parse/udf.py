@@ -186,7 +186,11 @@ def parse_pages(
             for i in range(len(pdf)):
                 one = pdf.iloc[i : i + 1]
                 try:
-                    frames.append(parse_pages_pdf(one))
+                    frames.append(
+                        parse_pages_pdf(
+                            one, build_extracted_text=build_extracted_text
+                        )
+                    )
                 except Exception as doc_err:  # noqa: BLE001
                     stub = pd.DataFrame(
                         {

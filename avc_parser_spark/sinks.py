@@ -190,12 +190,24 @@ def normalize_log_fields(
             cleaned = " ".join(_CTRL_RE.sub("", str(v).strip()).split())
             out[field] = cleaned or None
 
-    ts = out.get("timestamp")
+    # json_report's log dicts carry `event_ts` (a stringified datetime), not
+    # a numeric `timestamp` — produce the epoch-float contract fields from
+    # either form.
+    ts = out.get("timestamp") or out.get("event_ts")
     if ts:
+        epoch: float | None = None
         try:
-            out["timestamp"] = out["timestamp_float"] = float(str(ts).strip())
+            epoch = float(str(ts).strip())
         except (TypeError, ValueError):
-            pass
+            import datetime as _dt
+
+            try:
+                parsed = _dt.datetime.fromisoformat(str(ts).strip())
+                epoch = parsed.replace(tzinfo=_dt.timezone.utc).timestamp()
+            except ValueError:
+                epoch = None
+        if epoch is not None:
+            out["timestamp"] = out["timestamp_float"] = epoch
 
     out["_normalized"] = True
     out["_normalization_version"] = "1.0"

@@ -137,6 +137,33 @@ def test_simhash_pairs_hamming_banding_matches_brute_force(spark):
     assert got == expected
 
 
+def test_simhash_pairs_hamming_zero(spark):
+    """max_hamming=0 degenerates to one full-hash table: exactly the
+    identical-simhash pairs, no plan-time overflow (ADVICE r2)."""
+    from avc_parser_spark.functions.dedup import simhash_pairs
+
+    rows = [(i, "identical page body" if i % 2 == 0 else f"unique text {i} words")
+            for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["a"], r["b"]) for r in simhash_pairs(docs, max_hamming=0).collect()}
+    from itertools import combinations
+
+    assert got == set(combinations([0, 2, 4, 6], 2))
+
+
+def test_simhash_bucket_stats_no_saturation_at_1m(spark):
+    """Web-scale guard for the Manku block keys: 10^6 distinct sketches must
+    NOT saturate any bucket (the old 16-bit band scheme put ~15 docs/bucket
+    at 10^6 and *every* bucket over the cap at 10^8; ~32-bit keys keep the
+    expected bucket size ≪ 1 here and ~250 at 10^12)."""
+    from avc_parser_spark.functions.dedup import simhash_bucket_stats
+
+    hashes = spark.range(1_000_000).select(F.xxhash64("id").alias("simhash"))
+    stats = simhash_bucket_stats(hashes, max_hamming=3, max_bucket=512).head()
+    assert stats["oversized_buckets"] == 0
+    assert stats["max_bucket_size"] <= 16
+
+
 def test_text_profile(docs, spark):
     prof = {r["doc_id"]: r for r in document_profile(docs).collect()}
     assert prof[0]["n_tokens"] == 13

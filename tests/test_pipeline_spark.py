@@ -130,10 +130,10 @@ def test_error_isolation_never_fails_job(spark, monkeypatch):
 
     real = kernels.parse_pages_pdf
 
-    def explode_on_marker(pdf):
+    def explode_on_marker(pdf, **kwargs):
         if pdf["text"].str.contains("BOOM_MARKER").any():
             raise RuntimeError("synthetic kernel crash")
-        return real(pdf)
+        return real(pdf, **kwargs)
 
     monkeypatch.setattr(udf_mod, "parse_pages_pdf", explode_on_marker)
     df = spark.createDataFrame(
