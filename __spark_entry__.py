@@ -149,18 +149,67 @@ def q_lang_hour_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"), F.countDistinct("url").alias("docs"))
 
 
-def q_path_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E11: fcontext-style path-pattern normalizer."""
-    ev = signature_exprs(_parsed(spark, sf_dir).filter(F.col("route") == "parse_ok"))
-    return ev.select("url", "path", F.col("path_pattern").alias("path_pattern"))
+# --- E1-E6 + E11 enrichment-dim matrix (shared by query and oracle) --------
+# Value domains chosen to exercise every dim's hit AND miss/fallback branch:
+# 'frobnicate' has no perm description, 'weird_custom_t' no type description,
+# port 1234 no service, msgq/capability rows hit the E5 composed fallback,
+# '/usr/local/x/b.dat' exercises the dirname/* and dir/exact-path fallbacks.
+_ED_PERMS = ["read", "write", "getattr", "name_connect", "signal",
+             "mounton", "relabelfrom", "frobnicate"]
+_ED_CLASSES = ["file", "dir", "tcp_socket", "process", "msgq", "capability"]
+_ED_SC_TYPES = ["httpd_t", "unconfined_t", "setfiles_t", "container_t",
+                "weird_custom_t"]
+_ED_TC_TYPES = ["default_t", "unlabeled_t", "var_log_t", "etc_t"]
+_ED_PORTS = ["22", "80", "443", "6379", "1234"]
+_ED_PATHS = ["/var/www/html/a.txt", "/usr/local/x/b.dat", None]
 
 
-def q_perm_description(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E1: permission-description broadcast-join enrichment."""
-    ev = _parsed(spark, sf_dir).filter(F.col("route") == "parse_ok")
-    dims = build_dims(spark)
-    return ev.join(F.broadcast(dims["perm_desc"]), "permission", "left").select(
-        "url", "permission", "permission_description"
+def _sql_case(key_expr: str, vals: list[str | None]) -> str:
+    """CASE over key_expr ∈ 0..len(vals)-1 — identical text both dialects."""
+    whens = " ".join(
+        "when {} then {}".format(
+            i,
+            "cast(null as string)" if v is None else "'" + v.replace("'", "''") + "'",
+        )
+        for i, v in enumerate(vals)
+    )
+    return f"(case {key_expr} {whens} end)"
+
+
+_ED_MATRIX_SQL = f"""
+    SELECT doc_id,
+           {_sql_case('doc_id % 8', _ED_PERMS)} AS permission,
+           {_sql_case('doc_id % 6', _ED_CLASSES)} AS tclass,
+           {_sql_case('doc_id % 5', _ED_SC_TYPES)} AS sc_type,
+           {_sql_case('doc_id % 4', _ED_TC_TYPES)} AS tc_type,
+           (case when doc_id % 2 = 0
+                 then {_sql_case('cast(floor(doc_id / 2.0) as int) % 5', _ED_PORTS)}
+                 else cast(null as string) end) AS dest_port,
+           {_sql_case('cast(floor(doc_id / 6.0) as int) % 3', _ED_PATHS)} AS path
+    FROM documents
+"""
+
+
+def q_enrich_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1-E6 + E11 in one pass over a synthetic (permission, tclass, types,
+    port, path) matrix: permission/class/type/port descriptions (broadcast
+    joins, reference avc_selinux/context.py:83-365), context-aware perm
+    description (E2), contextual-analysis template + composed fallback (E5),
+    and the fcontext path-pattern normalizer (E11) — hit and miss branches
+    both planted."""
+    from avc_parser_spark.enrich.join import enrich_events, path_pattern_expr
+
+    _views(spark, sf_dir, ["documents"])
+    matrix = spark.sql(_ED_MATRIX_SQL)
+    ev = enrich_events(matrix).withColumn(
+        "path_pattern", path_pattern_expr(F.col("path"), F.col("tclass"))
+    )
+    return ev.select(
+        "doc_id", "permission", "tclass",
+        "permission_description", "class_description",
+        "source_type_description", "target_type_description",
+        "port_description", "perm_context_description",
+        "contextual_analysis", "path_pattern",
     )
 
 
@@ -697,7 +746,7 @@ def _analyzer_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shared fragments AZ_* in oracle_shared.py)."""
     from avc_parser_spark.oracle_shared import (
         AZ_CNT, AZ_COMM, AZ_DPATH, AZ_DPERM, AZ_PERM, AZ_PERMISSIVE,
-        AZ_STYPE, AZ_TTYPE,
+        AZ_STYPE, AZ_TMLS, AZ_TTYPE,
     )
 
     _views(spark, sf_dir, ["documents"])
@@ -714,12 +763,18 @@ def _analyzer_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                  'sc_type', {AZ_STYPE},
                  'tc_type', {AZ_TTYPE},
                  'scontext_raw', 'system_u:system_r:' || {AZ_STYPE} || ':s0',
-                 'tcontext_raw', 'system_u:object_r:' || {AZ_TTYPE} || ':s0',
+                 'tcontext_raw', 'system_u:object_r:' || {AZ_TTYPE} || ':' || {AZ_TMLS},
                  'comm', {AZ_COMM},
                  'permissive', {AZ_PERMISSIVE}) AS representative
         FROM documents
         """
     )
+
+
+# AN6 plant: two policy reloads bracketing the synthetic corpus — groups
+# first_seen < EPOCH0+100 count as "before", last_seen >= EPOCH0+400 as
+# "after" (reference analyzers/recurrence.py:10-71 epoch semantics).
+AN6_LOAD_EPOCHS = (EPOCH0 + 100, EPOCH0 + 400)
 
 
 def q_detector_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -735,14 +790,18 @@ def q_detector_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_analyzer_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AN1/AN3/AN4/AN5 threshold findings over the planted group table
-    (reference analyzers/labeling.py, relabeling.py, boot_impact.py,
-    patterns.py). Scalar columns only — affected_sigs/hints/evidence are
-    pytest-verified (arrays/maps aren't comparable through the DuckDB
-    oracle)."""
+    """All six analyzers — AN1 labeling, AN2 MLS inconsistency, AN3
+    relabeling, AN4 boot impact, AN5 systemic, AN6 recurrence — as threshold
+    findings over the planted group table (reference analyzers/labeling.py:
+    19-93, relabeling.py, boot_impact.py, patterns.py, recurrence.py:10-71).
+    Scalar columns only — affected_sigs/hints/evidence are pytest-verified
+    (arrays/maps aren't comparable through the DuckDB oracle)."""
     from avc_parser_spark.analyzers import run_analyzers
 
-    return run_analyzers(_analyzer_groups(spark, sf_dir)).select(
+    loads = spark.createDataFrame(
+        [(e,) for e in AN6_LOAD_EPOCHS], "epoch long"
+    ).select(F.timestamp_seconds("epoch").alias("event_ts"))
+    return run_analyzers(_analyzer_groups(spark, sf_dir), policy_loads=loads).select(
         "severity", "category", "title", "affected_groups", "total_events",
         "detail",
     )
@@ -964,23 +1023,56 @@ def q_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# 44-byte canonical RIFF/WAVE header: PCM, mono, 8000 Hz, 8-bit, 8 samples
+# (= struct.pack of the fixed fmt/data chunks; data bytes appended per doc).
+_WAV_HDR_HEX = (
+    "524946462C00000057415645666D7420100000000100010040"
+    "1F0000401F0000010008006461746108000000"
+)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payload column through the Arrow-batched
-    featurize UDF. Oracle checks the REAL plumbing outputs (byte counts /
-    routing); the decode kernel itself is an honest stub (no codecs in the
-    container), so feature/decode_status stay pytest-verified."""
+    """Multimodal decode through the Arrow-batched featurize UDF with REAL
+    planted payloads: binary PPM images (P6 2×2, constant pixel doc_id%256)
+    and RIFF/WAVE audio (8-bit PCM, constant amplitude) constructed in SQL,
+    plus text-cast payloads that take the honest stubbed_fake path (JPEG/PNG
+    codecs absent in this container). The oracle verifies the decoded
+    feature values (quantized back to exact integers), decode routing, and
+    byte counts — the real kernels, not just plumbing."""
     from avc_parser_spark.functions.multimodal import extract_media_features
 
     _views(spark, sf_dir, ["documents"])
     media = spark.sql(
-        """
+        f"""
         SELECT doc_id,
-               case when doc_id % 2 = 0 then 'image' else 'audio' end AS media_type,
-               cast(text as binary) AS payload
+               (case doc_id % 4 when 0 then 'image' when 2 then 'audio'
+                     when 1 then 'image' else 'audio' end) AS media_type,
+               (case when doc_id % 4 = 0 then
+                  cast('P6' || chr(10) || '2 2' || chr(10) || '255' || chr(10) as binary)
+                  || unhex(repeat(lpad(hex(doc_id % 256), 2, '0'), 12))
+                when doc_id % 4 = 2 then
+                  unhex('{_WAV_HDR_HEX}')
+                  || unhex(repeat(lpad(hex(doc_id % 256), 2, '0'), 8))
+                else cast(text as binary) end) AS payload
         FROM documents
         """
     )
-    return extract_media_features(media).select("doc_id", "media_type", "n_bytes")
+    feats = extract_media_features(media)
+    is_ppm = F.col("decode_status") == "ok_ppm"
+    is_wav = F.col("decode_status") == "ok_wav"
+
+    def q(expr: F.Column, cond: F.Column) -> F.Column:
+        return F.when(cond, F.round(expr).cast("long"))
+
+    return feats.select(
+        "doc_id", "media_type", "n_bytes", "decode_status",
+        q(F.col("feature")[4] * 255, is_ppm).alias("mean_byte"),
+        q(F.col("feature")[5] * 1000, is_ppm).alias("std_milli"),
+        q(F.col("feature")[6] * 4096, is_ppm).alias("px_w"),
+        q(F.col("feature")[7] * 4096, is_ppm).alias("px_h"),
+        q(F.col("feature")[0] * 128, is_wav).alias("rms_byte"),
+        q(F.col("feature")[7] * 96000, is_wav).alias("sample_rate"),
+    )
 
 
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1057,8 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_signature_legacy": q_signature_legacy,
         "pipeline_signature_smart": q_signature_smart,
         "pipeline_lang_hour_rollup": q_lang_hour_rollup,
-        "pipeline_path_pattern": q_path_pattern,
-        "pipeline_perm_description": q_perm_description,
+        "pipeline_enrich_dims": q_enrich_dims,
         "pipeline_errno_translate": q_errno_translate,
         "events_hourly": q_events_hourly,
         "events_top_users": q_events_top_users,
@@ -1115,15 +1206,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _perm_desc_case() -> str:
-    pairs = dict(PERM_DESCRIPTIONS)
-    perms = ["read", "write", "getattr", "name_connect", "signal"]
-    whens = " ".join(
-        f"when '{p}' then '{pairs[p]}'" for p in perms
-    )
-    return f"(case {PERM_CASE} {whens} end)"
-
-
 def _errno_case() -> str:
     whens = " ".join(
         f"when {c} then '{_errno.errorcode[c]}'"
@@ -1138,6 +1220,7 @@ def _analyzer_findings_oracle() -> str:
         AZ_COMM, AZ_PERM, AZ_STYPE, AZ_TTYPE,
     )
 
+    lo, hi = (e - EPOCH0 for e in AN6_LOAD_EPOCHS)
     return f"""
         WITH g AS (
           SELECT doc_id,
@@ -1146,7 +1229,12 @@ def _analyzer_findings_oracle() -> str:
                  {AZ_TTYPE} AS t_type,
                  {AZ_COMM} AS comm,
                  {AZ_PERM} AS perm
-          FROM documents)
+          FROM documents),
+        recur AS (
+          SELECT t_type,
+                 sum(case when doc_id < {lo} then cnt else 0 end) AS before_ev,
+                 sum(case when doc_id >= {hi} then cnt else 0 end) AS after_ev
+          FROM g GROUP BY t_type)
         SELECT 'WARNING' AS severity, 'labeling' AS category,
                'Widespread unlabeled_t files' AS title,
                cast(count(*) as bigint) AS affected_groups,
@@ -1171,10 +1259,107 @@ def _analyzer_findings_oracle() -> str:
                cast(count(*) as bigint), cast(sum(cnt) as bigint),
                'target=shared_target_t mls=s0'
         FROM g WHERE t_type = 'shared_target_t'
+        UNION ALL
+        SELECT 'CRITICAL', 'labeling',
+               'MLS labeling inconsistency: system files at wrong level',
+               cast(count(*) as bigint), cast(sum(cnt) as bigint),
+               cast(count(distinct t_type) as string)
+                 || ' core types labeled s15 vs s0 sources'
+        FROM g WHERE doc_id % 10 = 8
+        UNION ALL
+        SELECT 'WARNING', 'recurrence',
+               'Recurring denials for ' || t_type || ' across policy reloads',
+               cast(0 as bigint), cast(before_ev + after_ev as bigint),
+               'before=' || cast(before_ev as string) || ' after='
+                 || cast(after_ev as string) || ' trend='
+                 || (case when after_ev >= before_ev * 0.7 then 'stable'
+                          else 'decreasing' end)
+        FROM recur WHERE before_ev > 0 AND after_ev >= before_ev * 0.3
     """
 
 
 _ANALYZER_FINDINGS_ORACLE = _analyzer_findings_oracle()
+
+
+def _enrich_dims_oracle() -> str:
+    """Expected E1-E6/E11 values reconstructed in Python from the dim tables
+    themselves (the spec constants), emitted as doc_id-keyed CASEs — fully
+    independent of the Spark join/fallback machinery under test."""
+    import re as _re
+
+    from avc_parser_spark.enrich.dims import (
+        CLASS_DESCRIPTIONS,
+        CONTEXTUAL_ANALYSIS,
+        PATH_PATTERNS,
+        PERM_CONTEXT_DESCRIPTIONS,
+        PORT_DESCRIPTIONS,
+        TYPE_DESCRIPTIONS,
+    )
+
+    perm_d = dict(PERM_DESCRIPTIONS)
+    class_d = dict(CLASS_DESCRIPTIONS)
+    type_d = dict(TYPE_DESCRIPTIONS)
+    port_d = dict(PORT_DESCRIPTIONS)
+    pcd = {(p, k): d for p, k, d in PERM_CONTEXT_DESCRIPTIONS}
+    ctx = {(p, c): d for p, c, d in CONTEXTUAL_ANALYSIS}
+
+    def pp(path: str | None, tclass: str) -> str:
+        if path is None or path in ("?", '"?"', "unknown", ""):
+            return "no_path"
+        if path.startswith("dev:"):
+            return "dev_inode"
+        for pat, rep in PATH_PATTERNS:
+            if _re.search(pat, path):
+                return rep
+        if tclass == "file":
+            m = _re.match(r"^(.*)/[^/]*$", path)
+            if m and m.group(1):
+                return m.group(1) + "/*"
+        if tclass == "dir":
+            if path.startswith("..."):
+                return "/var/local/log(/.*)?"
+            return path + "/*"
+        return path
+
+    ctx24, pc24 = [], []
+    for r in range(24):
+        perm, tclass = _ED_PERMS[r % 8], _ED_CLASSES[r % 6]
+        ctx24.append(
+            ctx.get(
+                (perm, tclass),
+                f"process attempted '{perm}' on object class '{tclass}'",
+            )
+        )
+        obj_kind = "dir" if tclass == "dir" else "file"
+        pc24.append(pcd.get((perm, obj_kind)))
+    pp18 = [
+        pp(_ED_PATHS[(r // 6) % 3], _ED_CLASSES[r % 6]) for r in range(18)
+    ]
+    port10 = [
+        port_d.get(_ED_PORTS[r // 2]) if r % 2 == 0 else None for r in range(10)
+    ]
+
+    return f"""
+        SELECT doc_id,
+               {_sql_case('doc_id % 8', _ED_PERMS)} AS permission,
+               {_sql_case('doc_id % 6', _ED_CLASSES)} AS tclass,
+               {_sql_case('doc_id % 8', [perm_d.get(p) for p in _ED_PERMS])}
+                 AS permission_description,
+               {_sql_case('doc_id % 6', [class_d.get(c) for c in _ED_CLASSES])}
+                 AS class_description,
+               {_sql_case('doc_id % 5', [type_d.get(t) for t in _ED_SC_TYPES])}
+                 AS source_type_description,
+               {_sql_case('doc_id % 4', [type_d.get(t) for t in _ED_TC_TYPES])}
+                 AS target_type_description,
+               {_sql_case('doc_id % 10', port10)} AS port_description,
+               {_sql_case('doc_id % 24', pc24)} AS perm_context_description,
+               {_sql_case('doc_id % 24', ctx24)} AS contextual_analysis,
+               {_sql_case('doc_id % 18', pp18)} AS path_pattern
+        FROM documents
+    """
+
+
+_ENRICH_DIMS_ORACLE = _enrich_dims_oracle()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1250,18 +1435,7 @@ def oracle_sql() -> dict[str, str]:
                    count(distinct doc_id) AS docs
             FROM documents GROUP BY 1, 2
         """,
-        "pipeline_path_pattern": f"""
-            SELECT 'doc' || cast(doc_id as string) AS url,
-                   {f['path']} AS path,
-                   {PATH_PATTERN_ORACLE} AS path_pattern
-            FROM documents
-        """,
-        "pipeline_perm_description": f"""
-            SELECT 'doc' || cast(doc_id as string) AS url,
-                   {f['permission']} AS permission,
-                   {_perm_desc_case()} AS permission_description
-            FROM documents
-        """,
+        "pipeline_enrich_dims": _ENRICH_DIMS_ORACLE,
         "pipeline_errno_translate": f"""
             SELECT event_id,
                    cast(-(event_id % 40) as string) AS exit_code,
@@ -1786,8 +1960,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_features": """
             SELECT doc_id,
-                   (case when doc_id % 2 = 0 then 'image' else 'audio' end) AS media_type,
-                   cast(octet_length(encode(text)) as bigint) AS n_bytes
+                   (case doc_id % 4 when 0 then 'image' when 2 then 'audio'
+                         when 1 then 'image' else 'audio' end) AS media_type,
+                   (case when doc_id % 4 = 0 then 23
+                         when doc_id % 4 = 2 then 52
+                         else octet_length(encode(text)) end)::BIGINT AS n_bytes,
+                   (case doc_id % 4 when 0 then 'ok_ppm' when 2 then 'ok_wav'
+                         else 'stubbed_fake' end) AS decode_status,
+                   (case when doc_id % 4 = 0 then doc_id % 256 end)::BIGINT AS mean_byte,
+                   (case when doc_id % 4 = 0 then 0 end)::BIGINT AS std_milli,
+                   (case when doc_id % 4 = 0 then 2 end)::BIGINT AS px_w,
+                   (case when doc_id % 4 = 0 then 2 end)::BIGINT AS px_h,
+                   (case when doc_id % 4 = 2
+                         then abs((doc_id % 256) - 128) end)::BIGINT AS rms_byte,
+                   (case when doc_id % 4 = 2 then 8000 end)::BIGINT AS sample_rate
             FROM documents
         """,
         "multimodal_frame_sample": """

@@ -250,8 +250,15 @@ AZ_STYPE = (
 AZ_TTYPE = (
     "(case when doc_id % 10 = 0 then 'unlabeled_t' "
     "when doc_id % 10 = 1 then 'shared_target_t' "
-    "when doc_id % 10 = 6 then 'lib_t' else 'var_log_t' end)"
+    "when doc_id % 10 = 6 then 'lib_t' "
+    # AN2 plant: 5 distinct core system types carried at the wrong MLS level
+    "when doc_id % 10 = 8 then (case cast(floor(doc_id / 10.0) as int) % 5 "
+    "when 0 then 'etc_t' when 1 then 'bin_t' when 2 then 'usr_t' "
+    "when 3 then 'root_t' else 'boot_t' end) "
+    "else 'var_log_t' end)"
 )
+# target MLS level: s15 on the AN2-planted rows, s0 elsewhere
+AZ_TMLS = "(case when doc_id % 10 = 8 then 's15' else 's0' end)"
 AZ_COMM = (
     "(case when doc_id % 10 = 3 then 'setfiles' "
     "when doc_id % 10 = 6 then 'init' else 'httpd' end)"
