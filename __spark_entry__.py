@@ -18,8 +18,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from avc_parser_spark.aggregate import aggregate_signatures, top_n_per_dimension
-from avc_parser_spark.enrich.dims import PERM_DESCRIPTIONS, build_dims
+from avc_parser_spark.aggregate import aggregate_signatures
+from avc_parser_spark.enrich.dims import PERM_DESCRIPTIONS
 from avc_parser_spark.enrich.join import signature_exprs
 from avc_parser_spark.functions.dedup import (
     exact_duplicates,
@@ -34,7 +34,6 @@ from avc_parser_spark.oracle_shared import (
     OBJECT_GROUP_ORACLE,
     ORACLE_FIELDS,
     PATH_PATTERN_ORACLE,
-    PERM_CASE,
     PERMISSION_CATEGORY_ORACLE,
     PROCESS_CATEGORY_ORACLE,
     SYNTH_LINE,
@@ -380,17 +379,26 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates over a corpus with planted near-dups
-    (rows-only check: LSH banding isn't ANSI-SQL-expressible). Planting
-    density 1/25 — dense enough to always yield verified pairs, sparse
-    enough that the pair count stays linear in corpus size."""
+    """MinHash+LSH near-dup candidates, hash-verified via a guaranteed-recall
+    invariant: planted docs (doc_id%25==0) form 4 identical-text clusters, so
+    their MinHash signatures are identical and LSH emits every intra-cluster
+    pair in every band (recall exactly 1, not probabilistic). The query
+    returns the candidate pairs restricted to the planted docs with their
+    verified Jaccard (=1); the oracle enumerates the same pairs directly.
+    The unrestricted candidate superset (threshold behaviour on merely-similar
+    pairs) stays pytest-verified — accidental near-dups in the raw corpus
+    make full-output equality non-SQL-expressible."""
     _views(spark, sf_dir, ["documents"])
     docs = spark.sql(
         """
         SELECT doc_id,
                case when doc_id % 25 = 0
-                    then 'common boilerplate header text for these pages '
-                         || substr(text, 1, 40)
+                    then (case cast(floor(doc_id / 25.0) as int) % 4
+                          when 0 then 'alpha beta gamma delta epsilon zeta eta theta iota kappa'
+                          when 1 then 'lorem ipsum dolor sit amet consectetur adipiscing elit sed tempor'
+                          when 2 then 'north south east west river mountain valley forest desert ocean'
+                          else 'crimson amber violet indigo turquoise magenta cobalt emerald silver bronze'
+                          end)
                     else text end AS text
         FROM documents
         """
@@ -400,11 +408,18 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (at warehouse scale the table is written pre-distributed instead)
     pairs = minhash_lsh_candidates(docs)
     verified = ngram_jaccard(docs, pairs).filter(F.col("jaccard") >= 0.5)
-    return verified.orderBy("a", "b")
+    return verified.filter(
+        (F.col("a") % 25 == 0) & (F.col("b") % 25 == 0)
+    ).orderBy("a", "b")
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup clusters (rows-only check)."""
+    """SimHash Hamming-0 clustering, hash-verified via the planted cluster:
+    every doc_id%4==1 carries identical text → identical simhash → one
+    cluster whose size and keeper the oracle derives directly. Clusters
+    smaller than 5 (accidental near-collisions in the raw corpus) are out of
+    scope for the invariant and filtered; the unfiltered behaviour stays
+    pytest-verified."""
     _views(spark, sf_dir, ["documents"])
     docs = spark.sql(
         """
@@ -413,28 +428,47 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
         """
     )
-    return simhash_near_dups(docs).select("simhash", "dup_count")
+    clusters = simhash_near_dups(docs).filter(F.col("dup_count") >= 5)
+    return clusters.select(
+        "dup_count", F.array_min("doc_ids").alias("keeper")
+    )
+
+
+# The three planted simhash variant texts are FIXED strings, so their
+# pairwise Hamming distances are deterministic constants of xxhash64:
+# d(v0,v1)=0, d(v0,v2)=d(v1,v2)=2 (measured once; the brute-force-equality
+# pytest re-derives them every run). The base repeats 3× so a one-token tail
+# change flips only ~2 of the 64 majority votes — keeping the planted pairs
+# inside Hamming≤3 and exercising the nonzero-distance recall path.
+_SIMHASH_BASE = (
+    "shared base text for simhash near duplicate detection across web pages "
+)
 
 
 def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming≤3 pairs via pigeonhole band bucketing (rows-only:
-    recall is exact but the hash itself isn't ANSI-expressible). Planted:
-    every doc_id%10==2 shares one of three close text variants."""
+    """SimHash Hamming≤3 pairs via Manku block-permutation bucketing,
+    hash-verified via the guaranteed-recall invariant: planted docs
+    (doc_id%10==2) carry one of three fixed text variants whose pairwise
+    simhash distances are 0 or 2 (≤3), so pigeonhole recall 1 means EVERY
+    planted pair must appear with its exact distance — which the oracle
+    enumerates. Restricted to planted pairs; accidental raw-corpus near-dups
+    (real, ~14 at sf0.01) keep the unrestricted output non-SQL-expressible
+    and pytest-verified instead."""
     from avc_parser_spark.functions.dedup import simhash_pairs
 
     _views(spark, sf_dir, ["documents"])
     docs = spark.sql(
-        """
+        f"""
         SELECT doc_id,
                case when doc_id % 10 = 2
-                    then 'shared base text for simhash near duplicate detection '
-                         || 'across web pages with a tail variant '
-                         || cast(doc_id % 3 as string)
+                    then repeat('{_SIMHASH_BASE}', 3)
+                         || 'tail variant ' || cast(doc_id % 3 as string)
                     else text end AS text
         FROM documents
         """
     ).repartition(spark.sparkContext.defaultParallelism)
-    return simhash_pairs(docs, max_hamming=3)
+    pairs = simhash_pairs(docs, max_hamming=3)
+    return pairs.filter((F.col("a") % 10 == 2) & (F.col("b") % 10 == 2))
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,22 +480,14 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-k (rows-only: recall<1 by construction)."""
+    """LSH-bucketed ANN top-k, hash-verified against a full algorithmic
+    oracle: the sign-projection hyperplanes are deterministic (seeded), so
+    DuckDB replicates the bucketing with the same plane constants and
+    brute-forces the cosine top-k within the query's bucket."""
     _views(spark, sf_dir, ["embeddings"])
     emb = spark.table("embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return lsh_topk(emb, list(qvec), k=10)
-
-
-def q_top_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1/A7: top-5 signature groups by count, deterministic tiebreaks."""
-    ev = signature_exprs(_parsed(spark, sf_dir).filter(F.col("route") == "parse_ok"))
-    return (
-        top_n_per_dimension(ev, "signature", 5)
-        .withColumnRenamed("signature", "sig")
-    )
-
-
 
 
 def q_mls_case(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -597,51 +623,75 @@ def q_filter_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_filter_process(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1: process substring filter over groups (httpd OR mysqld)."""
-    from avc_parser_spark.filters import filter_process
+_GROUP_COLS = [
+    "process_category", "sig_target", "object_group", "sig_extra",
+    "permission_category",
+]
 
-    groups = _smart_groups(spark, sf_dir)
-    kept = filter_process(groups, "httpd,mysqld")
-    return kept.select(
-        "process_category", "sig_target", "object_group", "sig_extra",
-        "permission_category", F.col("count").alias("cnt"),
+
+def q_filter_groups_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 (process substring), F2 (anchored path glob) and F4 (context
+    glob-or-substring matcher) over the group table, one mode-tagged row set
+    per filter (reference filters run after aggregation — the
+    filter-after-agg contract)."""
+    from avc_parser_spark.filters import (
+        filter_path,
+        filter_process,
+        filter_source_context,
     )
 
+    groups = _smart_groups(spark, sf_dir)
+    parts = [
+        ("process", filter_process(groups, "httpd,mysqld")),
+        ("glob", filter_path(groups, "/var/www/*")),
+        ("context", filter_source_context(groups, "*:httpd_t:*,mysqld")),
+    ]
+    out = None
+    for mode, kept in parts:
+        sel = kept.select(
+            F.lit(mode).alias("fmode"), *_GROUP_COLS,
+            F.col("count").alias("cnt"),
+        )
+        out = sel if out is None else out.unionByName(sel)
+    return out
 
-def q_sort_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1: deterministic count-ordered groups (top 20)."""
+
+def q_sort_groups_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: all three deterministic group orderings in one check — count
+    (top 20), recent and chrono (top 15 each). LIMIT makes row membership
+    order-sensitive, so the hash checks each sort; k1/k2 carry the
+    respective primary/secondary sort keys."""
     from avc_parser_spark.sorts import sort_groups
 
     groups = _smart_groups(spark, sf_dir)
-    return sort_groups(groups, "count").select(
-        "signature", F.col("count").alias("cnt"),
-        F.col("last_seen").cast("long").alias("last_epoch"),
-    ).limit(20)
-
-
-def q_filter_path_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2: anchored fnmatch glob over group path sets."""
-    from avc_parser_spark.filters import filter_path
-
-    groups = _smart_groups(spark, sf_dir)
-    kept = filter_path(groups, "/var/www/*")
-    return kept.select(
-        "process_category", "sig_target", "object_group", "sig_extra",
-        "permission_category", F.col("count").alias("cnt"),
+    by_count = (
+        sort_groups(groups, "count")
+        .select(
+            F.lit("count").alias("mode"), "signature",
+            F.col("count").alias("k1"),
+            F.col("last_seen").cast("long").alias("k2"),
+        )
+        .limit(20)
     )
-
-
-def q_filter_context(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F4: source-context matcher — glob term OR substring term (comma=OR)."""
-    from avc_parser_spark.filters import filter_source_context
-
-    groups = _smart_groups(spark, sf_dir)
-    kept = filter_source_context(groups, "*:httpd_t:*,mysqld")
-    return kept.select(
-        "process_category", "sig_target", "object_group", "sig_extra",
-        "permission_category", F.col("count").alias("cnt"),
+    recent = (
+        sort_groups(groups, "recent")
+        .select(
+            F.lit("recent").alias("mode"), "signature",
+            F.col("last_seen").cast("long").alias("k1"),
+            F.col("first_seen").cast("long").alias("k2"),
+        )
+        .limit(15)
     )
+    chrono = (
+        sort_groups(groups, "chrono")
+        .select(
+            F.lit("chrono").alias("mode"), "signature",
+            F.col("first_seen").cast("long").alias("k1"),
+            F.col("last_seen").cast("long").alias("k2"),
+        )
+        .limit(15)
+    )
+    return by_count.unionByName(recent).unionByName(chrono)
 
 
 def q_filter_mls_only(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -662,31 +712,6 @@ def q_filter_mls_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return filter_mls_only(groups).select("doc_id")
-
-
-def q_sort_groups_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1: recent ordering (last_seen desc, first_seen desc, signature) —
-    LIMIT makes row membership order-sensitive, so the hash checks the sort."""
-    from avc_parser_spark.sorts import sort_groups
-
-    groups = _smart_groups(spark, sf_dir)
-    return sort_groups(groups, "recent").select(
-        "signature",
-        F.col("last_seen").cast("long").alias("last_epoch"),
-        F.col("first_seen").cast("long").alias("first_epoch"),
-    ).limit(15)
-
-
-def q_sort_groups_chrono(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1: chronological ordering (first_seen asc, last_seen asc, signature)."""
-    from avc_parser_spark.sorts import sort_groups
-
-    groups = _smart_groups(spark, sf_dir)
-    return sort_groups(groups, "chrono").select(
-        "signature",
-        F.col("first_seen").cast("long").alias("first_epoch"),
-        F.col("last_seen").cast("long").alias("last_epoch"),
-    ).limit(15)
 
 
 def q_resource_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -835,34 +860,29 @@ def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def q_tpch_q4ish(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-join: orders with at least one late lineitem, by priority."""
-    _views(spark, sf_dir, ["orders", "lineitem"])
-    return spark.sql(
-        """
-        SELECT o.o_orderpriority AS priority, count(*) AS order_count
-        FROM orders o
-        WHERE EXISTS (
-          SELECT 1 FROM lineitem l
-          WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
-        GROUP BY o.o_orderpriority
-        """
-    )
+_TPCH_SEMI_ANTI_SQL = """
+    SELECT 'semi' AS mode, o.o_orderpriority AS k, count(*) AS n
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    UNION ALL
+    SELECT 'anti' AS mode, c.c_name AS k, c.c_custkey AS n
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= timestamp '1997-06-01 00:00:00')
+"""
 
 
-def q_tpch_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join: customers with no orders."""
-    _views(spark, sf_dir, ["customer", "orders"])
-    return spark.sql(
-        """
-        SELECT c.c_custkey AS custkey, c.c_name AS name
-        FROM customer c
-        WHERE NOT EXISTS (
-          SELECT 1 FROM orders o
-          WHERE o.o_custkey = c.c_custkey
-            AND o.o_orderdate >= timestamp '1997-06-01 00:00:00')
-        """
-    )
+def q_tpch_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (orders with a late lineitem, by priority) and anti-join
+    (customers with no recent orders) in one mode-tagged check — both plan
+    to LeftSemi/LeftAnti joins."""
+    _views(spark, sf_dir, ["orders", "lineitem", "customer"])
+    return spark.sql(_TPCH_SEMI_ANTI_SQL)
 
 
 def q_tpch_q12ish(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -881,33 +901,25 @@ def q_tpch_q12ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range-frame window: per-user 5-row moving average of value."""
-    _views(spark, sf_dir, ["events"])
-    return spark.sql(
-        """
-        SELECT event_id, user_id,
-               round(avg(value) OVER (
-                 PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS moving_avg
-        FROM events
-        """
-    )
+_EVENTS_WINDOWS_SQL = """
+    SELECT event_id, user_id, event_type,
+           round(avg(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS moving_avg,
+           dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk,
+           round(sum(value) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING), 2) AS running_value
+    FROM events
+"""
 
 
-def q_events_rank_in_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dense_rank + running sum per event_type."""
+def q_events_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions over two different partitionings in one pass:
+    per-user 5-row moving average (bounded ROWS frame), dense_rank and a
+    running sum per event_type."""
     _views(spark, sf_dir, ["events"])
-    return spark.sql(
-        """
-        SELECT event_id, event_type,
-               dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk,
-               round(sum(value) OVER (
-                 PARTITION BY event_type ORDER BY ts, event_id
-                 ROWS UNBOUNDED PRECEDING), 2) AS running_value
-        FROM events
-        """
-    )
+    return spark.sql(_EVENTS_WINDOWS_SQL)
 
 
 
@@ -926,10 +938,11 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_events_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom UDAF surface: Arrow-batched GROUPED_AGG pandas UDF (geometric
-    mean of value per event_type) — the UDAF extension point the reference
-    lacks, verified against exp(avg(ln(x))) in DuckDB."""
+def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distribution stats: exact interpolated percentiles (Spark
+    `percentile` == DuckDB `quantile_cont`) PLUS a custom UDAF — an
+    Arrow-batched GROUPED_AGG pandas geometric mean (the UDAF extension
+    point the reference lacks), verified against exp(avg(ln(x)))."""
     import numpy as np
     import pandas as _pd
     from pyspark.sql.pandas.functions import pandas_udf
@@ -941,18 +954,7 @@ def q_events_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     geomean = pandas_udf(_geomean, "double")
 
     _views(spark, sf_dir, ["events"])
-    return (
-        spark.table("events")
-        .groupBy("event_type")
-        .agg(F.round(geomean("value"), 4).alias("geo_value"))
-    )
-
-
-def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per event_type (Spark `percentile` ==
-    DuckDB `quantile_cont`, both linear interpolation)."""
-    _views(spark, sf_dir, ["events"])
-    return spark.sql(
+    pct = spark.sql(
         """
         SELECT event_type,
                round(percentile(value, 0.5), 4) AS p50,
@@ -962,6 +964,12 @@ def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type
         """
     )
+    geo = (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(F.round(geomean("value"), 4).alias("geo_value"))
+    )
+    return pct.join(F.broadcast(geo), "event_type")
 
 
 def q_tpch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -997,21 +1005,11 @@ def q_events_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-k: trained centroids + cluster-pruned probe (rows-only)."""
-    from avc_parser_spark.functions.similarity import ivf_topk, train_centroids
-
-    _views(spark, sf_dir, ["embeddings"])
-    emb = spark.table("embeddings")
-    cents = train_centroids(emb, k=4, iters=1)
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return ivf_topk(emb, list(qvec), cents, k=10, n_probe=2)
-
-
 def q_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with n_probe = all clusters is EXACT by construction, so the
     whole train→assign→probe machinery is hash-checked against the DuckDB
-    brute-force cosine oracle."""
+    brute-force cosine oracle (the cluster-pruned n_probe<k path and its
+    recall monotonicity are pytest-verified)."""
     from avc_parser_spark.functions.similarity import ivf_topk, train_centroids
 
     _views(spark, sf_dir, ["embeddings"])
@@ -1143,66 +1141,70 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries — the driver checks the first 50 in dict order, so
+    every query here gets a CORRECTNESS row; every entry has an oracle_sql()
+    twin (near-duplicate demos were consolidated into mode-tagged unions in
+    round 3 to fit the window without dropping operator coverage)."""
     return {
+        # forensic pipeline (parse → enrich → route → aggregate)
+        "pipeline_extracted_text": q_extracted_text,
         "pipeline_grok_parse": q_grok_parse,
+        "pipeline_json_normalize": q_json_normalize,
         "pipeline_route_counts": q_route_counts,
         "pipeline_signature_legacy": q_signature_legacy,
         "pipeline_signature_smart": q_signature_smart,
         "pipeline_lang_hour_rollup": q_lang_hour_rollup,
         "pipeline_enrich_dims": q_enrich_dims,
         "pipeline_errno_translate": q_errno_translate,
-        "events_hourly": q_events_hourly,
-        "events_top_users": q_events_top_users,
-        "events_sessions": q_events_sessions,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q3ish": q_tpch_q3ish,
-        "tpch_top_suppliers_per_nation": q_tpch_top_suppliers_per_nation,
-        "text_profile": q_text_profile,
-        "token_stats_per_lang": q_token_stats_per_lang,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_minhash_candidates,
-        "dedup_simhash": q_simhash_dups,
-        "dedup_simhash_hamming": q_simhash_hamming,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "top_signatures": q_top_signatures,
         "pipeline_mls_case": q_mls_case,
         "pipeline_policy_events": q_policy_events,
         "pipeline_resource_rollup": q_resource_rollup,
-        "text_quality": q_text_quality,
-        "dedup_embedding_cosine": q_dedup_embedding,
         "pipeline_stats_counters": q_stats_counters,
-        "filter_time_range": q_filter_time_range,
-        "filter_process": q_filter_process,
-        "sort_groups_by_count": q_sort_groups,
-        "sort_groups_recent": q_sort_groups_recent,
-        "sort_groups_chrono": q_sort_groups_chrono,
-        "filter_path_glob": q_filter_path_glob,
-        "filter_context": q_filter_context,
-        "filter_mls_only": q_filter_mls_only,
+        # aggregates / analyzers / detectors
         "resource_consolidation": q_resource_consolidation,
         "grouping_optimality": q_grouping_optimality,
         "grouping_optimality_report": q_optimality_report,
         "detector_flags": q_detector_flags,
         "analyzer_findings": q_analyzer_findings,
-        "dedup_jaccard_adjacent": q_jaccard_adjacent,
-        "tpch_q4ish_semijoin": q_tpch_q4ish,
-        "tpch_antijoin": q_tpch_antijoin,
-        "tpch_q12ish_caseagg": q_tpch_q12ish,
-        "events_moving_avg": q_events_moving_avg,
-        "events_rank_in_type": q_events_rank_in_type,
-        "events_percentiles": q_events_percentiles,
+        # sorts + filters (post-aggregation contract)
+        "sort_groups_all": q_sort_groups_all,
+        "filter_groups_suite": q_filter_groups_suite,
+        "filter_time_range": q_filter_time_range,
+        "filter_mls_only": q_filter_mls_only,
+        # general engine: events
+        "events_hourly": q_events_hourly,
+        "events_top_users": q_events_top_users,
+        "events_sessions": q_events_sessions,
+        "events_window_funcs": q_events_window_funcs,
+        "events_type_stats": q_events_type_stats,
         "events_set_ops": q_events_set_ops,
         "events_pivot": q_events_pivot,
-        "events_geomean_udaf": q_events_geomean_udaf,
+        # general engine: TPC-H star schema
+        "tpch_q1": q_tpch_q1,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q3ish": q_tpch_q3ish,
+        "tpch_top_suppliers_per_nation": q_tpch_top_suppliers_per_nation,
+        "tpch_semi_anti": q_tpch_semi_anti,
+        "tpch_q12ish_caseagg": q_tpch_q12ish,
         "tpch_rollup_revenue": q_tpch_rollup,
-        "ann_ivf_topk": q_ann_ivf,
+        # training-data ops: text
+        "text_profile": q_text_profile,
+        "text_quality": q_text_quality,
+        "token_stats_per_lang": q_token_stats_per_lang,
+        # training-data ops: dedup
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard_adjacent": q_jaccard_adjacent,
+        "dedup_minhash_lsh": q_minhash_candidates,
+        "dedup_simhash": q_simhash_dups,
+        "dedup_simhash_hamming": q_simhash_hamming,
+        "dedup_embedding_cosine": q_dedup_embedding,
+        # training-data ops: similarity search
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_exact_topk": q_ann_ivf_exact,
-        "pipeline_json_normalize": q_json_normalize,
+        # training-data ops: multimodal
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
-        "pipeline_extracted_text": q_extracted_text,
     }
 
 
@@ -1360,6 +1362,41 @@ def _enrich_dims_oracle() -> str:
 
 
 _ENRICH_DIMS_ORACLE = _enrich_dims_oracle()
+
+
+def _ann_lsh_oracle() -> str:
+    """Full algorithmic oracle for the LSH probe: the hyperplanes are a
+    deterministic function of the seed, so DuckDB can replicate the
+    sign-projection bucketing with the same constants (dim=64 in the driver
+    testdata) and brute-force the cosine top-k within the query's bucket."""
+    from avc_parser_spark.functions.similarity import make_planes
+
+    terms = []
+    for i, p in enumerate(make_planes(64, 8)):
+        lst = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        terms.append(
+            f"(case when list_dot_product(embedding::DOUBLE[], {lst}) >= 0 "
+            f"then {1 << i} else 0 end)"
+        )
+    bucket = "\n               + ".join(terms)
+    return f"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        bkt AS (SELECT vec_id, {bucket} AS bucket FROM embeddings),
+        qb AS (SELECT bucket FROM bkt WHERE vec_id = 0),
+        ex AS (
+          SELECT e.vec_id,
+                 unnest(e.embedding)::DOUBLE AS x,
+                 unnest((SELECT qe FROM q))::DOUBLE AS y
+          FROM embeddings e JOIN bkt b ON b.vec_id = e.vec_id
+          WHERE b.bucket = (SELECT bucket FROM qb))
+        SELECT vec_id,
+               round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cosine
+        FROM ex GROUP BY vec_id
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """
+
+
+_ANN_LSH_ORACLE = _ann_lsh_oracle()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1672,7 +1709,7 @@ def oracle_sql() -> dict[str, str]:
               FROM base GROUP BY 1,2,3,4,5)
             SELECT * FROM grp WHERE last_epoch <= epoch('2023-11-14 22:21:34'::TIMESTAMP)
         """,
-        "filter_process": f"""
+        "filter_groups_suite": f"""
             WITH base AS (
               SELECT {PROCESS_CATEGORY_ORACLE} AS process_category,
                      (case when doc_id % 5 = 4 then {TC_TYPE_CASE} else {TCONTEXT} end) AS sig_target,
@@ -1681,48 +1718,33 @@ def oracle_sql() -> dict[str, str]:
                            when doc_id % 5 = 4 then ''
                            else {PATH_PATTERN_ORACLE} end) AS sig_extra,
                      {PERMISSION_CATEGORY_ORACLE} AS permission_category,
-                     {f['comm']} AS comm
-              FROM documents)
-            SELECT process_category, sig_target, object_group, sig_extra,
-                   permission_category, count(*) AS cnt
-            FROM base GROUP BY 1,2,3,4,5
-            HAVING bool_or(comm LIKE '%httpd%' OR comm LIKE '%mysqld%')
-        """,
-        "filter_path_glob": f"""
-            WITH base AS (
-              SELECT {PROCESS_CATEGORY_ORACLE} AS process_category,
-                     (case when doc_id % 5 = 4 then {TC_TYPE_CASE} else {TCONTEXT} end) AS sig_target,
-                     {OBJECT_GROUP_ORACLE} AS object_group,
-                     (case when doc_id % 5 = 3 then {f['dest_port']}
-                           when doc_id % 5 = 4 then ''
-                           else {PATH_PATTERN_ORACLE} end) AS sig_extra,
-                     {PERMISSION_CATEGORY_ORACLE} AS permission_category,
-                     {f['path']} AS path
-              FROM documents)
-            SELECT process_category, sig_target, object_group, sig_extra,
-                   permission_category, count(*) AS cnt
-            FROM base GROUP BY 1,2,3,4,5
-            HAVING bool_or(path LIKE '/var/www/%')
-        """,
-        "filter_context": f"""
-            WITH base AS (
-              SELECT {PROCESS_CATEGORY_ORACLE} AS process_category,
-                     (case when doc_id % 5 = 4 then {TC_TYPE_CASE} else {TCONTEXT} end) AS sig_target,
-                     {OBJECT_GROUP_ORACLE} AS object_group,
-                     (case when doc_id % 5 = 3 then {f['dest_port']}
-                           when doc_id % 5 = 4 then ''
-                           else {PATH_PATTERN_ORACLE} end) AS sig_extra,
-                     {PERMISSION_CATEGORY_ORACLE} AS permission_category
-              FROM documents
-              WHERE doc_id % 4 in (0, 1))
-            SELECT process_category, sig_target, object_group, sig_extra,
-                   permission_category, count(*) AS cnt
-            FROM base GROUP BY 1,2,3,4,5
+                     {f['comm']} AS comm,
+                     {f['path']} AS path,
+                     (doc_id % 4 in (0, 1)) AS ctx_match
+              FROM documents),
+            grp AS (
+              SELECT process_category, sig_target, object_group, sig_extra,
+                     permission_category, count(*) AS cnt,
+                     bool_or(comm LIKE '%httpd%' OR comm LIKE '%mysqld%') AS m_process,
+                     bool_or(path LIKE '/var/www/%') AS m_glob,
+                     bool_or(ctx_match) AS m_ctx
+              FROM base GROUP BY 1,2,3,4,5)
+            SELECT 'process' AS fmode, process_category, sig_target,
+                   object_group, sig_extra, permission_category, cnt
+            FROM grp WHERE m_process
+            UNION ALL
+            SELECT 'glob', process_category, sig_target, object_group,
+                   sig_extra, permission_category, cnt
+            FROM grp WHERE m_glob
+            UNION ALL
+            SELECT 'context', process_category, sig_target, object_group,
+                   sig_extra, permission_category, cnt
+            FROM grp WHERE m_ctx
         """,
         "filter_mls_only": """
             SELECT doc_id FROM documents WHERE doc_id % 3 <> 0
         """,
-        "sort_groups_recent": f"""
+        "sort_groups_all": f"""
             WITH base AS (
               SELECT {PROCESS_CATEGORY_ORACLE} || '␟' ||
                      (case when doc_id % 5 = 4 then {TC_TYPE_CASE} else {TCONTEXT} end) || '␟' ||
@@ -1734,29 +1756,25 @@ def oracle_sql() -> dict[str, str]:
                      {f['epoch']} AS epoch
               FROM documents),
             grp AS (
-              SELECT signature, max(epoch) AS last_epoch, min(epoch) AS first_epoch
+              SELECT signature, count(*) AS cnt,
+                     min(epoch) AS first_epoch, max(epoch) AS last_epoch
               FROM base GROUP BY 1)
-            SELECT signature, last_epoch, first_epoch FROM grp
-            ORDER BY last_epoch DESC, first_epoch DESC, signature ASC
-            LIMIT 15
-        """,
-        "sort_groups_chrono": f"""
-            WITH base AS (
-              SELECT {PROCESS_CATEGORY_ORACLE} || '␟' ||
-                     (case when doc_id % 5 = 4 then {TC_TYPE_CASE} else {TCONTEXT} end) || '␟' ||
-                     {OBJECT_GROUP_ORACLE} || '␟' ||
-                     (case when doc_id % 5 = 3 then {f['dest_port']}
-                           when doc_id % 5 = 4 then ''
-                           else {PATH_PATTERN_ORACLE} end) || '␟' ||
-                     {PERMISSION_CATEGORY_ORACLE} AS signature,
-                     {f['epoch']} AS epoch
-              FROM documents),
-            grp AS (
-              SELECT signature, min(epoch) AS first_epoch, max(epoch) AS last_epoch
-              FROM base GROUP BY 1)
-            SELECT signature, first_epoch, last_epoch FROM grp
-            ORDER BY first_epoch ASC, last_epoch ASC, signature ASC
-            LIMIT 15
+            SELECT * FROM (
+              SELECT 'count' AS mode, signature, cnt AS k1, last_epoch AS k2
+              FROM grp ORDER BY cnt DESC, last_epoch DESC, signature ASC
+              LIMIT 20)
+            UNION ALL
+            SELECT * FROM (
+              SELECT 'recent' AS mode, signature, last_epoch AS k1,
+                     first_epoch AS k2
+              FROM grp ORDER BY last_epoch DESC, first_epoch DESC,
+                               signature ASC LIMIT 15)
+            UNION ALL
+            SELECT * FROM (
+              SELECT 'chrono' AS mode, signature, first_epoch AS k1,
+                     last_epoch AS k2
+              FROM grp ORDER BY first_epoch ASC, last_epoch ASC,
+                               signature ASC LIMIT 15)
         """,
         "resource_consolidation": f"""
             WITH base AS (
@@ -1811,22 +1829,6 @@ def oracle_sql() -> dict[str, str]:
                    (round(count(*) * 1.0 / sum(c), 6))::DOUBLE AS efficiency_score
             FROM cmds
         """,
-        "sort_groups_by_count": f"""
-            WITH base AS (
-              SELECT {PROCESS_CATEGORY_ORACLE} || '␟' ||
-                     (case when doc_id % 5 = 4 then {TC_TYPE_CASE} else {TCONTEXT} end) || '␟' ||
-                     {OBJECT_GROUP_ORACLE} || '␟' ||
-                     (case when doc_id % 5 = 3 then {f['dest_port']}
-                           when doc_id % 5 = 4 then ''
-                           else {PATH_PATTERN_ORACLE} end) || '␟' ||
-                     {PERMISSION_CATEGORY_ORACLE} AS signature,
-                     {f['epoch']} AS epoch
-              FROM documents)
-            SELECT signature, count(*) AS cnt, max(epoch) AS last_epoch
-            FROM base GROUP BY 1
-            ORDER BY cnt DESC, last_epoch DESC, signature ASC
-            LIMIT 20
-        """,
         "grouping_optimality": f"""
             WITH base AS (
               SELECT {PROCESS_CATEGORY_ORACLE} AS pc,
@@ -1878,22 +1880,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sh x JOIN sh y ON y.doc_id = x.doc_id + 1
             WHERE x.doc_id % 2 = 0
         """,
-        "tpch_q4ish_semijoin": """
-            SELECT o.o_orderpriority AS priority, count(*) AS order_count
-            FROM orders o
-            WHERE EXISTS (
-              SELECT 1 FROM lineitem l
-              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
-            GROUP BY o.o_orderpriority
-        """,
-        "tpch_antijoin": """
-            SELECT c.c_custkey AS custkey, c.c_name AS name
-            FROM customer c
-            WHERE NOT EXISTS (
-              SELECT 1 FROM orders o
-              WHERE o.o_custkey = c.c_custkey
-                AND o.o_orderdate >= timestamp '1997-06-01 00:00:00')
-        """,
+        "tpch_semi_anti": _TPCH_SEMI_ANTI_SQL,
         "tpch_q12ish_caseagg": """
             SELECT l.l_linestatus AS linestatus,
                    cast(sum(case when o.o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -1903,27 +1890,14 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
             GROUP BY l.l_linestatus
         """,
-        "events_moving_avg": """
-            SELECT event_id, user_id,
-                   round(avg(value) OVER (
-                     PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS moving_avg
-            FROM events
-        """,
-        "events_rank_in_type": """
-            SELECT event_id, event_type,
-                   dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk,
-                   round(sum(value) OVER (
-                     PARTITION BY event_type ORDER BY ts, event_id
-                     ROWS UNBOUNDED PRECEDING), 2) AS running_value
-            FROM events
-        """,
-        "events_percentiles": """
+        "events_window_funcs": _EVENTS_WINDOWS_SQL,
+        "events_type_stats": """
             SELECT event_type,
                    (round(quantile_cont(value, 0.5), 4))::DOUBLE AS p50,
                    (round(quantile_cont(value, 0.95), 4))::DOUBLE AS p95,
                    (round(min(value), 4))::DOUBLE AS vmin,
-                   (round(max(value), 4))::DOUBLE AS vmax
+                   (round(max(value), 4))::DOUBLE AS vmax,
+                   (round(exp(avg(ln(value))), 4))::DOUBLE AS geo_value
             FROM events GROUP BY event_type
         """,
         "events_pivot": """
@@ -1934,11 +1908,6 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(*) FILTER (event_type = 'signup') as bigint) AS signup,
                    cast(count(*) FILTER (event_type = 'error') as bigint) AS error
             FROM events GROUP BY user_id
-        """,
-        "events_geomean_udaf": """
-            SELECT event_type,
-                   (round(exp(avg(ln(value))), 4))::DOUBLE AS geo_value
-            FROM events GROUP BY event_type
         """,
         "events_set_ops": """
             SELECT user_id FROM events WHERE event_type = 'click'
@@ -2044,19 +2013,27 @@ def oracle_sql() -> dict[str, str]:
               FROM e x JOIN e y ON x.vec_id < y.vec_id)
             SELECT a, b, (round(c, 6))::DOUBLE AS cosine FROM p WHERE c >= 0.8
         """,
-        # rows-only (non-ANSI-expressible): dedup_minhash_lsh, dedup_simhash,
-        # ann_lsh_topk
-        "top_signatures": f"""
-            SELECT sig, cnt FROM (
-              SELECT {PROCESS_CATEGORY_ORACLE} || '␟' ||
-                     (case when doc_id % 5 = 4 then {TC_TYPE_CASE} else {TCONTEXT} end) || '␟' ||
-                     {OBJECT_GROUP_ORACLE} || '␟' ||
-                     (case when doc_id % 5 = 3 then {f['dest_port']}
-                           when doc_id % 5 = 4 then ''
-                           else {PATH_PATTERN_ORACLE} end) || '␟' ||
-                     {PERMISSION_CATEGORY_ORACLE} AS sig,
-                     count(*) AS cnt
-              FROM documents GROUP BY 1)
-            ORDER BY cnt DESC, sig ASC LIMIT 5
+        # guaranteed-recall invariants: the planted near-dup sets are
+        # deterministic functions of doc_id, and identical texts / vectors
+        # share sketches with probability 1 — so DuckDB can enumerate the
+        # exact expected pair sets without expressing the sketch itself.
+        "dedup_minhash_lsh": """
+            SELECT a.doc_id AS a, b.doc_id AS b, 1.0::DOUBLE AS jaccard
+            FROM documents a JOIN documents b ON b.doc_id > a.doc_id
+            WHERE a.doc_id % 25 = 0 AND b.doc_id % 25 = 0
+              AND (cast(floor(a.doc_id / 25.0) as int) % 4)
+                = (cast(floor(b.doc_id / 25.0) as int) % 4)
         """,
+        "dedup_simhash": """
+            SELECT count(*) AS dup_count, min(doc_id) AS keeper
+            FROM documents WHERE doc_id % 4 = 1
+        """,
+        "dedup_simhash_hamming": """
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   (case when (a.doc_id % 3 = 2) <> (b.doc_id % 3 = 2)
+                         then 2 else 0 end) AS hamming
+            FROM documents a JOIN documents b ON b.doc_id > a.doc_id
+            WHERE a.doc_id % 10 = 2 AND b.doc_id % 10 = 2
+        """,
+        "ann_lsh_topk": _ANN_LSH_ORACLE,
     }
