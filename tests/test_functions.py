@@ -98,6 +98,24 @@ def test_embedding_near_dups_bucketed_no_cross_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_near_dups_empty_and_null_safe(spark):
+    """Empty input → empty pairs frame (no eager-job TypeError); NULL
+    vectors are skipped when inferring the dimension (ADVICE r2)."""
+    from avc_parser_spark.functions.dedup import embedding_near_dups
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = embedding_near_dups(empty)
+    assert out.columns == ["a", "b", "cosine"]
+    assert out.count() == 0
+
+    with_null = spark.createDataFrame(
+        [(0, None), (1, [1.0, 0.0]), (2, [2.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r["a"], r["b"]) for r in embedding_near_dups(with_null).collect()}
+    assert (1, 2) in pairs
+
+
 def test_simhash_clusters_exact_dups(docs):
     clusters = simhash_near_dups(docs).collect()
     assert any(set(c["doc_ids"]) == {0, 1} for c in clusters)

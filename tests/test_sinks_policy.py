@@ -71,6 +71,22 @@ def test_json_report_shape(spark, events):
     import json as _json
 
     _json.dumps(report)  # must be serializable
+    # the K4 timestamp contract must be produced from the event_ts
+    # datetime-string form the report path actually emits (ADVICE r2)
+    assert isinstance(d["log"].get("timestamp_float"), float)
+    assert d["log"]["timestamp"] == d["log"]["timestamp_float"]
+
+
+def test_normalize_log_fields_event_ts_form():
+    from avc_parser_spark.sinks import normalize_log_fields
+
+    out = normalize_log_fields({"event_ts": "2023-11-14 22:21:33"})
+    assert out["timestamp_float"] == out["timestamp"] == 1700000493.0
+    # numeric `timestamp` still wins over event_ts when both are present
+    both = normalize_log_fields(
+        {"timestamp": "1700000123.303", "event_ts": "2023-11-14 22:21:33"}
+    )
+    assert both["timestamp_float"] == 1700000123.303
 
 
 def test_stats_report(spark, events):
