@@ -1030,14 +1030,19 @@ _WAV_HDR_HEX = (
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode through the Arrow-batched featurize UDF with REAL
-    planted payloads: binary PPM images (P6 2×2, constant pixel doc_id%256)
-    and RIFF/WAVE audio (8-bit PCM, constant amplitude) constructed in SQL,
+    """Full multimodal decode→resize→featurize pipeline with REAL planted
+    payloads built in SQL: 8×8 binary PPM images (nearest-neighbor resized
+    to 4×4 by the real resize kernel), 2×2 PPMs (already under max_dim),
+    RIFF/WAVE audio (8-bit PCM, constant amplitude; resize passthrough),
     plus text-cast payloads that take the honest stubbed_fake path (JPEG/PNG
     codecs absent in this container). The oracle verifies the decoded
-    feature values (quantized back to exact integers), decode routing, and
-    byte counts — the real kernels, not just plumbing."""
-    from avc_parser_spark.functions.multimodal import extract_media_features
+    feature values OF THE RESIZED payloads (quantized back to exact
+    integers), resize routing, decode routing, and byte counts — the real
+    kernels end to end, not just plumbing."""
+    from avc_parser_spark.functions.multimodal import (
+        extract_media_features,
+        resize_media,
+    )
 
     _views(spark, sf_dir, ["documents"])
     media = spark.sql(
@@ -1045,7 +1050,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                (case doc_id % 4 when 0 then 'image' when 2 then 'audio'
                      when 1 then 'image' else 'audio' end) AS media_type,
-               (case when doc_id % 4 = 0 then
+               (case when doc_id % 8 = 0 then
+                  cast('P6' || chr(10) || '8 8' || chr(10) || '255' || chr(10) as binary)
+                  || unhex(repeat(lpad(hex(doc_id % 256), 2, '0'), 192))
+                when doc_id % 8 = 4 then
                   cast('P6' || chr(10) || '2 2' || chr(10) || '255' || chr(10) as binary)
                   || unhex(repeat(lpad(hex(doc_id % 256), 2, '0'), 12))
                 when doc_id % 4 = 2 then
@@ -1055,15 +1063,16 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
         """
     )
-    feats = extract_media_features(media)
+    resized = resize_media(media, max_dim=4)
+    feats = extract_media_features(resized)
     is_ppm = F.col("decode_status") == "ok_ppm"
     is_wav = F.col("decode_status") == "ok_wav"
 
     def q(expr: F.Column, cond: F.Column) -> F.Column:
         return F.when(cond, F.round(expr).cast("long"))
 
-    return feats.select(
-        "doc_id", "media_type", "n_bytes", "decode_status",
+    return feats.join(resized.select("doc_id", "resize_status"), "doc_id").select(
+        "doc_id", "media_type", "n_bytes", "decode_status", "resize_status",
         q(F.col("feature")[4] * 255, is_ppm).alias("mean_byte"),
         q(F.col("feature")[5] * 1000, is_ppm).alias("std_milli"),
         q(F.col("feature")[6] * 4096, is_ppm).alias("px_w"),
@@ -1931,15 +1940,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    (case doc_id % 4 when 0 then 'image' when 2 then 'audio'
                          when 1 then 'image' else 'audio' end) AS media_type,
-                   (case when doc_id % 4 = 0 then 23
+                   (case when doc_id % 8 = 0 then 59
+                         when doc_id % 8 = 4 then 23
                          when doc_id % 4 = 2 then 52
                          else octet_length(encode(text)) end)::BIGINT AS n_bytes,
                    (case doc_id % 4 when 0 then 'ok_ppm' when 2 then 'ok_wav'
                          else 'stubbed_fake' end) AS decode_status,
+                   (case when doc_id % 8 = 0 then 'resized'
+                         when doc_id % 8 = 4 then 'already_small'
+                         else 'passthrough' end) AS resize_status,
                    (case when doc_id % 4 = 0 then doc_id % 256 end)::BIGINT AS mean_byte,
                    (case when doc_id % 4 = 0 then 0 end)::BIGINT AS std_milli,
-                   (case when doc_id % 4 = 0 then 2 end)::BIGINT AS px_w,
-                   (case when doc_id % 4 = 0 then 2 end)::BIGINT AS px_h,
+                   (case when doc_id % 8 = 0 then 4
+                         when doc_id % 8 = 4 then 2 end)::BIGINT AS px_w,
+                   (case when doc_id % 8 = 0 then 4
+                         when doc_id % 8 = 4 then 2 end)::BIGINT AS px_h,
                    (case when doc_id % 4 = 2
                          then abs((doc_id % 256) - 128) end)::BIGINT AS rms_byte,
                    (case when doc_id % 4 = 2 then 8000 end)::BIGINT AS sample_rate
