@@ -389,10 +389,14 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs) stays pytest-verified — accidental near-dups in the raw corpus
     make full-output equality non-SQL-expressible."""
     _views(spark, sf_dir, ["documents"])
+    # doc_id < 500 keeps the planted cluster sizes CONSTANT across scale
+    # factors (covers every doc at the driver's sf0.01), so the planted
+    # buckets can never outgrow the LSH max_bucket cap and break the
+    # recall-1 invariant at larger corpora.
     docs = spark.sql(
         """
         SELECT doc_id,
-               case when doc_id % 25 = 0
+               case when doc_id % 25 = 0 and doc_id < 500
                     then (case cast(floor(doc_id / 25.0) as int) % 4
                           when 0 then 'alpha beta gamma delta epsilon zeta eta theta iota kappa'
                           when 1 then 'lorem ipsum dolor sit amet consectetur adipiscing elit sed tempor'
@@ -410,6 +414,7 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = ngram_jaccard(docs, pairs).filter(F.col("jaccard") >= 0.5)
     return verified.filter(
         (F.col("a") % 25 == 0) & (F.col("b") % 25 == 0)
+        & (F.col("a") < 500) & (F.col("b") < 500)
     ).orderBy("a", "b")
 
 
@@ -424,7 +429,8 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.sql(
         """
         SELECT doc_id,
-               case when doc_id % 4 = 1 then 'identical page body' else text end AS text
+               case when doc_id % 4 = 1 and doc_id < 500
+                    then 'identical page body' else text end AS text
         FROM documents
         """
     )
@@ -460,7 +466,7 @@ def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.sql(
         f"""
         SELECT doc_id,
-               case when doc_id % 10 = 2
+               case when doc_id % 10 = 2 and doc_id < 500
                     then repeat('{_SIMHASH_BASE}', 3)
                          || 'tail variant ' || cast(doc_id % 3 as string)
                     else text end AS text
@@ -468,7 +474,10 @@ def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ).repartition(spark.sparkContext.defaultParallelism)
     pairs = simhash_pairs(docs, max_hamming=3)
-    return pairs.filter((F.col("a") % 10 == 2) & (F.col("b") % 10 == 2))
+    return pairs.filter(
+        (F.col("a") % 10 == 2) & (F.col("b") % 10 == 2)
+        & (F.col("a") < 500) & (F.col("b") < 500)
+    )
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -657,12 +666,21 @@ def q_filter_groups_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sort_groups_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1: all three deterministic group orderings in one check — count
-    (top 20), recent and chrono (top 15 each). LIMIT makes row membership
-    order-sensitive, so the hash checks each sort; k1/k2 carry the
-    respective primary/secondary sort keys."""
+    """O1 + A7: the three deterministic group orderings — count (top 20),
+    recent and chrono (top 15 each) — plus `top_n_per_dimension` over the
+    event table as a fourth mode (`top5`, the reference's most_common(n)
+    path). LIMIT makes row membership order-sensitive, so the hash checks
+    each sort; k1/k2 carry the respective primary/secondary sort keys."""
+    from avc_parser_spark.aggregate import top_n_per_dimension
     from avc_parser_spark.sorts import sort_groups
 
+    ev = signature_exprs(
+        _parsed(spark, sf_dir).filter(F.col("route") == "parse_ok")
+    )
+    top5 = top_n_per_dimension(ev, "signature", 5).select(
+        F.lit("top5").alias("mode"), "signature",
+        F.col("cnt").alias("k1"), F.col("cnt").alias("k2"),
+    )
     groups = _smart_groups(spark, sf_dir)
     by_count = (
         sort_groups(groups, "count")
@@ -691,7 +709,7 @@ def q_sort_groups_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(15)
     )
-    return by_count.unionByName(recent).unionByName(chrono)
+    return by_count.unionByName(recent).unionByName(chrono).unionByName(top5)
 
 
 def q_filter_mls_only(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1283,9 +1301,9 @@ def _analyzer_findings_oracle() -> str:
                cast(0 as bigint), cast(before_ev + after_ev as bigint),
                'before=' || cast(before_ev as string) || ' after='
                  || cast(after_ev as string) || ' trend='
-                 || (case when after_ev >= before_ev * 0.7 then 'stable'
+                 || (case when after_ev * 10 >= before_ev * 7 then 'stable'
                           else 'decreasing' end)
-        FROM recur WHERE before_ev > 0 AND after_ev >= before_ev * 0.3
+        FROM recur WHERE before_ev > 0 AND after_ev * 10 >= before_ev * 3
     """
 
 
@@ -1784,6 +1802,10 @@ def oracle_sql() -> dict[str, str]:
                      last_epoch AS k2
               FROM grp ORDER BY first_epoch ASC, last_epoch ASC,
                                signature ASC LIMIT 15)
+            UNION ALL
+            SELECT * FROM (
+              SELECT 'top5' AS mode, signature, cnt AS k1, cnt AS k2
+              FROM grp ORDER BY cnt DESC, signature ASC LIMIT 5)
         """,
         "resource_consolidation": f"""
             WITH base AS (
@@ -2036,12 +2058,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS a, b.doc_id AS b, 1.0::DOUBLE AS jaccard
             FROM documents a JOIN documents b ON b.doc_id > a.doc_id
             WHERE a.doc_id % 25 = 0 AND b.doc_id % 25 = 0
+              AND a.doc_id < 500 AND b.doc_id < 500
               AND (cast(floor(a.doc_id / 25.0) as int) % 4)
                 = (cast(floor(b.doc_id / 25.0) as int) % 4)
         """,
         "dedup_simhash": """
             SELECT count(*) AS dup_count, min(doc_id) AS keeper
-            FROM documents WHERE doc_id % 4 = 1
+            FROM documents WHERE doc_id % 4 = 1 AND doc_id < 500
         """,
         "dedup_simhash_hamming": """
             SELECT a.doc_id AS a, b.doc_id AS b,
@@ -2049,6 +2072,7 @@ def oracle_sql() -> dict[str, str]:
                          then 2 else 0 end) AS hamming
             FROM documents a JOIN documents b ON b.doc_id > a.doc_id
             WHERE a.doc_id % 10 = 2 AND b.doc_id % 10 = 2
+              AND a.doc_id < 500 AND b.doc_id < 500
         """,
         "ann_lsh_topk": _ANN_LSH_ORACLE,
     }

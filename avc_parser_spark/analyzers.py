@@ -317,11 +317,21 @@ def run_analyzers(
                     F.sum("after_ev").alias("after"),
                     F.slice(F.sort_array(F.collect_set("sig_id")), 1, 128).alias("sigs"),
                 )
-                .filter((F.col("before") > 0) & (F.col("after") >= F.col("before") * 0.3))
+                # integer forms of the reference's 0.3/0.7 ratios — exact
+                # for integer counts (a >= 0.3b ⇔ 10a >= 3b), immune to the
+                # float-boundary divergence vs decimal-arithmetic oracles
+                .filter(
+                    (F.col("before") > 0)
+                    & (F.col("after") * 10 >= F.col("before") * 3)
+                )
                 .collect()
             )
             for row in rec:
-                trend = "stable" if row["after"] >= row["before"] * 0.7 else "decreasing"
+                trend = (
+                    "stable"
+                    if row["after"] * 10 >= row["before"] * 7
+                    else "decreasing"
+                )
                 findings.append(
                     _finding(
                         spark, "WARNING", "recurrence",

@@ -14,8 +14,12 @@ map-side partial work, no driver collection:
 - embedding cosine: near-dup via cosine ≥ τ on an embedding column
                 (see similarity.py for the ANN machinery).
 
-MinHash/SimHash sketches are computed with native Spark expressions over the
-shingle array (transform/aggregate/xxhash64 with per-row seeds) — no Python.
+Sketch compute split: string hashing is always native (one xxhash64 per
+token/shingle, JVM-side); the wide per-hash arithmetic — MinHash's
+num_perms universal hashes, SimHash's 64 majority votes — runs as ONE
+Arrow-batched numpy pass per sketch (measured faster than the equivalent
+64-wide native expression trees, whose codegen size dominated); band/bucket
+keys and all joins/verifies are native.
 """
 
 from __future__ import annotations
@@ -359,6 +363,11 @@ def _simhash_block_keys(n_blocks: int, max_hamming: int) -> list[Column]:
     values saturate at web scale."""
     from itertools import combinations
 
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    if not max_hamming < n_blocks <= 64:
+        raise ValueError(f"need max_hamming < n_blocks <= 64, got {n_blocks}")
+
     base, rem = divmod(64, n_blocks)
     blocks = []
     lo = 0
@@ -401,11 +410,7 @@ def simhash_pairs(
     caught by `exact_duplicates`/Hamming-0 clustering.
     Returns (a, b, hamming) with a < b.
     """
-    if max_hamming < 0:
-        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
     n_blocks = n_blocks or max_hamming + 3
-    if not max_hamming < n_blocks <= 64:
-        raise ValueError(f"need max_hamming < n_blocks <= 64, got {n_blocks}")
     sh = docs.select(
         F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("simhash")
     )
@@ -460,8 +465,6 @@ def simhash_bucket_stats(
     text). One row: total buckets, max size, oversized bucket/member counts
     relative to `max_bucket` — the saturation signal that the old 16-bit
     band scheme tripped at ≥10^8 docs."""
-    if max_hamming < 0:
-        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
     n_blocks = n_blocks or max_hamming + 3
     keys = _simhash_block_keys(n_blocks, max_hamming)
     banded = hashes.select(

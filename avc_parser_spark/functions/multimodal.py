@@ -196,12 +196,13 @@ def _resize_ppm(payload: bytes, max_dim: int) -> bytes | None:
 
     if payload[:2] != b"P6":
         return None
-    if _decode_ppm(payload) is None:
-        return None
     header = _parse_ppm_header(payload)
-    if header is None:  # unreachable after the decode check; keep the guard
+    if header is None:
         return None
     width, height, maxval, i = header
+    # same validity bar as _decode_ppm, without paying a throwaway decode
+    if maxval > 255 or width * height == 0 or len(payload) < i + width * height * 3:
+        return None
     img = np.frombuffer(payload[i : i + width * height * 3], dtype=np.uint8)
     img = img.reshape(height, width, 3)
     scale = max(width, height) / max_dim

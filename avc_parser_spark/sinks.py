@@ -203,7 +203,13 @@ def normalize_log_fields(
 
             try:
                 parsed = _dt.datetime.fromisoformat(str(ts).strip())
-                epoch = parsed.replace(tzinfo=_dt.timezone.utc).timestamp()
+                # naive strings come from PySpark collect(), which renders
+                # TimestampType via datetime.fromtimestamp (DRIVER-LOCAL tz
+                # regardless of spark.sql.session.timeZone) — naive
+                # .timestamp() applies the same local tz, exactly inverting
+                # that rendering on any driver; tz-aware strings carry their
+                # own offset.
+                epoch = parsed.timestamp()
             except ValueError:
                 epoch = None
         if epoch is not None:

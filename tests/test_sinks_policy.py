@@ -78,13 +78,20 @@ def test_json_report_shape(spark, events):
 
 
 def test_normalize_log_fields_event_ts_form():
+    """event_ts strings are PySpark collect() renderings (driver-LOCAL tz
+    via datetime.fromtimestamp); normalization must invert that rendering
+    back to the exact epoch on any driver timezone."""
+    import datetime as dt
+
     from avc_parser_spark.sinks import normalize_log_fields
 
-    out = normalize_log_fields({"event_ts": "2023-11-14 22:21:33"})
-    assert out["timestamp_float"] == out["timestamp"] == 1700000493.0
+    epoch = 1700000493.0
+    rendered = str(dt.datetime.fromtimestamp(epoch))  # what collect() shows
+    out = normalize_log_fields({"event_ts": rendered})
+    assert out["timestamp_float"] == out["timestamp"] == epoch
     # numeric `timestamp` still wins over event_ts when both are present
     both = normalize_log_fields(
-        {"timestamp": "1700000123.303", "event_ts": "2023-11-14 22:21:33"}
+        {"timestamp": "1700000123.303", "event_ts": rendered}
     )
     assert both["timestamp_float"] == 1700000123.303
 
