@@ -223,6 +223,31 @@ EVENT_COLUMNS = [
 _RX_CACHE: dict[str, re.Pattern] = {}
 
 
+def _extract_named(s: pd.Series, pattern: str) -> pd.DataFrame:
+    """Named-group extract (one re.search per row, groups of the first
+    match, None on miss) — same semantics as ``Series.str.extract`` with a
+    named-group pattern, minus its per-column string-dtype materialization
+    (the header grammar runs over EVERY line, so this is a hot pass)."""
+    rx = _RX_CACHE.get(pattern)
+    if rx is None:
+        rx = _RX_CACHE[pattern] = re.compile(pattern)
+    names = list(rx.groupindex)
+    idx = {n: i - 1 for n, i in rx.groupindex.items()}
+    arr = s.to_numpy(dtype=object)
+    cols: dict[str, list] = {n: [None] * len(arr) for n in names}
+    search = rx.search
+    for i, x in enumerate(arr):
+        if isinstance(x, str):
+            m = search(x)
+            if m is not None:
+                groups = m.groups()
+                for n in names:
+                    cols[n][i] = groups[idx[n]]
+    return pd.DataFrame(
+        {n: pd.Series(v, index=s.index, dtype=object) for n, v in cols.items()}
+    )
+
+
 def _extract1(s: pd.Series, pattern: str) -> pd.Series:
     """First-group extract; multi-group (quoted|unquoted) patterns coalesce.
 
@@ -439,11 +464,11 @@ def parse_pages_pdf(pdf: pd.DataFrame, build_extracted_text: bool = True) -> pd.
     lines = lines[lines["line"].astype(bool)].reset_index(drop=True)
     lines["_ord"] = lines.index
 
-    hdr = lines["line"].str.extract(AUDIT_HDR_RE)
+    hdr = _extract_named(lines["line"], AUDIT_HDR_RE)
     lines = pd.concat([lines, hdr], axis=1)
     lines["is_audit"] = lines["tsid"].notna()
     # fallback type-only match for malformed audit-ish lines (parse_avc.py:612-618)
-    fallback_type = lines["line"].str.extract(r"type=(\w+)")[0]
+    fallback_type = _extract1(lines["line"], r"type=(\w+)")
     lines["rtype"] = (
         lines["rtype"].astype("string").fillna(fallback_type.astype("string"))
     )
@@ -506,12 +531,26 @@ def parse_pages_pdf(pdf: pd.DataFrame, build_extracted_text: bool = True) -> pd.
     ex_rows = arecs[arecs["rtype"] == "EXECVE"]
     if len(ex_rows):
         # argv reassembly a0=".." a1=".." → joined cmdline (parse_avc.py:639-644).
-        # pandas extractall yields NaN for EMPTY captures (a0="") where the
-        # reference's findall yields '' — final fillna("") restores parity
-        # (empty args keep their separator slot in the joined cmdline).
-        alist = ex_rows["line"].str.extractall(PAT_EXECVE_ARG)
-        alist["arg"] = alist[0].fillna(alist[1]).fillna("")
-        cmd = alist.groupby(level=0)["arg"].agg(" ".join)
+        # One finditer pass per line (same match set/order as findall; an
+        # EMPTY quoted capture a0="" joins as '' exactly like the
+        # reference's findall — the old extractall+groupby-join spent most
+        # of its time slicing a MultiIndex per group).
+        rx_arg = _RX_CACHE.get(PAT_EXECVE_ARG)
+        if rx_arg is None:
+            rx_arg = _RX_CACHE[PAT_EXECVE_ARG] = re.compile(PAT_EXECVE_ARG)
+
+        def _cmdline(line: str) -> str | None:
+            parts = [
+                m.group(1) if m.group(1) is not None else (m.group(2) or "")
+                for m in rx_arg.finditer(line)
+            ]
+            return " ".join(parts) if parts else None
+
+        cmd = pd.Series(
+            [_cmdline(x) for x in ex_rows["line"].to_numpy(dtype=object)],
+            index=ex_rows.index,
+            dtype=object,
+        )
         ex_rows = ex_rows.assign(execve_cmdline=cmd)
         shared["execve_cmdline"] = last_per_block(ex_rows, "execve_cmdline")
 
