@@ -447,8 +447,18 @@ def parse_pages_pdf(pdf: pd.DataFrame, build_extracted_text: bool = True) -> pd.
 
     # quarantine detection: control bytes inside the payload → the reference
     # would raise / tag PARSE_ERROR (parse_avc.py:477-482); we flag pre-strip.
-    blocks["_has_ctrl"] = blocks["block"].str.contains(CTRL_CHARS_RE, regex=True)
-    blocks["block"] = blocks["block"].str.replace(CTRL_CHARS_RE, "", regex=True)
+    # One subn pass replaces the contains+replace double scan (flag == at
+    # least one substitution).
+    rx_ctrl = _RX_CACHE.get(CTRL_CHARS_RE)
+    if rx_ctrl is None:
+        rx_ctrl = _RX_CACHE[CTRL_CHARS_RE] = re.compile(CTRL_CHARS_RE)
+    stripped, flags = [], []
+    for x in blocks["block"].to_numpy(dtype=object):
+        nx, n = rx_ctrl.subn("", x)
+        stripped.append(nx)
+        flags.append(bool(n))
+    blocks["_has_ctrl"] = pd.Series(flags, index=blocks.index)
+    blocks["block"] = pd.Series(stripped, index=blocks.index, dtype=object)
     blocks["_blk"] = blocks.index
 
     doc_has_ctrl = blocks.groupby("_doc")["_has_ctrl"].any()
