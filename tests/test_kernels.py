@@ -239,3 +239,83 @@ def test_user_avc_keeps_outer_pid():
     assert r["pid"] == "999"
     assert r["permission"] == "send_msg"
     assert r["denial_type"] == "USER_AVC"
+
+
+# ---------------------------------------------------------------------------
+# Property guards for the lean extraction path (hypothesis)
+# ---------------------------------------------------------------------------
+
+
+def test_extract1_equals_pandas_str_extract_property():
+    """_extract1 must stay byte-equivalent to the Series.str.extract +
+    group-coalesce + strip formulation it replaced, for every battery
+    pattern over adversarial inputs (quotes, embedded keys, empties,
+    non-strings)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from avc_parser_spark.parse.kernels import AVC_PATTERNS, _extract1
+
+    tokens = st.sampled_from(
+        list("abcdef0123456789 =\"'{}:./\\-_") + ["pid=", "comm=", "dev=",
+        'path="', "scontext=", "denied { ", " }", "spid=", "permissive="]
+    )
+    line = st.lists(tokens, max_size=20).map("".join)
+    lines = st.lists(st.one_of(line, st.none()), min_size=1, max_size=8)
+
+    def pandas_ref(s, pattern):
+        ext = s.str.extract(pattern, expand=True)
+        out = ext.iloc[:, 0].astype("string")
+        for i in range(1, ext.shape[1]):
+            out = out.fillna(ext.iloc[:, i].astype("string"))
+        return out.str.strip().astype(object).where(out.notna(), None)
+
+    @settings(max_examples=120, deadline=None)
+    @given(lines)
+    def check(vals):
+        s = pd.Series(vals, dtype=object)
+        for pat in AVC_PATTERNS.values():
+            lean = _extract1(s, pat)
+            ref = pandas_ref(s, pat)
+            assert list(lean.fillna("␀")) == list(ref.fillna("␀")), pat
+
+    check()
+
+
+def test_simhash_pairs_recall_property_all_k():
+    """Manku pigeonhole recall must be exactly 1 for every max_hamming in
+    0..3 on randomized corpora (brute-force ground truth)."""
+    from itertools import combinations
+
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from avc_parser_spark.functions.dedup import simhash64, simhash_pairs
+    from avc_parser_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    rng = _random.Random(424242)
+    words = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(24):
+        w = list(words)
+        for j in range(rng.randint(0, 3)):
+            w[rng.randrange(len(w))] = f"x{i}_{j}"
+        rows.append((i, " ".join(w)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hashes = {
+        r["doc_id"]: r["h"]
+        for r in docs.select("doc_id", simhash64(F.col("text")).alias("h")).collect()
+    }
+    for k in range(4):
+        expected = {
+            (a, b)
+            for a, b in combinations(sorted(hashes), 2)
+            if bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1") <= k
+        }
+        got = {
+            (r["a"], r["b"])
+            for r in simhash_pairs(docs, max_hamming=k).collect()
+        }
+        assert got == expected, f"k={k}"
