@@ -330,6 +330,14 @@ def _parse_timestamps(tsid: pd.Series) -> pd.Series:
     t1 = pd.to_datetime(ts_str, format="%m/%d/%Y %H:%M:%S.%f", errors="coerce")
     t2 = pd.to_datetime(ts_str, format="%d/%m/%y %H:%M:%S.%f", errors="coerce")
     epoch = pd.to_numeric(ts_str, errors="coerce")
+    # Pre-mask values outside datetime64[ns] range (|s| < ~9.22e9, year
+    # 2262): they would become NaT via errors="coerce" anyway, but absurd
+    # magnitudes (1e300-class garbage text) overflow the internal ns
+    # multiply first — and FloatingPointError raising depends on the
+    # process-global numpy FP-error state, which concurrent errstate
+    # contexts can racily flip (observed as a rare test flake). Masking
+    # keeps the exact same NaT outcome with no overflow possible.
+    epoch = epoch.where(epoch.abs() < 9223372036)  # floor(2**63 ns in s)
     with np.errstate(over="ignore", invalid="ignore"):
         t3 = pd.to_datetime(epoch, unit="s", errors="coerce")
     out = t1.fillna(t2).fillna(t3)
