@@ -442,8 +442,10 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The three planted simhash variant texts are FIXED strings, so their
 # pairwise Hamming distances are deterministic constants of xxhash64:
-# d(v0,v1)=0, d(v0,v2)=d(v1,v2)=2 (measured once; the brute-force-equality
-# pytest re-derives them every run). The base repeats 3× so a one-token tail
+# d(v0,v1)=0, d(v0,v2)=d(v1,v2)=2 — re-derived every run by
+# tests/test_functions.py::test_simhash_planted_variant_distances, which
+# asserts exactly the constants baked into the DuckDB oracle below (so
+# drift surfaces as a named assertion). The base repeats 3× so a one-token tail
 # change flips only ~2 of the 64 majority votes — keeping the planted pairs
 # inside Hamming≤3 and exercising the nonzero-distance recall path.
 _SIMHASH_BASE = (
@@ -480,12 +482,26 @@ def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _query_vec(emb: DataFrame, vec_id: int = 0) -> list[float] | None:
+    """Fetch one query vector by id; None when the id is absent (empty/
+    filtered table) so callers can return an empty result instead of raising
+    TypeError on `.head()[0]` (same guard shape as dedup.py's dim probe)."""
+    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").head()
+    return None if row is None else list(row[0])
+
+
+def _empty_topk(emb: DataFrame) -> DataFrame:
+    return emb.sparkSession.createDataFrame([], "vec_id bigint, cosine double")
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against the vec_id=0 embedding."""
     _views(spark, sf_dir, ["embeddings"])
     emb = spark.table("embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return brute_force_topk(emb, list(qvec), k=10)
+    qvec = _query_vec(emb)
+    if qvec is None:
+        return _empty_topk(emb)
+    return brute_force_topk(emb, qvec, k=10)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,8 +511,10 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-forces the cosine top-k within the query's bucket."""
     _views(spark, sf_dir, ["embeddings"])
     emb = spark.table("embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return lsh_topk(emb, list(qvec), k=10)
+    qvec = _query_vec(emb)
+    if qvec is None:
+        return _empty_topk(emb)
+    return lsh_topk(emb, qvec, k=10)
 
 
 def q_mls_case(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1032,9 +1050,11 @@ def q_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _views(spark, sf_dir, ["embeddings"])
     emb = spark.table("embeddings")
+    qvec = _query_vec(emb)
+    if qvec is None:
+        return _empty_topk(emb)
     cents = train_centroids(emb, k=4, iters=2)
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return ivf_topk(emb, list(qvec), cents, k=10, n_probe=len(cents))
+    return ivf_topk(emb, qvec, cents, k=10, n_probe=len(cents))
 
 
 

@@ -67,6 +67,12 @@ def _parse_ppm_header(payload: bytes) -> tuple[int, int, int, int] | None:
         width, height, maxval = (int(t) for t in tokens)
     except (ValueError, TypeError):
         return None
+    # reject non-positive dims here (shared bar): a negative width from a
+    # malformed header like 'P6\n-1 4\n255\n' would otherwise survive both
+    # callers' size checks (need goes negative) and reshape(-1, ...) would
+    # yield an empty image with NaN means under decode_status='ok_ppm'.
+    if width <= 0 or height <= 0 or maxval <= 0:
+        return None
     return width, height, maxval, i
 
 

@@ -337,7 +337,11 @@ def _parse_timestamps(tsid: pd.Series) -> pd.Series:
     # process-global numpy FP-error state, which concurrent errstate
     # contexts can racily flip (observed as a rare test flake). Masking
     # keeps the exact same NaT outcome with no overflow possible.
-    epoch = epoch.where(epoch.abs() < 9223372036)  # floor(2**63 ns in s)
+    # exact bound: 2**63 ns in seconds (9223372036.854775807); using the
+    # truncated-to-µs literal keeps the last representable ~0.85 s of the
+    # datetime64[ns] range (year 2262) parseable, matching the prior
+    # coerce-path behavior exactly.
+    epoch = epoch.where(epoch.abs() <= 9223372036.854775)
     with np.errstate(over="ignore", invalid="ignore"):
         t3 = pd.to_datetime(epoch, unit="s", errors="coerce")
     out = t1.fillna(t2).fillna(t3)

@@ -193,8 +193,12 @@ def normalize_log_fields(
     # json_report's log dicts carry `event_ts` (a stringified datetime), not
     # a numeric `timestamp` — produce the epoch-float contract fields from
     # either form.
-    ts = out.get("timestamp") or out.get("event_ts")
-    if ts:
+    # explicit None checks: a present-but-falsy timestamp (0 / 0.0 / "0" —
+    # epoch 1970-01-01) is a real value and must not fall back to event_ts.
+    ts = out.get("timestamp")
+    if ts is None:
+        ts = out.get("event_ts")
+    if ts is not None and ts != "":
         epoch: float | None = None
         try:
             epoch = float(str(ts).strip())

@@ -155,6 +155,58 @@ def test_simhash_pairs_hamming_banding_matches_brute_force(spark):
     assert got == expected
 
 
+def test_ppm_negative_dims_rejected():
+    """A malformed 'P6\\n-1 4\\n255\\n' header must route to the stub, not
+    produce NaN features under decode_status='ok_ppm' (ADVICE r3)."""
+    from avc_parser_spark.functions.multimodal import (
+        _parse_ppm_header,
+        decode_features,
+    )
+
+    bad = b"P6\n-1 4\n255\n" + b"\x00" * 16
+    assert _parse_ppm_header(bad) is None
+    feats, status = decode_features(bad)
+    assert status == "stubbed_fake"
+    assert all(not math.isnan(f) for f in feats)
+
+
+def test_simhash_planted_variant_distances(spark):
+    """The dedup_simhash_hamming oracle bakes in the pairwise distances of
+    the three planted variant texts (d(v0,v1)=0, d(v*,v2)=2). Re-derive them
+    from simhash64 so drift in _SIMHASH_BASE or the hash function surfaces
+    here as a named assertion, not an opaque driver hash mismatch."""
+    import __spark_entry__ as em
+    from avc_parser_spark.functions.dedup import simhash64
+
+    variants = [em._SIMHASH_BASE * 3 + f"tail variant {v}" for v in range(3)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(variants)], "vid int, text string"
+    )
+    hashes = {
+        r["vid"]: r["h"]
+        for r in df.select("vid", simhash64(F.col("text")).alias("h")).collect()
+    }
+
+    def ham(a: int, b: int) -> int:
+        return bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1")
+
+    assert ham(0, 1) == 0
+    assert ham(0, 2) == 2
+    assert ham(1, 2) == 2
+
+
+def test_ann_query_vec_guard_empty_table(spark):
+    """q_ann_* must return an empty frame, not TypeError, when vec_id=0 is
+    absent (ADVICE r3: `.head()[0]` on an empty probe)."""
+    import __spark_entry__ as em
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    assert em._query_vec(empty) is None
+    out = em._empty_topk(empty)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "cosine"]
+
+
 def test_simhash_pairs_hamming_zero(spark):
     """max_hamming=0 degenerates to one full-hash table: exactly the
     identical-simhash pairs, no plan-time overflow (ADVICE r2)."""
