@@ -504,6 +504,84 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, qvec, k=10)
 
 
+# --- planted separable corpus for the IVF pruned-probe mode ---------------
+# 4 groups on disjoint 16-dim blocks of a 64-dim space: group g = vec_id%4
+# occupies dims [16g, 16g+16) with values 1 + 0.001*((vec_id*31+d) % 97),
+# zero elsewhere. Cross-group cosine is exactly 0 (disjoint supports) and
+# within-group cosine ≈ 1, so with the four block-indicator centroids every
+# vector provably assigns to its own group and the query's (group-0) cluster
+# contains the true top-k — n_probe=1 EQUALS exact by construction, which
+# makes the recall-bearing pruned path hash-checkable against a brute-force
+# DuckDB oracle over the same planted table (VERDICT r3 item 3).
+_IVF_DIM, _IVF_BLOCK, _IVF_GROUPS = 64, 16, 4
+
+_IVF_PLANT_SPARK_SQL = f"""
+    SELECT vec_id,
+           transform(sequence(0, {_IVF_DIM - 1}), d ->
+             case when cast(floor(d / {_IVF_BLOCK}.0) as int) = cast(vec_id % {_IVF_GROUPS} as int)
+                  then cast(1.0 + 0.001 * ((vec_id * 31 + d) % 97) as double)
+                  else cast(0.0 as double) end) AS embedding
+    FROM embeddings
+"""
+
+
+def _ivf_plant_query_vec() -> list[float]:
+    """The planted vec_id=0 vector (same closed form as the SQL plants)."""
+    return [
+        1.0 + 0.001 * (d % 97) if d < _IVF_BLOCK else 0.0
+        for d in range(_IVF_DIM)
+    ]
+
+
+def _ivf_plant_centroids() -> list[list[float]]:
+    """Block-indicator centroids — one per planted group."""
+    return [
+        [
+            1.0 if _IVF_BLOCK * g <= d < _IVF_BLOCK * (g + 1) else 0.0
+            for d in range(_IVF_DIM)
+        ]
+        for g in range(_IVF_GROUPS)
+    ]
+
+
+def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN modes in one mode-tagged union (merged per the 50-entry window):
+    - 'brute': exact cosine top-10 (TakeOrderedAndProject, no shuffle);
+    - 'ivf_exact': the full train→assign→probe IVF machinery with
+      n_probe = all clusters (exact by construction — hash-checks the
+      k-means training and assignment against the brute-force oracle);
+    - 'ivf_pruned': the recall-bearing n_probe=1 path over the planted
+      separable corpus where pruned == exact provably (see plant above)."""
+    from avc_parser_spark.functions.similarity import ivf_topk, train_centroids
+
+    _views(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings")
+    qvec = _query_vec(emb)
+    if qvec is None:
+        return _empty_topk(emb).select(
+            F.lit("brute").alias("mode"), "vec_id", "cosine"
+        )
+
+    def tag(df: DataFrame, mode: str) -> DataFrame:
+        return df.select(F.lit(mode).alias("mode"), "vec_id", "cosine")
+
+    brute = tag(brute_force_topk(emb, qvec, k=10), "brute")
+    cents = train_centroids(emb, k=4, iters=2)
+    exact = tag(ivf_topk(emb, qvec, cents, k=10, n_probe=len(cents)), "ivf_exact")
+    planted = spark.sql(_IVF_PLANT_SPARK_SQL)
+    pruned = tag(
+        ivf_topk(
+            planted,
+            _ivf_plant_query_vec(),
+            _ivf_plant_centroids(),
+            k=10,
+            n_probe=1,
+        ),
+        "ivf_pruned",
+    )
+    return brute.unionByName(exact).unionByName(pruned)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-k, hash-verified against a full algorithmic
     oracle: the sign-projection hyperplanes are deterministic (seeded), so
@@ -515,6 +593,124 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if qvec is None:
         return _empty_topk(emb)
     return lsh_topk(emb, qvec, k=10)
+
+
+def q_dedup_simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash modes in one mode-tagged union (merged per the 50-entry
+    window; k-columns carry each mode's payload):
+    - 'cluster': Hamming-0 clustering — k1=dup_count, k2=keeper, k3=0;
+    - 'pair': Manku block-permutation Hamming≤3 pairs — k1=a, k2=b,
+      k3=hamming. Both keep their guaranteed-recall planted invariants."""
+    cluster = q_simhash_dups(spark, sf_dir).select(
+        F.lit("cluster").alias("mode"),
+        F.col("dup_count").cast("long").alias("k1"),
+        F.col("keeper").cast("long").alias("k2"),
+        F.lit(0).cast("long").alias("k3"),
+    )
+    pair = q_simhash_hamming(spark, sf_dir).select(
+        F.lit("pair").alias("mode"),
+        F.col("a").cast("long").alias("k1"),
+        F.col("b").cast("long").alias("k2"),
+        F.col("hamming").cast("long").alias("k3"),
+    )
+    return cluster.unionByName(pair)
+
+
+def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster RESOLUTION: candidate pairs → connected components →
+    (doc_id, keeper) assignment — the step that decides which docs to drop
+    (reference analog: collapsing raw denials into actionable groups,
+    parse_avc.py:3942-4046). Two mode-tagged strategies:
+    - 'chain': transitive chains planted in SQL (consecutive ids in blocks
+      of 5) — A~B, B~C ⇒ same keeper requires multi-hop label propagation;
+    - 'minhash': end-to-end — the guaranteed-recall planted MinHash pairs
+      (identical texts → complete intra-cluster pair graphs) resolved to
+      keeper = cluster minimum (= 25 × variant, enumerable in DuckDB).
+    Docs with no candidate pair keep themselves (left-join + coalesce), so
+    the output is a full keep/drop assignment at every scale factor."""
+    from avc_parser_spark.functions.dedup import resolve_clusters
+
+    _views(spark, sf_dir, ["documents"])
+
+    def assign(universe: DataFrame, pairs: DataFrame, mode: str) -> DataFrame:
+        resolved = resolve_clusters(pairs)
+        return (
+            universe.join(resolved, "doc_id", "left")
+            .select(
+                F.lit(mode).alias("strategy"),
+                "doc_id",
+                F.coalesce("keeper", F.col("doc_id")).alias("keeper"),
+            )
+        )
+
+    chain_universe = spark.sql(
+        "SELECT doc_id FROM documents WHERE doc_id < 500"
+    )
+    chain_pairs = spark.sql(
+        """
+        SELECT doc_id - 1 AS a, doc_id AS b
+        FROM documents WHERE doc_id % 5 <> 0 AND doc_id < 500
+        """
+    )
+    chain = assign(chain_universe, chain_pairs, "chain")
+
+    # the same planted corpus as dedup_minhash_lsh: 4 identical-text
+    # clusters over doc_id%25==0 (<500) → LSH recall exactly 1
+    docs = spark.sql(
+        """
+        SELECT doc_id,
+               case when doc_id % 25 = 0 and doc_id < 500
+                    then (case cast(floor(doc_id / 25.0) as int) % 4
+                          when 0 then 'alpha beta gamma delta epsilon zeta eta theta iota kappa'
+                          when 1 then 'lorem ipsum dolor sit amet consectetur adipiscing elit sed tempor'
+                          when 2 then 'north south east west river mountain valley forest desert ocean'
+                          else 'crimson amber violet indigo turquoise magenta cobalt emerald silver bronze'
+                          end)
+                    else text end AS text
+        FROM documents
+        """
+    ).repartition(spark.sparkContext.defaultParallelism)
+    mh_pairs = minhash_lsh_candidates(docs).filter(
+        (F.col("a") % 25 == 0) & (F.col("b") % 25 == 0)
+        & (F.col("a") < 500) & (F.col("b") < 500)
+    )
+    mh_universe = spark.sql(
+        "SELECT doc_id FROM documents WHERE doc_id % 25 = 0 AND doc_id < 500"
+    )
+    minhash = assign(mh_universe, mh_pairs, "minhash")
+    return chain.unionByName(minhash)
+
+
+def q_streaming_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTUAL Structured Streaming execution path, driver-checked:
+    writes the synthetic corpus to a landing dir, runs readStream → parse
+    (stateless mapInPandas) → watermarked windowed rollup → memory sink
+    with trigger=availableNow, waits for termination, and returns the sink
+    table. The oracle is the equivalent batch aggregate (streaming == batch
+    is the invariant, pytest-proven in tests/test_streaming_plans.py)."""
+    import os
+    import shutil
+    import uuid
+
+    from avc_parser_spark.streaming import run_stream_to_memory
+
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data", "tmp", "stream"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    landing = os.path.join(base, "landing")
+    ckpt = os.path.join(base, "ckpt")
+    _synth_pages(spark, sf_dir, SYNTH_LINE).write.mode("overwrite").parquet(
+        landing
+    )
+    name = "q_stream_rollup_" + uuid.uuid4().hex[:8]
+    query = run_stream_to_memory(spark, landing, ckpt, name=name)
+    query.awaitTermination()
+    return spark.table(name).select(
+        F.col("hour_start").cast("long").alias("hour_epoch"),
+        "lang",
+        F.col("events").alias("n"),
+    )
 
 
 def q_mls_case(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1242,16 +1438,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_adjacent": q_jaccard_adjacent,
         "dedup_minhash_lsh": q_minhash_candidates,
-        "dedup_simhash": q_simhash_dups,
-        "dedup_simhash_hamming": q_simhash_hamming,
+        "dedup_simhash_suite": q_dedup_simhash_suite,
         "dedup_embedding_cosine": q_dedup_embedding,
+        "dedup_resolve": q_dedup_resolve,
         # training-data ops: similarity search
-        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_suite": q_ann_suite,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_exact_topk": q_ann_ivf_exact,
         # training-data ops: multimodal
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        # streaming execution path (batch-equivalent availableNow run)
+        "streaming_lang_rollup": q_streaming_lang_rollup,
     }
 
 
@@ -1619,29 +1816,43 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper
             FROM corpus GROUP BY 1 HAVING count(*) >= 2
         """,
-        "ann_cosine_topk": """
+        # brute and ivf_exact modes are exact by construction → both equal
+        # the brute-force cosine top-10; ivf_pruned runs over the planted
+        # separable corpus where n_probe=1 provably equals exact (disjoint
+        # block supports → cross-group cosine 0; see _IVF_PLANT_SPARK_SQL).
+        "ann_suite": f"""
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
             ex AS (
               SELECT vec_id,
                      unnest(embedding)::DOUBLE AS x,
                      unnest((SELECT qe FROM q))::DOUBLE AS y
-              FROM embeddings)
-            SELECT vec_id,
-                   round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cosine
-            FROM ex GROUP BY vec_id
-            ORDER BY cosine DESC, vec_id ASC LIMIT 10
-        """,
-        "ann_ivf_exact_topk": """
-            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-            ex AS (
+              FROM embeddings),
+            exact AS (
               SELECT vec_id,
-                     unnest(embedding)::DOUBLE AS x,
-                     unnest((SELECT qe FROM q))::DOUBLE AS y
-              FROM embeddings)
-            SELECT vec_id,
-                   round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cosine
-            FROM ex GROUP BY vec_id
-            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+                     round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cosine
+              FROM ex GROUP BY vec_id
+              ORDER BY cosine DESC, vec_id ASC LIMIT 10),
+            pe AS (
+              SELECT vec_id,
+                     list_transform(range(0, {_IVF_DIM}), d ->
+                       case when cast(floor(d / {_IVF_BLOCK}.0) as int) = vec_id % {_IVF_GROUPS}
+                            then 1.0 + 0.001 * ((vec_id * 31 + d) % 97)
+                            else 0.0 end) AS v
+              FROM embeddings),
+            pq AS (SELECT v AS qv FROM pe WHERE vec_id = 0),
+            pruned AS (
+              SELECT vec_id,
+                     (round(list_dot_product(v, (SELECT qv FROM pq))
+                        / (sqrt(list_dot_product(v, v))
+                           * sqrt(list_dot_product((SELECT qv FROM pq),
+                                                   (SELECT qv FROM pq)))), 6))::DOUBLE AS cosine
+              FROM pe
+              ORDER BY cosine DESC, vec_id ASC LIMIT 10)
+            SELECT 'brute' AS mode, vec_id, cosine FROM exact
+            UNION ALL
+            SELECT 'ivf_exact' AS mode, vec_id, cosine FROM exact
+            UNION ALL
+            SELECT 'ivf_pruned' AS mode, vec_id, cosine FROM pruned
         """,
         "pipeline_mls_case": f"""
             SELECT doc_id,
@@ -2082,17 +2293,42 @@ def oracle_sql() -> dict[str, str]:
               AND (cast(floor(a.doc_id / 25.0) as int) % 4)
                 = (cast(floor(b.doc_id / 25.0) as int) % 4)
         """,
-        "dedup_simhash": """
-            SELECT count(*) AS dup_count, min(doc_id) AS keeper
+        "dedup_simhash_suite": """
+            SELECT 'cluster' AS mode,
+                   cast(count(*) as bigint) AS k1,
+                   cast(min(doc_id) as bigint) AS k2,
+                   cast(0 as bigint) AS k3
             FROM documents WHERE doc_id % 4 = 1 AND doc_id < 500
-        """,
-        "dedup_simhash_hamming": """
-            SELECT a.doc_id AS a, b.doc_id AS b,
-                   (case when (a.doc_id % 3 = 2) <> (b.doc_id % 3 = 2)
-                         then 2 else 0 end) AS hamming
+            UNION ALL
+            SELECT 'pair' AS mode,
+                   cast(a.doc_id as bigint) AS k1,
+                   cast(b.doc_id as bigint) AS k2,
+                   cast(case when (a.doc_id % 3 = 2) <> (b.doc_id % 3 = 2)
+                         then 2 else 0 end as bigint) AS k3
             FROM documents a JOIN documents b ON b.doc_id > a.doc_id
             WHERE a.doc_id % 10 = 2 AND b.doc_id % 10 = 2
               AND a.doc_id < 500 AND b.doc_id < 500
         """,
+        # chain: blocks of 5 consecutive ids ⇒ keeper = block head (needs
+        # multi-hop propagation on the Spark side); minhash: the planted
+        # identical-text clusters ⇒ keeper = 25 × variant (the cluster
+        # minimum always exists because doc_ids are contiguous from 0).
+        "dedup_resolve": """
+            SELECT 'chain' AS strategy, doc_id,
+                   cast(doc_id - doc_id % 5 as bigint) AS keeper
+            FROM documents WHERE doc_id < 500
+            UNION ALL
+            SELECT 'minhash' AS strategy, doc_id,
+                   cast((cast(floor(doc_id / 25.0) as int) % 4) * 25 as bigint) AS keeper
+            FROM documents WHERE doc_id % 25 = 0 AND doc_id < 500
+        """,
         "ann_lsh_topk": _ANN_LSH_ORACLE,
+        # streaming == batch invariant: the availableNow windowed rollup
+        # equals the batch per-lang/per-hour aggregate over the same corpus.
+        "streaming_lang_rollup": f"""
+            SELECT cast(floor(({f['epoch']}) / 3600.0) * 3600 as bigint) AS hour_epoch,
+                   lang,
+                   count(*) AS n
+            FROM documents GROUP BY 1, 2
+        """,
     }

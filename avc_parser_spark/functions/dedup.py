@@ -480,6 +480,96 @@ def simhash_bucket_stats(
     )
 
 
+def resolve_clusters(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Resolve candidate near-dup PAIRS into connected-component clusters:
+    every doc in a component gets the component's min id as its keeper —
+    the step that turns verified pairs (minhash/simhash/embedding paths)
+    into an actionable keep/drop decision, the dedup analog of the
+    reference collapsing raw denials into groups (parse_avc.py:3942-4046).
+
+    Algorithm: iterative min-label propagation with pointer-doubling.
+    label(v) starts at min(v, direct neighbors); each round every vertex
+    takes the min of its own label, its neighbors' labels (edges ⋈ labels →
+    groupBy), and its LABEL'S label (labels ⋈ labels — the shortcut that
+    halves remaining path length every round, à la Shiloach-Vishkin /
+    hash-to-min). Two shuffles per round on the vertex id; convergence in
+    O(log diameter) rounds instead of O(diameter), so `max_iters` bounds
+    even pathological 10^6-hop chains. Convergence is detected with a
+    scalar count aggregate per round (no row data reaches the driver);
+    each round's labels are localCheckpoint'ed — persist alone keeps the
+    LOGICAL plan, which references the prior round 3× and grows 3^rounds
+    (OOMs the planner by round ~15); checkpointing rebases the plan on the
+    materialized partitions so lineage stays O(1). On a real cluster use
+    `spark.sparkContext.setCheckpointDir` + `.checkpoint()` for
+    executor-loss-tolerant truncation; local mode keeps blocks in memory.
+
+    At 100 TB the edge table is orders of magnitude smaller than the corpus
+    (bounded by buckets × C(max_bucket,2)); vertices not in any pair are
+    their own keepers and never enter the loop.
+
+    Returns (doc_id, keeper) for every vertex that appears in `pairs`.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("nmin"))
+        .select("id", F.least(F.col("id"), F.col("nmin")).alias("label"))
+        .localCheckpoint()  # eager: materialized once, reused 3×/round
+    )
+
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(
+                labels.select(F.col("id").alias("src"), "label"), "src"
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        # pointer doubling: my label's current label (labels re-keyed by id)
+        shortcut = labels.select(
+            F.col("id").alias("label"), F.col("label").alias("slabel")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .join(shortcut, "label", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce("nlabel", F.col("label")),
+                    F.coalesce("slabel", F.col("label")),
+                ).alias("new_label"),
+                F.col("label").alias("_old"),
+            )
+            .select(
+                "id",
+                F.col("new_label").alias("label"),
+                (F.col("new_label") < F.col("_old")).alias("_changed"),
+            )
+            .localCheckpoint()  # truncate lineage: plan references labels 3×
+        )
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.select("id", "label")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("keeper")
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -76,10 +76,33 @@ def _parse_ppm_header(payload: bytes) -> tuple[int, int, int, int] | None:
     return width, height, maxval, i
 
 
+def _image_features(img, width: int, height: int) -> list[float]:
+    """Shared image feature vector from a 2-D grayscale float array in
+    [0,1]: per-quadrant mean intensity (4) + global mean/std + normalized
+    width/height. One definition for every image codec (PPM, PNG) so
+    features can never drift between formats."""
+    h2, w2 = max(height // 2, 1), max(width // 2, 1)
+    quads = [
+        float(img[:h2, :w2].mean()),
+        float(img[:h2, w2:].mean() if width > 1 else img[:h2, :w2].mean()),
+        float(img[h2:, :w2].mean() if height > 1 else img[:h2, :w2].mean()),
+        float(
+            img[h2:, w2:].mean()
+            if height > 1 and width > 1
+            else img[:h2, :w2].mean()
+        ),
+    ]
+    return quads + [
+        float(img.mean()),
+        float(img.std()),
+        min(width / 4096.0, 1.0),
+        min(height / 4096.0, 1.0),
+    ]
+
+
 def _decode_ppm(payload: bytes) -> tuple[list[float], str] | None:
     """REAL decode for binary PPM/PGM (P6/P5) images — pure numpy, no
-    external codec. Features: per-quadrant mean intensity (4) + global
-    mean/std + normalized width/height."""
+    external codec."""
     import numpy as np
 
     header = _parse_ppm_header(payload)
@@ -93,24 +116,177 @@ def _decode_ppm(payload: bytes) -> tuple[list[float], str] | None:
         return None
     px = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) / maxval
     img = px.reshape(height, width, channels).mean(axis=2)
-    h2, w2 = max(height // 2, 1), max(width // 2, 1)
-    quads = [
-        float(img[:h2, :w2].mean()),
-        float(img[:h2, w2:].mean() if width > 1 else img[:h2, :w2].mean()),
-        float(img[h2:, :w2].mean() if height > 1 else img[:h2, :w2].mean()),
-        float(
-            img[h2:, w2:].mean()
-            if height > 1 and width > 1
-            else img[:h2, :w2].mean()
-        ),
-    ]
-    feats = quads + [
-        float(img.mean()),
-        float(img.std()),
-        min(width / 4096.0, 1.0),
-        min(height / 4096.0, 1.0),
-    ]
-    return feats, "ok_ppm"
+    return _image_features(img, width, height), "ok_ppm"
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (8-bit depth, non-interlaced support only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _decode_png_pixels(payload: bytes):
+    """REAL PNG decode — stdlib zlib inflate + numpy scanline unfiltering
+    (filter types 0-4: None/Sub/Up/Average/Paeth). Supports 8-bit depth,
+    color types 0/2/4/6, non-interlaced (the overwhelmingly common web
+    shape); anything else returns None and routes to the stub. Returns
+    (height×width×channels uint8 array, channels) or None.
+
+    Vectorization: None/Up are whole-row numpy ops and Sub is a per-lane
+    cumulative sum; Average/Paeth fall back to a per-byte walk (left-recon
+    dependency) — fine for a fallback kernel; swap in PIL where it ships
+    (_HAVE_REAL_DECODERS)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        return None
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            return None
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    width, height = struct.unpack(">II", ihdr[:8])
+    depth, color, _comp, _filt, interlace = ihdr[8:13]
+    if (
+        depth != 8
+        or interlace != 0
+        or color not in _PNG_CHANNELS
+        or width <= 0
+        or height <= 0
+        or width * height > 64 << 20
+    ):
+        return None
+    ch = _PNG_CHANNELS[color]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = width * ch
+    if len(raw) < height * (stride + 1):
+        return None
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype, line = row[0], np.frombuffer(row[1:], dtype=np.uint8).astype(np.int32)
+        if ftype == 0:
+            recon = line
+        elif ftype == 1:  # Sub: per-lane prefix sum mod 256
+            lanes = line.reshape(width, ch)
+            recon = np.cumsum(lanes, axis=0, dtype=np.int64).reshape(stride) % 256
+        elif ftype == 2:  # Up
+            recon = (line + prev) % 256
+        elif ftype == 3:  # Average
+            recon = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                left = recon[x - ch] if x >= ch else 0
+                recon[x] = (line[x] + (left + prev[x]) // 2) % 256
+        elif ftype == 4:  # Paeth
+            recon = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                left = recon[x - ch] if x >= ch else 0
+                ul = prev[x - ch] if x >= ch else 0
+                recon[x] = (line[x] + _png_paeth(int(left), int(prev[x]), int(ul))) % 256
+        else:
+            return None
+        out[y] = recon.astype(np.uint8)
+        prev = recon.astype(np.int32)
+    return out.reshape(height, width, ch), ch
+
+
+def _decode_png(payload: bytes) -> tuple[list[float], str] | None:
+    """Feature extraction over the real PNG decode: grayscale = mean of the
+    color channels (alpha excluded), same feature vector as PPM."""
+    decoded = _decode_png_pixels(payload)
+    if decoded is None:
+        return None
+    img, ch = decoded
+    color = img[:, :, : 3 if ch >= 3 else 1]  # drop alpha channel(s)
+    gray = color.astype("float64").mean(axis=2) / 255.0
+    h, w = gray.shape
+    return _image_features(gray, w, h), "ok_png"
+
+
+def encode_png(img, row_filters: list[int] | None = None) -> bytes:
+    """Minimal PNG encoder (stdlib zlib + struct): 8-bit gray/RGB/RGBA from
+    a (h, w[, ch]) uint8 array. `row_filters` selects the per-row filter
+    type (0-4, default all 0) — used by tests to plant payloads that
+    exercise every unfilter branch, and by the resize path to re-encode."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    filters = row_filters or [0] * h
+    lines = []
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        recon = arr[y].reshape(-1).astype(np.int32)
+        f = filters[y % len(filters)]
+        if f == 0:
+            filt = recon
+        elif f == 1:
+            left = np.concatenate([np.zeros(ch, np.int32), recon[:-ch]])
+            filt = (recon - left) % 256
+        elif f == 2:
+            filt = (recon - prev) % 256
+        elif f == 3:
+            left = np.concatenate([np.zeros(ch, np.int32), recon[:-ch]])
+            filt = (recon - (left + prev) // 2) % 256
+        else:  # Paeth
+            left = np.concatenate([np.zeros(ch, np.int32), recon[:-ch]])
+            ul = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+            pred = np.array(
+                [
+                    _png_paeth(int(left[x]), int(prev[x]), int(ul[x]))
+                    for x in range(w * ch)
+                ],
+                dtype=np.int32,
+            )
+            filt = (recon - pred) % 256
+        lines.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+        prev = recon
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), 9)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
 
 
 def _decode_wav(payload: bytes) -> tuple[list[float], str] | None:
@@ -145,11 +321,11 @@ def _decode_wav(payload: bytes) -> tuple[list[float], str] | None:
 
 
 def decode_features(payload: bytes) -> tuple[list[float], str]:
-    """Best-available decode: real PPM/PGM and WAV kernels (pure
-    stdlib/numpy), deterministic fake for formats needing codecs this
-    container doesn't ship."""
+    """Best-available decode: real PPM/PGM, PNG (stdlib zlib + numpy
+    unfiltering) and WAV kernels, deterministic fake for formats needing
+    codecs this container doesn't ship (JPEG/MP4)."""
     if payload:
-        for dec in (_decode_ppm, _decode_wav):
+        for dec in (_decode_ppm, _decode_png, _decode_wav):
             try:
                 out = dec(payload)
             except Exception:  # noqa: BLE001 — corrupt media must not fail the job
@@ -221,10 +397,33 @@ def _resize_ppm(payload: bytes, max_dim: int) -> bytes | None:
     return b"P6\n%d %d\n%d\n" % (nw, nh, maxval) + small.tobytes()
 
 
+def _resize_png(payload: bytes, max_dim: int) -> bytes | None:
+    """REAL nearest-neighbor resize for PNG payloads: decode (zlib+numpy),
+    NN-downsample so the longest side is ≤ max_dim, re-encode with filter-0
+    rows. Returns the original payload when already small, None when not
+    decodable PNG (caller passes those through)."""
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        return None
+    decoded = _decode_png_pixels(payload)
+    if decoded is None:
+        return None
+    img, _ch = decoded
+    height, width = img.shape[:2]
+    scale = max(width, height) / max_dim
+    if scale <= 1:
+        return payload
+    nw, nh = max(int(width / scale), 1), max(int(height / scale), 1)
+    ys = (np.arange(nh) * height // nh).clip(0, height - 1)
+    xs = (np.arange(nw) * width // nw).clip(0, width - 1)
+    return encode_png(img[ys][:, xs])
+
+
 def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
-    """Resize op over the media table (Arrow-batched mapInPandas): PPM
-    payloads are REALLY downsampled (nearest neighbor) to max_dim; other
-    formats pass through unchanged with resize_status='passthrough'."""
+    """Resize op over the media table (Arrow-batched mapInPandas): PPM and
+    PNG payloads are REALLY downsampled (nearest neighbor) to max_dim;
+    other formats pass through unchanged with resize_status='passthrough'."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -233,6 +432,8 @@ def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
                 raw = bytes(p) if isinstance(p, (bytes, bytearray)) else b""
                 try:
                     resized = _resize_ppm(raw, max_dim)
+                    if resized is None:
+                        resized = _resize_png(raw, max_dim)
                 except Exception:  # noqa: BLE001 — corrupt media passes through
                     resized = None
                 if resized is None:

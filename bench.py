@@ -118,7 +118,8 @@ def main() -> None:
         "text_profile",
         "dedup_exact",
         "dedup_minhash_lsh",
-        "ann_cosine_topk",
+        "dedup_resolve",
+        "ann_suite",
     ]:
         try:
             queries[name] = timed(lambda n=name: qmap[n](spark, SF_DIR).count())

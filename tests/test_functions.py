@@ -155,6 +155,148 @@ def test_simhash_pairs_hamming_banding_matches_brute_force(spark):
     assert got == expected
 
 
+def test_resolve_clusters_transitive_chain(spark):
+    """A~B, B~C ⇒ same keeper: pure chains require label propagation across
+    hops, not just direct-pair min."""
+    from avc_parser_spark.functions.dedup import resolve_clusters
+
+    # chains 0-1-2-3-4 and 10-11-12, plus an isolated pair (20,21)
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21)],
+        "a long, b long",
+    )
+    got = {r["doc_id"]: r["keeper"] for r in resolve_clusters(pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
+def test_resolve_clusters_matches_union_find(spark):
+    """Random-graph convergence: min-label propagation == classic union-find
+    on the same edges (deterministic seeded graph)."""
+    import random
+
+    from avc_parser_spark.functions.dedup import resolve_clusters
+
+    rng = random.Random(7)
+    n = 400
+    edges = sorted(
+        {
+            tuple(sorted((rng.randrange(n), rng.randrange(n))))
+            for _ in range(300)
+        }
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical keeper = min id in component
+    comp: dict[int, list[int]] = {}
+    touched = {v for e in edges for v in e}
+    for v in touched:
+        comp.setdefault(find(v), []).append(v)
+    expected = {
+        v: min(members) for members in comp.values() for v in members
+    }
+
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    got = {r["doc_id"]: r["keeper"] for r in resolve_clusters(pairs).collect()}
+    assert got == expected
+
+
+def test_png_roundtrip_all_filters():
+    """encode→decode identity for every PNG filter type (0-4) across
+    gray/RGB/RGBA — the unfiltering math is the error-prone part."""
+    import numpy as np
+
+    from avc_parser_spark.functions.multimodal import (
+        _decode_png_pixels,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    for ch in (1, 3, 4):
+        img = rng.randint(0, 256, size=(7, 5, ch), dtype="uint8")
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            payload = encode_png(img, row_filters=filters)
+            decoded = _decode_png_pixels(payload)
+            assert decoded is not None, (ch, filters)
+            out, och = decoded
+            assert och == ch
+            assert np.array_equal(out, img), (ch, filters)
+
+
+def test_png_features_match_ppm():
+    """Property: a PNG and a P6 PPM of the SAME RGB pixels produce identical
+    features (shared _image_features; decode kernels can't drift)."""
+    import numpy as np
+
+    from avc_parser_spark.functions.multimodal import (
+        decode_features,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(6, 9, 3), dtype="uint8")
+    png_feats, png_status = decode_features(encode_png(img, row_filters=[4, 2, 1]))
+    ppm = b"P6\n9 6\n255\n" + img.tobytes()
+    ppm_feats, ppm_status = decode_features(ppm)
+    assert png_status == "ok_png" and ppm_status == "ok_ppm"
+    assert png_feats == pytest.approx(ppm_feats, abs=1e-12)
+
+
+def test_png_resize_nearest_neighbor():
+    """_resize_png: 8×8 → 4×4 NN downsample, re-encoded and decodable, with
+    exactly the pixels at the NN source coordinates."""
+    import numpy as np
+
+    from avc_parser_spark.functions.multimodal import (
+        _decode_png_pixels,
+        _resize_png,
+        encode_png,
+    )
+
+    img = (np.arange(8 * 8 * 3, dtype="uint8").reshape(8, 8, 3) * 3) % 256
+    small_payload = _resize_png(encode_png(img), 4)
+    out, ch = _decode_png_pixels(small_payload)
+    ys = (np.arange(4) * 8 // 4).clip(0, 7)
+    xs = ys
+    assert np.array_equal(out, img[ys][:, xs])
+    # already small → same object back
+    p = encode_png(img[:4, :4])
+    assert _resize_png(p, 4) is p
+
+
+def test_png_malformed_rejected():
+    """Truncated/corrupt PNG payloads route to the stub, never raise."""
+    import numpy as np
+
+    from avc_parser_spark.functions.multimodal import (
+        decode_features,
+        encode_png,
+    )
+
+    good = encode_png(np.zeros((4, 4, 3), dtype="uint8"))
+    for bad in (
+        good[:20],                      # truncated inside IHDR
+        good[:8],                       # signature only
+        good[:45],                      # truncated mid-IDAT
+        good[:33] + b"\x00" * (len(good) - 33),  # zeroed IDAT (bad zlib)
+    ):
+        feats, status = decode_features(bad)
+        assert status == "stubbed_fake"
+        assert len(feats) == 8
+
+
 def test_ppm_negative_dims_rejected():
     """A malformed 'P6\\n-1 4\\n255\\n' header must route to the stub, not
     produce NaN features under decode_status='ok_ppm' (ADVICE r3)."""
