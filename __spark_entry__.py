@@ -28,7 +28,7 @@ from avc_parser_spark.functions.dedup import (
     simhash_near_dups,
 )
 from avc_parser_spark.functions.similarity import brute_force_topk, lsh_topk
-from avc_parser_spark.functions.text import document_profile, lang_id_ngram, quality_score
+from avc_parser_spark.functions.text import document_profile, quality_score
 from avc_parser_spark.oracle_shared import (
     EPOCH0,
     OBJECT_GROUP_ORACLE,
@@ -172,6 +172,12 @@ def _sql_case(key_expr: str, vals: list[str | None]) -> str:
         )
         for i, v in enumerate(vals)
     )
+    return f"(case {key_expr} {whens} end)"
+
+
+def _sql_case_int(key_expr: str, vals: list[int]) -> str:
+    """Integer-valued CASE over key_expr ∈ 0..len(vals)-1."""
+    whens = " ".join(f"when {i} then {v}" for i, v in enumerate(vals))
     return f"(case {key_expr} {whens} end)"
 
 
@@ -782,13 +788,17 @@ def q_resource_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring + lang-id heuristics over documents."""
+    """Quality scoring + trigram-profile lang-id over documents (the 60
+    trigram counts run once into score columns, argmax in a second Project;
+    the oracle reuses the same generated count/pick SQL fragments)."""
+    from avc_parser_spark.functions.text import with_lang_guess
+
     _views(spark, sf_dir, ["documents"])
-    docs = spark.table("documents")
-    return docs.select(
+    docs = spark.table("documents").select("doc_id", "text")
+    return with_lang_guess(docs).select(
         "doc_id",
         quality_score(F.col("text")).alias("quality"),
-        lang_id_ngram(F.col("text")).alias("lang_guess"),
+        "lang_guess",
     )
 
 
@@ -1263,14 +1273,55 @@ _WAV_HDR_HEX = (
 )
 
 
+def _png_plants() -> tuple[list[str], list[int], list[int], list[int]]:
+    """8 planted 8×8 RGB PNG payloads (gradient pixels, row filters cycling
+    0-4 so the driver check exercises every unfilter branch) plus the
+    expected post-resize(4×4) oracle constants:
+      (hex payloads, resized n_bytes, mean_byte, std_milli).
+    Expectations are re-derived from the CONSTRUCTED pixel arrays — NN
+    resize indexing, grayscale mean/std through the float32 feature dtype,
+    and the byte layout of a filter-0 zlib-9 re-encode — mirroring the spec
+    math, not calling the decode kernels under test."""
+    import zlib
+
+    import numpy as np
+
+    from avc_parser_spark.functions.multimodal import encode_png
+
+    hexes, nbytes, means, stds = [], [], [], []
+    yy, xx, cc = np.meshgrid(
+        np.arange(8), np.arange(8), np.arange(3), indexing="ij"
+    )
+    for v in range(8):
+        img = ((17 * v + 31 * yy + 7 * xx + 3 * cc) % 256).astype("uint8")
+        hexes.append(
+            encode_png(img, row_filters=[0, 1, 2, 3, 4, 0, 1, 2]).hex()
+        )
+        ys = np.arange(4) * 8 // 4
+        small = img[ys][:, ys]
+        gray = small.astype("float64").mean(axis=2) / 255.0
+        # features ride as array<float> → quantize through float32 exactly
+        # like the engine's Arrow boundary before the *255/*1000 rounding
+        means.append(int(np.floor(float(np.float32(gray.mean())) * 255 + 0.5)))
+        stds.append(int(np.floor(float(np.float32(gray.std())) * 1000 + 0.5)))
+        lines = b"".join(b"\x00" + small[r].tobytes() for r in range(4))
+        nbytes.append(8 + 25 + 12 + len(zlib.compress(lines, 9)) + 12)
+    return hexes, nbytes, means, stds
+
+
+_PNG_HEX, _PNG_NBYTES, _PNG_MEAN, _PNG_STD = _png_plants()
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal decode→resize→featurize pipeline with REAL planted
     payloads built in SQL: 8×8 binary PPM images (nearest-neighbor resized
     to 4×4 by the real resize kernel), 2×2 PPMs (already under max_dim),
+    8×8 gradient PNGs (row filters cycling 0-4, decoded by the stdlib
+    zlib+numpy kernel, NN-resized and re-encoded by the real PNG resize),
     RIFF/WAVE audio (8-bit PCM, constant amplitude; resize passthrough),
-    plus text-cast payloads that take the honest stubbed_fake path (JPEG/PNG
-    codecs absent in this container). The oracle verifies the decoded
-    feature values OF THE RESIZED payloads (quantized back to exact
+    plus text-cast payloads that take the honest stubbed_fake path
+    (JPEG/MP4 codecs absent in this container). The oracle verifies the
+    decoded feature values OF THE RESIZED payloads (quantized back to exact
     integers), resize routing, decode routing, and byte counts — the real
     kernels end to end, not just plumbing."""
     from avc_parser_spark.functions.multimodal import (
@@ -1279,6 +1330,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _views(spark, sf_dir, ["documents"])
+    png_case = _sql_case("cast(floor(doc_id / 8.0) as int) % 8", _PNG_HEX)
     media = spark.sql(
         f"""
         SELECT doc_id,
@@ -1290,6 +1342,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 when doc_id % 8 = 4 then
                   cast('P6' || chr(10) || '2 2' || chr(10) || '255' || chr(10) as binary)
                   || unhex(repeat(lpad(hex(doc_id % 256), 2, '0'), 12))
+                when doc_id % 8 = 1 then
+                  unhex({png_case})
                 when doc_id % 4 = 2 then
                   unhex('{_WAV_HDR_HEX}')
                   || unhex(repeat(lpad(hex(doc_id % 256), 2, '0'), 8))
@@ -1299,7 +1353,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     resized = resize_media(media, max_dim=4)
     feats = extract_media_features(resized)
-    is_ppm = F.col("decode_status") == "ok_ppm"
+    is_img = F.col("decode_status").isin("ok_ppm", "ok_png")
     is_wav = F.col("decode_status") == "ok_wav"
 
     def q(expr: F.Column, cond: F.Column) -> F.Column:
@@ -1307,10 +1361,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return feats.join(resized.select("doc_id", "resize_status"), "doc_id").select(
         "doc_id", "media_type", "n_bytes", "decode_status", "resize_status",
-        q(F.col("feature")[4] * 255, is_ppm).alias("mean_byte"),
-        q(F.col("feature")[5] * 1000, is_ppm).alias("std_milli"),
-        q(F.col("feature")[6] * 4096, is_ppm).alias("px_w"),
-        q(F.col("feature")[7] * 4096, is_ppm).alias("px_h"),
+        q(F.col("feature")[4] * 255, is_img).alias("mean_byte"),
+        q(F.col("feature")[5] * 1000, is_img).alias("std_milli"),
+        q(F.col("feature")[6] * 4096, is_img).alias("px_w"),
+        q(F.col("feature")[7] * 4096, is_img).alias("px_h"),
         q(F.col("feature")[0] * 128, is_wav).alias("rms_byte"),
         q(F.col("feature")[7] * 96000, is_wav).alias("sample_rate"),
     )
@@ -1608,6 +1662,45 @@ def _enrich_dims_oracle() -> str:
 _ENRICH_DIMS_ORACLE = _enrich_dims_oracle()
 
 
+def _text_quality_oracle() -> str:
+    """Quality heuristics + the SAME generated trigram score/pick fragments
+    the Spark query uses (lang_score_sql/lang_pick_sql are dialect-shared:
+    length/replace/greatest only)."""
+    from avc_parser_spark.functions.text import (
+        LANG_TRIGRAMS,
+        lang_pick_sql,
+        lang_score_sql,
+    )
+
+    score_cols = ",\n                     ".join(
+        f"{lang_score_sql('text', lang)} AS _s_{lang}" for lang in LANG_TRIGRAMS
+    )
+    pick = lang_pick_sql({lang: f"_s_{lang}" for lang in LANG_TRIGRAMS})
+    return f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     case when trim(text) = '' then 0
+                          else len(regexp_split_to_array(trim(text), '\\s+')) end AS n_tok,
+                     case when len(regexp_split_to_array(lower(trim(text)), '\\s+')) = 0 then 0.0
+                          else len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                               x -> x in ('the','a','an','and','or','of','to','in','is','it','for',
+                                          'der','die','das','und','le','la','les','et','el','los','y')))
+                               * 1.0 / len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                     end AS sw_ratio,
+                     case when len(text) = 0 then 0.0
+                          else len(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / len(text)
+                     end AS p_ratio,
+                     {score_cols}
+              FROM documents)
+            SELECT doc_id,
+                   round((case when n_tok between 10 and 100000 then 0.4 else 0.0 end)
+                       + (case when sw_ratio between 0.05 and 0.6 then 0.3 else 0.0 end)
+                       + (case when p_ratio <= 0.2 then 0.3 else 0.0 end), 2)::DOUBLE AS quality,
+                   {pick} AS lang_guess
+            FROM t
+        """
+
+
 def _ann_lsh_oracle() -> str:
     """Full algorithmic oracle for the LSH probe: the hyperplanes are a
     deterministic function of the seed, so DuckDB can replicate the
@@ -1902,45 +1995,7 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT pid) AS distinct_pids
             FROM base GROUP BY resource
         """,
-        "text_quality": """
-            WITH t AS (
-              SELECT doc_id, text,
-                     case when trim(text) = '' then 0
-                          else len(regexp_split_to_array(trim(text), '\\s+')) end AS n_tok,
-                     case when len(regexp_split_to_array(lower(trim(text)), '\\s+')) = 0 then 0.0
-                          else len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                               x -> x in ('the','a','an','and','or','of','to','in','is','it','for',
-                                          'der','die','das','und','le','la','les','et','el','los','y')))
-                               * 1.0 / len(regexp_split_to_array(lower(trim(text)), '\\s+'))
-                     end AS sw_ratio,
-                     case when len(text) = 0 then 0.0
-                          else len(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / len(text)
-                     end AS p_ratio
-              FROM documents)
-            SELECT doc_id,
-                   round((case when n_tok between 10 and 100000 then 0.4 else 0.0 end)
-                       + (case when sw_ratio between 0.05 and 0.6 then 0.3 else 0.0 end)
-                       + (case when p_ratio <= 0.2 then 0.3 else 0.0 end), 2)::DOUBLE AS quality,
-                   (case
-                      when contains(lower(text), 'der ') then 'de'
-                      when contains(lower(text), 'die ') then 'de'
-                      when contains(lower(text), 'und ') then 'de'
-                      when contains(lower(text), 'le ') then 'fr'
-                      when contains(lower(text), 'les ') then 'fr'
-                      when contains(lower(text), 'ete') and contains(lower(text), 'été') then 'fr'
-                      when contains(lower(text), 'el ') then 'es'
-                      when contains(lower(text), 'los ') then 'es'
-                      when contains(lower(text), 'según') then 'es'
-                      when contains(lower(text), '的') then 'zh'
-                      when contains(lower(text), '是') then 'zh'
-                      when contains(lower(text), 'и ') then 'ru'
-                      when contains(lower(text), 'не ') then 'ru'
-                      when contains(lower(text), 'the ') then 'en'
-                      when contains(lower(text), 'and ') then 'en'
-                      else 'und'
-                    end) AS lang_guess
-            FROM t
-        """,
+        "text_quality": _text_quality_oracle(),
         "pipeline_stats_counters": f"""
             WITH base AS (
               SELECT {f['comm']} AS comm, {f['sc_type']} AS sc_type,
@@ -2189,24 +2244,34 @@ def oracle_sql() -> dict[str, str]:
               JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY ROLLUP(r.r_name, n.n_name)
         """,
-        "multimodal_features": """
+        "multimodal_features": f"""
             SELECT doc_id,
                    (case doc_id % 4 when 0 then 'image' when 2 then 'audio'
                          when 1 then 'image' else 'audio' end) AS media_type,
                    (case when doc_id % 8 = 0 then 59
                          when doc_id % 8 = 4 then 23
+                         when doc_id % 8 = 1 then
+                           {_sql_case_int('cast(floor(doc_id / 8.0) as int) % 8', _PNG_NBYTES)}
                          when doc_id % 4 = 2 then 52
                          else octet_length(encode(text)) end)::BIGINT AS n_bytes,
-                   (case doc_id % 4 when 0 then 'ok_ppm' when 2 then 'ok_wav'
+                   (case when doc_id % 4 = 0 then 'ok_ppm'
+                         when doc_id % 4 = 2 then 'ok_wav'
+                         when doc_id % 8 = 1 then 'ok_png'
                          else 'stubbed_fake' end) AS decode_status,
-                   (case when doc_id % 8 = 0 then 'resized'
+                   (case when doc_id % 8 in (0, 1) then 'resized'
                          when doc_id % 8 = 4 then 'already_small'
                          else 'passthrough' end) AS resize_status,
-                   (case when doc_id % 4 = 0 then doc_id % 256 end)::BIGINT AS mean_byte,
-                   (case when doc_id % 4 = 0 then 0 end)::BIGINT AS std_milli,
-                   (case when doc_id % 8 = 0 then 4
+                   (case when doc_id % 4 = 0 then doc_id % 256
+                         when doc_id % 8 = 1 then
+                           {_sql_case_int('cast(floor(doc_id / 8.0) as int) % 8', _PNG_MEAN)}
+                    end)::BIGINT AS mean_byte,
+                   (case when doc_id % 4 = 0 then 0
+                         when doc_id % 8 = 1 then
+                           {_sql_case_int('cast(floor(doc_id / 8.0) as int) % 8', _PNG_STD)}
+                    end)::BIGINT AS std_milli,
+                   (case when doc_id % 8 in (0, 1) then 4
                          when doc_id % 8 = 4 then 2 end)::BIGINT AS px_w,
-                   (case when doc_id % 8 = 0 then 4
+                   (case when doc_id % 8 in (0, 1) then 4
                          when doc_id % 8 = 4 then 2 end)::BIGINT AS px_h,
                    (case when doc_id % 4 = 2
                          then abs((doc_id % 256) - 128) end)::BIGINT AS rms_byte,

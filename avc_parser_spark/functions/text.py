@@ -15,16 +15,64 @@ STOPWORDS = [
     "der", "die", "das", "und", "le", "la", "les", "et", "el", "los", "y",
 ]
 
-# character n-gram heuristics for a tiny deterministic lang-id:
-# marker substrings → language (ordered; first hit wins).
-LANG_MARKERS = [
-    ("der ", "de"), ("die ", "de"), ("und ", "de"),
-    ("le ", "fr"), ("les ", "fr"), ("été", "fr"),
-    ("el ", "es"), ("los ", "es"), ("según", "es"),
-    ("的", "zh"), ("是", "zh"),
-    ("и ", "ru"), ("не ", "ru"),
-    ("the ", "en"), ("and ", "en"),
-]
+# Character-trigram profiles for deterministic lang-id: per language, its
+# most characteristic trigrams (space = word boundary; single CJK chars for
+# zh where trigrams don't apply). Scoring = total occurrence count across
+# the profile; argmax wins, ties broken by dict order, all-zero → 'und'.
+# A profile score beats the old first-marker-wins cascade because one
+# accidental " le " in English text no longer flips the verdict — English
+# evidence accumulates across its own ten trigrams.
+LANG_TRIGRAMS: dict[str, list[str]] = {
+    "en": ["the", " th", "he ", "and", " an", "ing", "ng ", " of", "of ", " to"],
+    "de": ["der", "die", "und", " un", "sch", "ein", "ich", "cht", " ge", "en "],
+    "fr": ["les", " le", " la", "ent", " et", "est", "que", "ion", " de", "de "],
+    "es": ["el ", " el", "la ", " la", "os ", "ión", "que", " qu", " de", "de "],
+    "ru": [" пр", "ого", "ени", " не", " на", "ть ", " по", "ние", "ост", "то "],
+    "zh": ["的", "是", "了", "在", "和", "有", "这", "中", "人", "不"],
+}
+
+
+def lang_count_sql(col_sql: str, marker: str) -> str:
+    """Occurrence count of `marker` in lower(col): the length-difference
+    trick — identical text in Spark SQL and DuckDB."""
+    s = f"lower(coalesce({col_sql}, ''))"
+    return f"(length({s}) - length(replace({s}, '{marker}', ''))) / {len(marker)}"
+
+
+def lang_score_sql(col_sql: str, lang: str) -> str:
+    """Total trigram-profile score for one language (sum of counts)."""
+    return "(" + " + ".join(lang_count_sql(col_sql, t) for t in LANG_TRIGRAMS[lang]) + ")"
+
+
+def lang_pick_sql(score_cols: dict[str, str]) -> str:
+    """Argmax over named score columns (ties → dict order, zero → 'und')."""
+    mx = "greatest(" + ", ".join(score_cols.values()) + ")"
+    whens = " ".join(
+        f"when {score_cols[lang]} = {mx} then '{lang}'" for lang in LANG_TRIGRAMS
+    )
+    return f"(case when {mx} <= 0 then 'und' {whens} end)"
+
+
+def with_lang_guess(
+    docs: DataFrame, text_col: str = "text", out_col: str = "lang_guess"
+) -> DataFrame:
+    """Trigram-profile language id as a two-Project plan: the 60 counts are
+    computed ONCE into per-language score columns (first Project), then the
+    argmax case reads the named columns (second Project) — so the expensive
+    string scans aren't re-evaluated per CASE branch. All native (length/
+    replace/greatest inside codegen); the oracle twin uses the same
+    generated fragments in a WITH subquery."""
+    score_names = {lang: f"_lang_s_{lang}" for lang in LANG_TRIGRAMS}
+    scored = docs.select(
+        "*",
+        *[
+            F.expr(lang_score_sql(text_col, lang)).alias(name)
+            for lang, name in score_names.items()
+        ],
+    )
+    return scored.withColumn(out_col, F.expr(lang_pick_sql(score_names))).drop(
+        *score_names.values()
+    )
 
 
 def token_count(text: Column) -> Column:
@@ -81,17 +129,6 @@ def quality_score(text: Column) -> Column:
     return F.round(len_ok + sw_ok + punct_ok, 2)
 
 
-def lang_id_ngram(text: Column) -> Column:
-    """Deterministic n-gram-marker language guess (first marker hit wins;
-    'und' = undetermined)."""
-    lowered = F.lower(F.coalesce(text, F.lit("")))
-    expr = None
-    for marker, lang in LANG_MARKERS:
-        cond = lowered.contains(marker)
-        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
-    return expr.otherwise(F.lit("und"))
-
-
 def fingerprint64(text: Column) -> Column:
     """Rolling-hash-style 64-bit document fingerprint: xxhash64 over the
     whitespace-normalized, lowercased text (stable across formatting noise)."""
@@ -102,13 +139,13 @@ def fingerprint64(text: Column) -> Column:
 def document_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis profile of a documents table."""
     t = F.col(text_col)
-    return docs.select(
+    profiled = docs.select(
         "*",
         token_count(t).alias("n_tokens"),
         bpe_ish_token_count(t).alias("n_subtokens"),
         F.round(punct_ratio(t), 6).alias("punct_ratio"),
         F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
         quality_score(t).alias("quality"),
-        lang_id_ngram(t).alias("lang_guess"),
         fingerprint64(t).alias("fingerprint"),
     )
+    return with_lang_guess(profiled, text_col)

@@ -213,6 +213,37 @@ def test_resolve_clusters_matches_union_find(spark):
     assert got == expected
 
 
+def test_lang_id_trigram_accuracy(spark):
+    """Mixed-language fixtures: the trigram-profile scorer must classify
+    real sentences correctly — including English text containing ' le '
+    (which flipped the old first-marker-wins cascade to 'fr')."""
+    from avc_parser_spark.functions.text import with_lang_guess
+
+    fixtures = [
+        ("the quick brown fox and the hound are running to the top of the hill", "en"),
+        ("she wanted to learn the language of the people living there", "en"),
+        ("let the little lemon tree grow in the garden of the old house", "en"),
+        ("der schnelle braune fuchs springt über den faulen hund und die geschichte endet", "de"),
+        ("ich habe ein schönes geschenk und eine gute nachricht bekommen", "de"),
+        ("les enfants de la ville sont allés à l'école et ils ont mangé du pain", "fr"),
+        ("c'est une question importante que le gouvernement doit régler rapidement", "fr"),
+        ("el perro de la casa es muy grande y los niños que viven allí son felices", "es"),
+        ("la situación de la región es complicada y el gobierno busca una solución", "es"),
+        ("это не просто слово программа работает на основе процесса обучения", "ru"),
+        ("这是一个很好的例子因为它有很多中文字符在里面", "zh"),
+        ("", "und"),
+        ("12345 67890 #!?", "und"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, e) for i, (t, e) in enumerate(fixtures)],
+        "doc_id long, text string, expected string",
+    )
+    rows = with_lang_guess(df).collect()
+    wrong = [(r["text"][:40], r["expected"], r["lang_guess"])
+             for r in rows if r["lang_guess"] != r["expected"]]
+    assert not wrong, wrong
+
+
 def test_png_roundtrip_all_filters():
     """encode→decode identity for every PNG filter type (0-4) across
     gray/RGB/RGBA — the unfiltering math is the error-prone part."""
