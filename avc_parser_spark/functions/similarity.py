@@ -139,6 +139,36 @@ def train_centroids(
     return centroids.tolist()
 
 
+def _probe_clusters(
+    query_vec: list[float], centroids: list[list[float]], n_probe: int
+) -> list[int]:
+    """The n_probe centroid ids nearest (by dot product) to the query."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype="float64")
+    order = np.argsort([-float(np.dot(q, c)) for c in centroids])
+    return [int(i) for i in order[:n_probe]]
+
+
+def _topk_within(
+    candidates: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact cosine top-k inside an (already pruned) candidate set."""
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        candidates.select(
+            F.col(id_col),
+            F.round(cosine_expr(F.col(vec_col), qcol), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -151,23 +181,84 @@ def ivf_topk(
     """IVF ANN top-k: probe the n_probe nearest clusters, exact cosine
     within them. Recall grows with n_probe; n_probe=len(centroids) is
     exact."""
+    probe = _probe_clusters(query_vec, centroids, n_probe)
+    assigned = ivf_assign(embeddings, centroids, vec_col)
+    return _topk_within(
+        assigned.filter(F.col("cluster").isin(probe)), query_vec, k, id_col, vec_col
+    )
+
+
+def write_ivf_table(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-assigned embedding table hive-partitioned by
+    `cluster` (no Iceberg in this environment; a directory per cluster is
+    the partition-pruning layout). This is the storage half of the 10^12
+    design: probes against the stored table scan ONLY the probed clusters'
+    files — asserted by the PartitionFilters plan gate in
+    tests/test_streaming_plans.py."""
+    ivf_assign(embeddings, centroids, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cluster").parquet(path)
+
+
+def ivf_topk_stored(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe over the STORED assigned table: the cluster predicate is a
+    partition filter, so the scan reads only n_probe of the cluster
+    directories (no full pass, no assignment recompute)."""
+    probe = _probe_clusters(query_vec, centroids, n_probe)
+    stored = spark.read.parquet(path).filter(F.col("cluster").isin(probe))
+    return _topk_within(stored, query_vec, k, id_col, vec_col)
+
+
+def write_lsh_table(
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the LSH-bucketed embedding table hive-partitioned by
+    `bucket` — the stored twin of lsh_topk's bucket probe."""
+    embeddings.withColumn(
+        "bucket", lsh_project_bucket(F.col(vec_col), planes)
+    ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def lsh_topk_stored(
+    spark,
+    path: str,
+    query_vec: list[float],
+    planes: list[list[float]],
+    k: int = 10,
+    multi_probe: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH probe over the STORED bucketed table (partition-pruned scan of
+    the query's bucket + multi-probe neighbors)."""
     import numpy as np
 
-    q = np.asarray(query_vec, dtype="float64")
-    order = np.argsort([-float(np.dot(q, c)) for c in centroids])
-    probe = [int(i) for i in order[:n_probe]]
-
-    assigned = ivf_assign(embeddings, centroids, vec_col)
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (
-        assigned.filter(F.col("cluster").isin(probe))
-        .select(
-            F.col(id_col),
-            F.round(cosine_expr(F.col(vec_col), qcol), 6).alias("cosine"),
-        )
-        .orderBy(F.desc("cosine"), F.asc(id_col))
-        .limit(k)
-    )
+    dots = [float(np.dot(query_vec, p)) for p in planes]
+    qbits = 0
+    for i, d in enumerate(dots):
+        if d >= 0:
+            qbits |= 1 << i
+    flip_order = sorted(range(len(planes)), key=lambda i: abs(dots[i]))
+    probes = [qbits] + [qbits ^ (1 << i) for i in flip_order[:multi_probe]]
+    stored = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
+    return _topk_within(stored, query_vec, k, id_col, vec_col)
 
 
 def lsh_topk(

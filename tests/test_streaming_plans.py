@@ -81,6 +81,87 @@ def test_parquet_filter_pushdown(spark, tmp_path):
     assert "text" not in read_schema and "html" not in read_schema
 
 
+def _planted_embeddings(spark, n=200, dim=16, groups=4):
+    """Separable corpus: group g occupies dims [4g, 4g+4) (disjoint
+    supports), so every vector provably assigns to its own block-indicator
+    centroid."""
+    block = dim // groups
+    rows = [
+        (
+            i,
+            [
+                1.0 + 0.01 * ((i * 7 + d) % 13)
+                if (i % groups) * block <= d < (i % groups + 1) * block
+                else 0.0
+                for d in range(dim)
+            ],
+        )
+        for i in range(n)
+    ]
+    cents = [
+        [1.0 if g * block <= d < (g + 1) * block else 0.0 for d in range(dim)]
+        for g in range(groups)
+    ]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        cents,
+    )
+
+
+def test_ivf_stored_probe_partition_prunes(spark, tmp_path):
+    """The 10^12 storage design, exercised: write the IVF-assigned table
+    hive-partitioned by cluster; a probe scan must carry the cluster
+    predicate as PartitionFilters (directory pruning, not a post-scan
+    Filter) and return the same rows as the in-memory probe."""
+    from avc_parser_spark.functions.similarity import (
+        ivf_topk,
+        ivf_topk_stored,
+        write_ivf_table,
+    )
+
+    emb, cents = _planted_embeddings(spark)
+    path = str(tmp_path / "ivf_store")
+    write_ivf_table(emb, cents, path)
+    qvec = [1.0 if d < 4 else 0.0 for d in range(16)]
+
+    stored = ivf_topk_stored(spark, path, qvec, cents, k=5, n_probe=1)
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "cluster" in plan.split("PartitionFilters:")[1][:200]
+
+    mem = ivf_topk(emb, qvec, cents, k=5, n_probe=1)
+    assert [tuple(r) for r in stored.collect()] == [
+        tuple(r) for r in mem.collect()
+    ]
+
+
+def test_lsh_stored_probe_partition_prunes(spark, tmp_path):
+    """Same gate for the LSH bucket layout: stored-bucket probe must prune
+    on the bucket partition column and agree with the in-memory probe."""
+    from avc_parser_spark.functions.similarity import (
+        lsh_topk,
+        lsh_topk_stored,
+        make_planes,
+        write_lsh_table,
+    )
+
+    emb, _ = _planted_embeddings(spark)
+    planes = make_planes(16, 4)
+    path = str(tmp_path / "lsh_store")
+    write_lsh_table(emb, planes, path)
+    qvec = [1.0 if d < 4 else 0.0 for d in range(16)]
+
+    stored = lsh_topk_stored(spark, path, qvec, planes, k=5, multi_probe=1)
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "bucket" in plan.split("PartitionFilters:")[1][:200]
+
+    mem = lsh_topk(emb, qvec, k=5, n_planes=4, multi_probe=1)
+    assert [tuple(r) for r in stored.collect()] == [
+        tuple(r) for r in mem.collect()
+    ]
+
+
 def test_salted_agg_plan_has_two_aggregates(spark):
     """The salted aggregate must show two groupBy levels (partial per salt,
     then final merge) and no more than two exchanges."""
