@@ -633,33 +633,23 @@ def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
       (identical texts → complete intra-cluster pair graphs) resolved to
       keeper = cluster minimum (= 25 × variant, enumerable in DuckDB).
     Docs with no candidate pair keep themselves (left-join + coalesce), so
-    the output is a full keep/drop assignment at every scale factor."""
+    the output is a full keep/drop assignment at every scale factor.
+
+    Both strategies resolve in ONE propagation loop: the minhash vertex ids
+    are offset by 2^40 so components can never cross strategies, and the
+    iterative fixed costs (2 joins + a scalar count per round) are paid
+    once instead of per strategy."""
     from avc_parser_spark.functions.dedup import resolve_clusters
 
     _views(spark, sf_dir, ["documents"])
+    off = 1 << 40
 
-    def assign(universe: DataFrame, pairs: DataFrame, mode: str) -> DataFrame:
-        resolved = resolve_clusters(pairs)
-        return (
-            universe.join(resolved, "doc_id", "left")
-            .select(
-                F.lit(mode).alias("strategy"),
-                "doc_id",
-                F.coalesce("keeper", F.col("doc_id")).alias("keeper"),
-            )
-        )
-
-    chain_universe = spark.sql(
-        "SELECT doc_id FROM documents WHERE doc_id < 500"
-    )
     chain_pairs = spark.sql(
         """
         SELECT doc_id - 1 AS a, doc_id AS b
         FROM documents WHERE doc_id % 5 <> 0 AND doc_id < 500
         """
     )
-    chain = assign(chain_universe, chain_pairs, "chain")
-
     # the same planted corpus as dedup_minhash_lsh: 4 identical-text
     # clusters over doc_id%25==0 (<500) → LSH recall exactly 1
     docs = spark.sql(
@@ -680,11 +670,32 @@ def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a") % 25 == 0) & (F.col("b") % 25 == 0)
         & (F.col("a") < 500) & (F.col("b") < 500)
     )
-    mh_universe = spark.sql(
-        "SELECT doc_id FROM documents WHERE doc_id % 25 = 0 AND doc_id < 500"
+    all_pairs = chain_pairs.unionByName(
+        mh_pairs.select(
+            (F.col("a") + off).alias("a"), (F.col("b") + off).alias("b")
+        )
     )
-    minhash = assign(mh_universe, mh_pairs, "minhash")
-    return chain.unionByName(minhash)
+    resolved = resolve_clusters(all_pairs)
+
+    universe = spark.sql(
+        f"""
+        SELECT 'chain' AS strategy, doc_id, doc_id AS vid
+        FROM documents WHERE doc_id < 500
+        UNION ALL
+        SELECT 'minhash' AS strategy, doc_id, doc_id + {off} AS vid
+        FROM documents WHERE doc_id % 25 = 0 AND doc_id < 500
+        """
+    )
+    return (
+        universe.join(
+            resolved.select(F.col("doc_id").alias("vid"), "keeper"), "vid", "left"
+        )
+        .select(
+            "strategy",
+            "doc_id",
+            (F.coalesce("keeper", F.col("vid")) % off).alias("keeper"),
+        )
+    )
 
 
 def q_streaming_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1074,10 +1085,19 @@ def q_analyzer_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard between adjacent documents (oracle-checked exact
-    near-dup scoring; k=3 word shingles)."""
-    from avc_parser_spark.functions.dedup import word_shingles
+def q_ngram_overlap_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram overlap ops in one mode-tagged union:
+    - 'adjacent': exact k=3 word-shingle Jaccard between adjacent docs
+      (k1 = jaccard, k2 = null);
+    - 'contam': train/eval DECONTAMINATION (GPT-3-style 8-gram overlap,
+      broadcast-semi-join plan — the train gram stream is filtered against
+      the broadcast eval gram set before any dedup/shuffle). Planted eval
+      docs are verbatim copies of train docs, so overlap == total distinct
+      8-grams, enumerable in DuckDB (k1 = overlap, k2 = total)."""
+    from avc_parser_spark.functions.dedup import (
+        ngram_contamination,
+        word_shingles,
+    )
 
     _views(spark, sf_dir, ["documents"])
     docs = spark.table("documents").select(
@@ -1086,18 +1106,36 @@ def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = docs.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
     b = docs.select((F.col("doc_id") - 1).alias("a"), F.col("sh").alias("sh_b"))
-    return (
+    adjacent = (
         a.join(b, "a")
         .filter(F.col("a") % 2 == 0)
         .select(
+            F.lit("adjacent").alias("mode"),
             "a",
             F.round(
                 F.size(F.array_intersect("sh_a", "sh_b"))
                 / F.size(F.array_union("sh_a", "sh_b")),
                 6,
-            ).alias("jaccard"),
+            ).alias("k1"),
+            F.lit(None).cast("double").alias("k2"),
         )
     )
+    eval_docs = spark.sql(
+        """
+        SELECT d.doc_id AS eval_id, t.text AS text
+        FROM documents d JOIN documents t ON t.doc_id = d.doc_id - 7
+        WHERE d.doc_id % 50 = 7 AND d.doc_id < 500
+        """
+    )
+    contam = ngram_contamination(
+        spark.table("documents"), eval_docs, n=8, hashed=False
+    ).select(
+        F.lit("contam").alias("mode"),
+        F.col("eval_id").alias("a"),
+        F.col("overlap_ngrams").cast("double").alias("k1"),
+        F.col("total_ngrams").cast("double").alias("k2"),
+    )
+    return adjacent.unionByName(contam)
 
 
 
@@ -1490,7 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_per_lang": q_token_stats_per_lang,
         # training-data ops: dedup
         "dedup_exact": q_dedup_exact,
-        "dedup_jaccard_adjacent": q_jaccard_adjacent,
+        "ngram_overlap_suite": q_ngram_overlap_suite,
         "dedup_minhash_lsh": q_minhash_candidates,
         "dedup_simhash_suite": q_dedup_simhash_suite,
         "dedup_embedding_cosine": q_dedup_embedding,
@@ -2178,7 +2216,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "analyzer_findings": _ANALYZER_FINDINGS_ORACLE,
-        "dedup_jaccard_adjacent": """
+        "ngram_overlap_suite": """
             WITH sh AS (
               SELECT doc_id,
                      list_distinct(
@@ -2190,12 +2228,31 @@ def oracle_sql() -> dict[str, str]:
                                           (regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))[i:i+2],
                                           ' '))
                        END) AS sh
+              FROM documents),
+            sh8 AS (
+              SELECT doc_id,
+                     len(list_distinct(
+                       CASE WHEN len(regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) < 8
+                            THEN [regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')]
+                            ELSE list_transform(
+                                   generate_series(1, len(regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) - 7),
+                                   i -> array_to_string(
+                                          (regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))[i:i+7],
+                                          ' '))
+                       END)) AS n8
               FROM documents)
-            SELECT x.doc_id AS a,
+            SELECT 'adjacent' AS mode, x.doc_id AS a,
                    round(len(list_intersect(x.sh, y.sh)) * 1.0
-                         / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+                         / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS k1,
+                   cast(null as double) AS k2
             FROM sh x JOIN sh y ON y.doc_id = x.doc_id + 1
             WHERE x.doc_id % 2 = 0
+            UNION ALL
+            SELECT 'contam' AS mode, d.doc_id AS a,
+                   cast(t.n8 as double) AS k1,
+                   cast(t.n8 as double) AS k2
+            FROM documents d JOIN sh8 t ON t.doc_id = d.doc_id - 7
+            WHERE d.doc_id % 50 = 7 AND d.doc_id < 500
         """,
         "tpch_semi_anti": _TPCH_SEMI_ANTI_SQL,
         "tpch_q12ish_caseagg": """

@@ -480,6 +480,61 @@ def simhash_bucket_stats(
     )
 
 
+def ngram_contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_id",
+    hashed: bool = True,
+) -> DataFrame:
+    """Train/eval n-gram decontamination (the GPT-3/PaLM-style overlap
+    check): for every eval document, how many of its distinct word n-grams
+    appear anywhere in the training corpus.
+
+    Scale shape: the EVAL side is small (benchmark suites), so its distinct
+    n-gram set BROADCASTS and the 100 TB train corpus is scanned ONCE,
+    narrow: train grams are semi-joined against the broadcast eval set
+    FIRST (so the full train gram stream is never shuffled or distinct-ed),
+    and only the surviving hit set — at most |eval grams| rows — is
+    deduplicated and joined back. hashed=True works on xxhash64 of the
+    grams (collision odds ~|grams|²/2⁶⁴); hashed=False keeps exact strings
+    for oracle-grade runs.
+
+    Returns (eval_id, total_ngrams, overlap_ngrams, contaminated).
+    """
+    def gram_col() -> F.Column:
+        g = F.array_distinct(word_shingles(F.col(text_col), n))
+        if hashed:
+            g = F.transform(g, lambda s: F.xxhash64(s))
+        return F.explode(g).alias("g")
+
+    eg = eval_docs.select(F.col(eval_id_col).alias("_eid"), gram_col())
+    eval_gram_set = eg.select("g").distinct()
+    train_grams = train.select(gram_col())
+    # one narrow pass over train; output ⊆ eval grams → small from here on
+    hit_grams = train_grams.join(
+        F.broadcast(eval_gram_set), "g", "left_semi"
+    ).distinct()
+
+    totals = eg.groupBy(F.col("_eid").alias(eval_id_col)).agg(
+        F.countDistinct("g").alias("total_ngrams")
+    )
+    hits = (
+        eg.join(F.broadcast(hit_grams), "g", "left_semi")
+        .groupBy(F.col("_eid").alias(eval_id_col))
+        .agg(F.countDistinct("g").alias("overlap_ngrams"))
+    )
+    return (
+        totals.join(hits, eval_id_col, "left")
+        .withColumn("overlap_ngrams", F.coalesce("overlap_ngrams", F.lit(0)))
+        .withColumn(
+            "contaminated", F.col("overlap_ngrams") * 2 >= F.col("total_ngrams")
+        )
+    )
+
+
 def resolve_clusters(
     pairs: DataFrame,
     a_col: str = "a",

@@ -155,6 +155,35 @@ def test_simhash_pairs_hamming_banding_matches_brute_force(spark):
     assert got == expected
 
 
+def test_ngram_contamination(spark):
+    """Decontamination: verbatim copy → fully contaminated; half-lifted text
+    → partial overlap below the 50% flag threshold... and the train gram
+    stream must be probed via a BROADCAST join (never shuffled whole)."""
+    from avc_parser_spark.functions.dedup import ngram_contamination
+
+    train_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = spark.createDataFrame(
+        [(0, train_text), (1, "unrelated corpus line about spark shuffles here")],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [
+            (100, train_text),  # verbatim: 8 tokens window → 3 distinct 8-grams
+            (101, "one two three four five six seven eight nine ten"),  # clean
+        ],
+        "eval_id long, text string",
+    )
+    out = ngram_contamination(train, evals, n=8, hashed=False)
+    rows = {r["eval_id"]: r for r in out.collect()}
+    assert rows[100]["overlap_ngrams"] == rows[100]["total_ngrams"] == 3
+    assert rows[100]["contaminated"]
+    assert rows[101]["overlap_ngrams"] == 0
+    assert not rows[101]["contaminated"]
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_resolve_clusters_transitive_chain(spark):
     """A~B, B~C ⇒ same keeper: pure chains require label propagation across
     hops, not just direct-pair min."""
