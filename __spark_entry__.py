@@ -1227,8 +1227,13 @@ def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as _pd
     from pyspark.sql.pandas.functions import pandas_udf
 
-    def _geomean(v: _pd.Series) -> float:
-        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+    def _geomean(v: _pd.Series) -> float | None:
+        # geomean over strictly positive values (zeros occur at sf0.1 —
+        # ln(0) would error in the DuckDB twin and -inf-poison here)
+        arr = v.dropna().to_numpy(dtype="float64")
+        if not len(arr):
+            return None
+        return float(np.exp(np.log(arr).mean()))
 
     _geomean.__annotations__ = {"v": _pd.Series, "return": float}
     geomean = pandas_udf(_geomean, "double")
@@ -1247,7 +1252,11 @@ def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     geo = (
         spark.table("events")
         .groupBy("event_type")
-        .agg(F.round(geomean("value"), 4).alias("geo_value"))
+        .agg(
+            F.round(
+                geomean(F.when(F.col("value") > 0, F.col("value"))), 4
+            ).alias("geo_value")
+        )
     )
     return pct.join(F.broadcast(geo), "event_type")
 
@@ -2271,7 +2280,7 @@ def oracle_sql() -> dict[str, str]:
                    (round(quantile_cont(value, 0.95), 4))::DOUBLE AS p95,
                    (round(min(value), 4))::DOUBLE AS vmin,
                    (round(max(value), 4))::DOUBLE AS vmax,
-                   (round(exp(avg(ln(value))), 4))::DOUBLE AS geo_value
+                   (round(exp(avg(ln(case when value > 0 then value end))), 4))::DOUBLE AS geo_value
             FROM events GROUP BY event_type
         """,
         "events_pivot": """

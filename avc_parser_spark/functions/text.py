@@ -129,6 +129,63 @@ def quality_score(text: Column) -> Column:
     return F.round(len_ok + sw_ok + punct_ok, 2)
 
 
+def repetition_ratio(text: Column, k: int = 3) -> Column:
+    """Gopher-style within-document repetition: fraction of word k-grams
+    that are duplicates (1 - distinct/total). High values flag boilerplate
+    and degenerate generations. Native array ops, no shuffle."""
+    from avc_parser_spark.functions.dedup import word_shingles
+
+    sh = word_shingles(text, k)
+    n = F.size(sh)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct(sh)) / n, 6)
+    )
+
+
+def split_by_hash(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = pmod(xxhash64(id,
+    seed), 10000), split chosen by cumulative weight cutoffs. Unlike
+    rand()-based sampling this is a pure function of the id — stable under
+    repartitioning, re-runs, and incremental appends (a doc never migrates
+    between splits), which is the property a 100 TB training pipeline
+    actually needs."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(10_000))
+    expr = None
+    acc = 0.0
+    for name, w in weights.items():
+        acc += w / total
+        cond = bucket < int(round(acc * 10_000))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = list(weights)[-1]
+    return docs.withColumn(out_col, expr.otherwise(F.lit(last)))
+
+
+# PII scrub patterns (order matters: emails before phone-ish digit runs).
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Best-effort PII redaction for web text: emails, IPv4 addresses and
+    phone-like digit runs → typed placeholders. Chained native
+    regexp_replace — stays inside codegen; extend PII_PATTERNS per policy."""
+    out = F.coalesce(text, F.lit(""))
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
 def fingerprint64(text: Column) -> Column:
     """Rolling-hash-style 64-bit document fingerprint: xxhash64 over the
     whitespace-normalized, lowercased text (stable across formatting noise)."""

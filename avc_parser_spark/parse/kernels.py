@@ -331,19 +331,28 @@ def _parse_timestamps(tsid: pd.Series) -> pd.Series:
     t2 = pd.to_datetime(ts_str, format="%d/%m/%y %H:%M:%S.%f", errors="coerce")
     epoch = pd.to_numeric(ts_str, errors="coerce")
     # Pre-mask values outside datetime64[ns] range (|s| < ~9.22e9, year
-    # 2262): they would become NaT via errors="coerce" anyway, but absurd
-    # magnitudes (1e300-class garbage text) overflow the internal ns
-    # multiply first — and FloatingPointError raising depends on the
-    # process-global numpy FP-error state, which concurrent errstate
-    # contexts can racily flip (observed as a rare test flake). Masking
-    # keeps the exact same NaT outcome with no overflow possible.
-    # exact bound: 2**63 ns in seconds (9223372036.854775807); using the
+    # 2262): they would become NaT anyway, but absurd magnitudes
+    # (1e300-class garbage text) would overflow the ns multiply.
+    # exact bound: 2**63 ns in seconds (9223372036.854775807); the
     # truncated-to-µs literal keeps the last representable ~0.85 s of the
-    # datetime64[ns] range (year 2262) parseable, matching the prior
-    # coerce-path behavior exactly.
+    # datetime64[ns] range (year 2262) parseable.
     epoch = epoch.where(epoch.abs() <= 9223372036.854775)
-    with np.errstate(over="ignore", invalid="ignore"):
-        t3 = pd.to_datetime(epoch, unit="s", errors="coerce")
+    # Convert float seconds → int64 ns OURSELVES instead of
+    # pd.to_datetime(unit="s"): numpy's FP-error state is process-global
+    # and racily corruptible by concurrent geterr/seterr interleavings, so
+    # even `with np.errstate(over="ignore")` around the pandas call was
+    # observed raising FloatingPointError (rare suite flake, traceback
+    # captured round 4). Here NaN slots are replaced by 0.0 BEFORE the
+    # multiply and the bound above guarantees |sec*1e9| < 2**63, so no FP
+    # exception condition can arise under ANY global state. ns-scale
+    # differences vs pandas' split base+frac path are erased by the final
+    # round("ms") (audit serials are ms-precision).
+    sec = epoch.to_numpy(dtype="float64")
+    finite = np.isfinite(sec)
+    ns = (np.where(finite, sec, 0.0) * 1e9).astype("int64")
+    t3 = pd.Series(ns.view("M8[ns]"), index=epoch.index).where(
+        pd.Series(finite, index=epoch.index)
+    )
     out = t1.fillna(t2).fillna(t3)
     # audit timestamps are ms-precision; round to remove float jitter from
     # the epoch path (e.g. .303 → .302999...), keeping goldens stable.

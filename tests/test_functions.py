@@ -155,6 +155,54 @@ def test_simhash_pairs_hamming_banding_matches_brute_force(spark):
     assert got == expected
 
 
+def test_split_by_hash_deterministic_and_proportional(spark):
+    from avc_parser_spark.functions.text import split_by_hash
+
+    docs = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    out = split_by_hash(docs).groupBy("split").count()
+    counts = {r["split"]: r["count"] for r in out.collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20000 - 0.9) < 0.02
+    assert abs(counts["val"] / 20000 - 0.05) < 0.01
+    # determinism + stability: same id → same split, independent of subset
+    first = {
+        r["doc_id"]: r["split"]
+        for r in split_by_hash(docs.filter(F.col("doc_id") < 100)).collect()
+    }
+    again = {
+        r["doc_id"]: r["split"]
+        for r in split_by_hash(docs).filter(F.col("doc_id") < 100).collect()
+    }
+    assert first == again
+
+
+def test_repetition_ratio_and_redact_pii(spark):
+    from avc_parser_spark.functions.text import redact_pii, repetition_ratio
+
+    rows = [
+        (0, "spam spam spam spam spam spam"),           # fully repetitive
+        (1, "one two three four five six seven eight"),  # no repeats
+        (2, "contact me at bob.smith+x@example.co.uk or 192.168.1.17 "
+            "or call +1 (415) 555-0199 today"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["rep"], r["red"])
+        for r in df.select(
+            "doc_id",
+            repetition_ratio(F.col("text")).alias("rep"),
+            redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert out[0][0] == 0.75  # 4 trigrams, 1 distinct
+    assert out[1][0] == 0.0
+    assert out[3][0] == 0.0
+    red = out[2][1]
+    assert "<EMAIL>" in red and "<IP>" in red and "<PHONE>" in red
+    assert "example" not in red and "415" not in red and "192.168" not in red
+
+
 def test_ngram_contamination(spark):
     """Decontamination: verbatim copy → fully contaminated; half-lifted text
     → partial overlap below the 50% flag threshold... and the train gram
