@@ -1359,15 +1359,41 @@ def _png_plants() -> tuple[list[str], list[int], list[int], list[int]]:
 _PNG_HEX, _PNG_NBYTES, _PNG_MEAN, _PNG_STD = _png_plants()
 
 
+def _gif_plants() -> tuple[list[str], list[int], list[int], list[int]]:
+    """8 planted 6×6 grayscale GIF payloads (gradient pixels through the
+    pure-Python LZW encoder) + expected oracle constants — same
+    re-derivation discipline as the PNG plants (float32 feature dtype).
+    GIFs have no resize kernel → passthrough; features decode the 6×6."""
+    import numpy as np
+
+    from avc_parser_spark.functions.multimodal import encode_gif
+
+    hexes, nbytes, means, stds = [], [], [], []
+    yy, xx = np.meshgrid(np.arange(6), np.arange(6), indexing="ij")
+    for v in range(8):
+        img = ((23 * v + 29 * yy + 11 * xx) % 256).astype("uint8")
+        payload = encode_gif(img)
+        hexes.append(payload.hex())
+        nbytes.append(len(payload))
+        gray = img.astype("float64") / 255.0
+        means.append(int(np.floor(float(np.float32(gray.mean())) * 255 + 0.5)))
+        stds.append(int(np.floor(float(np.float32(gray.std())) * 1000 + 0.5)))
+    return hexes, nbytes, means, stds
+
+
+_GIF_HEX, _GIF_NBYTES, _GIF_MEAN, _GIF_STD = _gif_plants()
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal decode→resize→featurize pipeline with REAL planted
     payloads built in SQL: 8×8 binary PPM images (nearest-neighbor resized
     to 4×4 by the real resize kernel), 2×2 PPMs (already under max_dim),
     8×8 gradient PNGs (row filters cycling 0-4, decoded by the stdlib
     zlib+numpy kernel, NN-resized and re-encoded by the real PNG resize),
-    RIFF/WAVE audio (8-bit PCM, constant amplitude; resize passthrough),
-    plus text-cast payloads that take the honest stubbed_fake path
-    (JPEG/MP4 codecs absent in this container). The oracle verifies the
+    6×6 grayscale GIFs (pure-Python LZW decode; no resize kernel →
+    passthrough), RIFF/WAVE audio (8-bit PCM, constant amplitude; resize
+    passthrough), plus text-cast payloads that take the honest
+    stubbed_fake path (JPEG/MP4 codecs absent in this container). The oracle verifies the
     decoded feature values OF THE RESIZED payloads (quantized back to exact
     integers), resize routing, decode routing, and byte counts — the real
     kernels end to end, not just plumbing."""
@@ -1378,11 +1404,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _views(spark, sf_dir, ["documents"])
     png_case = _sql_case("cast(floor(doc_id / 8.0) as int) % 8", _PNG_HEX)
+    gif_case = _sql_case("cast(floor(doc_id / 8.0) as int) % 8", _GIF_HEX)
     media = spark.sql(
         f"""
         SELECT doc_id,
-               (case doc_id % 4 when 0 then 'image' when 2 then 'audio'
-                     when 1 then 'image' else 'audio' end) AS media_type,
+               (case when doc_id % 4 in (0, 1) then 'image'
+                     when doc_id % 8 = 3 then 'image'
+                     else 'audio' end) AS media_type,
                (case when doc_id % 8 = 0 then
                   cast('P6' || chr(10) || '8 8' || chr(10) || '255' || chr(10) as binary)
                   || unhex(repeat(lpad(hex(doc_id % 256), 2, '0'), 192))
@@ -1391,6 +1419,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                   || unhex(repeat(lpad(hex(doc_id % 256), 2, '0'), 12))
                 when doc_id % 8 = 1 then
                   unhex({png_case})
+                when doc_id % 8 = 3 then
+                  unhex({gif_case})
                 when doc_id % 4 = 2 then
                   unhex('{_WAV_HDR_HEX}')
                   || unhex(repeat(lpad(hex(doc_id % 256), 2, '0'), 8))
@@ -1400,7 +1430,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     resized = resize_media(media, max_dim=4)
     feats = extract_media_features(resized)
-    is_img = F.col("decode_status").isin("ok_ppm", "ok_png")
+    is_img = F.col("decode_status").isin("ok_ppm", "ok_png", "ok_gif")
     is_wav = F.col("decode_status") == "ok_wav"
 
     def q(expr: F.Column, cond: F.Column) -> F.Column:
@@ -2312,17 +2342,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_features": f"""
             SELECT doc_id,
-                   (case doc_id % 4 when 0 then 'image' when 2 then 'audio'
-                         when 1 then 'image' else 'audio' end) AS media_type,
+                   (case when doc_id % 4 in (0, 1) then 'image'
+                         when doc_id % 8 = 3 then 'image'
+                         else 'audio' end) AS media_type,
                    (case when doc_id % 8 = 0 then 59
                          when doc_id % 8 = 4 then 23
                          when doc_id % 8 = 1 then
                            {_sql_case_int('cast(floor(doc_id / 8.0) as int) % 8', _PNG_NBYTES)}
+                         when doc_id % 8 = 3 then
+                           {_sql_case_int('cast(floor(doc_id / 8.0) as int) % 8', _GIF_NBYTES)}
                          when doc_id % 4 = 2 then 52
                          else octet_length(encode(text)) end)::BIGINT AS n_bytes,
                    (case when doc_id % 4 = 0 then 'ok_ppm'
                          when doc_id % 4 = 2 then 'ok_wav'
                          when doc_id % 8 = 1 then 'ok_png'
+                         when doc_id % 8 = 3 then 'ok_gif'
                          else 'stubbed_fake' end) AS decode_status,
                    (case when doc_id % 8 in (0, 1) then 'resized'
                          when doc_id % 8 = 4 then 'already_small'
@@ -2330,15 +2364,21 @@ def oracle_sql() -> dict[str, str]:
                    (case when doc_id % 4 = 0 then doc_id % 256
                          when doc_id % 8 = 1 then
                            {_sql_case_int('cast(floor(doc_id / 8.0) as int) % 8', _PNG_MEAN)}
+                         when doc_id % 8 = 3 then
+                           {_sql_case_int('cast(floor(doc_id / 8.0) as int) % 8', _GIF_MEAN)}
                     end)::BIGINT AS mean_byte,
                    (case when doc_id % 4 = 0 then 0
                          when doc_id % 8 = 1 then
                            {_sql_case_int('cast(floor(doc_id / 8.0) as int) % 8', _PNG_STD)}
+                         when doc_id % 8 = 3 then
+                           {_sql_case_int('cast(floor(doc_id / 8.0) as int) % 8', _GIF_STD)}
                     end)::BIGINT AS std_milli,
                    (case when doc_id % 8 in (0, 1) then 4
-                         when doc_id % 8 = 4 then 2 end)::BIGINT AS px_w,
+                         when doc_id % 8 = 4 then 2
+                         when doc_id % 8 = 3 then 6 end)::BIGINT AS px_w,
                    (case when doc_id % 8 in (0, 1) then 4
-                         when doc_id % 8 = 4 then 2 end)::BIGINT AS px_h,
+                         when doc_id % 8 = 4 then 2
+                         when doc_id % 8 = 3 then 6 end)::BIGINT AS px_h,
                    (case when doc_id % 4 = 2
                          then abs((doc_id % 256) - 128) end)::BIGINT AS rms_byte,
                    (case when doc_id % 4 = 2 then 8000 end)::BIGINT AS sample_rate

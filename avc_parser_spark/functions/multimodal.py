@@ -289,6 +289,180 @@ def encode_png(img, row_filters: list[int] | None = None) -> bytes:
     )
 
 
+def _decode_gif_pixels(payload: bytes):
+    """REAL GIF87a/89a decode — pure-Python LZW + numpy palette mapping,
+    no external codec. First frame only; interlace supported; returns
+    (height×width×3 uint8 RGB array) or None."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    if len(payload) < 13:
+        return None
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8)
+        if len(gct) < 3 * n:
+            return None
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                return None
+            w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            ipacked = payload[pos + 9]
+            interlaced = bool(ipacked & 0x40)
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(
+                    payload[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(-1, 3)
+                pos += 3 * n
+            if ct is None or w <= 0 or h <= 0 or w * h > 64 << 20:
+                return None
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(data), min_code, w * h)
+            if idx is None:
+                return None
+            indices = np.asarray(idx, dtype=np.int32).clip(0, len(ct) - 1)
+            img = ct[indices].reshape(h, w, 3)
+            if interlaced:
+                order = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+                out = np.empty_like(img)
+                out[np.asarray(order)] = img
+                img = out
+            return img
+        elif b == 0x3B:  # trailer
+            return None
+        else:
+            return None
+    return None
+
+
+def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> list[int] | None:
+    """GIF-variant LZW decode (variable code width, clear/end codes)."""
+    if not 2 <= min_code <= 11:
+        return None
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    base = [[i] for i in range(clear)] + [None, None]
+    table = list(base)
+    width = min_code + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                if code >= len(table) or table[code] is None:
+                    return None
+                entry = table[code]
+            elif code < len(table) and table[code] is not None:
+                entry = table[code]
+                table.append(prev + [entry[0]])
+            elif code == len(table):
+                entry = prev + [prev[0]]
+                table.append(entry)
+            else:
+                return None
+            out.extend(entry)
+            if len(out) > max_pixels:
+                return out[:max_pixels]
+            prev = entry
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def encode_gif(img) -> bytes:
+    """Minimal GIF89a encoder for tests/plants: 8-bit grayscale-palette
+    image from a (h, w) or (h, w, 3) uint8 array (RGB is converted to the
+    gray ramp via channel mean). LZW stream uses the clear-code-per-symbol
+    trick (no dictionary management, decodes with any conformant reader)."""
+    import numpy as np
+
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 3:
+        arr = arr.astype(np.uint16).mean(axis=2).astype(np.uint8)
+    h, w = arr.shape
+    header = b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    header += bytes([0x80 | 0x07, 0, 0])  # GCT present, 256 entries
+    palette = bytes(v for g in range(256) for v in (g, g, g))
+    desc = b"\x2c" + b"\x00\x00\x00\x00" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    min_code = 8
+    clear = 1 << min_code
+    width = min_code + 1
+    acc = bits = 0
+    stream = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    emit(clear)
+    for px in arr.reshape(-1):
+        emit(int(px))
+        emit(clear)  # keep the table empty → fixed code width
+    emit(clear + 1)  # end
+    if bits:
+        stream.append(acc & 0xFF)
+    blocks = bytearray()
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return (
+        header + palette + desc + bytes([min_code]) + bytes(blocks) + b"\x00\x3b"
+    )
+
+
+def _decode_gif(payload: bytes) -> tuple[list[float], str] | None:
+    """Feature extraction over the real GIF decode (same feature vector)."""
+    img = _decode_gif_pixels(payload)
+    if img is None:
+        return None
+    gray = img.astype("float64").mean(axis=2) / 255.0
+    h, w = gray.shape
+    return _image_features(gray, w, h), "ok_gif"
+
+
 def _decode_wav(payload: bytes) -> tuple[list[float], str] | None:
     """REAL decode for RIFF/WAVE audio — stdlib `wave`, no external codec.
     Features: RMS energy over 6 equal time chunks + normalized duration +
@@ -322,10 +496,11 @@ def _decode_wav(payload: bytes) -> tuple[list[float], str] | None:
 
 def decode_features(payload: bytes) -> tuple[list[float], str]:
     """Best-available decode: real PPM/PGM, PNG (stdlib zlib + numpy
-    unfiltering) and WAV kernels, deterministic fake for formats needing
-    codecs this container doesn't ship (JPEG/MP4)."""
+    unfiltering), GIF (pure-Python LZW) and WAV kernels, deterministic
+    fake for formats needing codecs this container doesn't ship
+    (JPEG/MP4)."""
     if payload:
-        for dec in (_decode_ppm, _decode_png, _decode_wav):
+        for dec in (_decode_ppm, _decode_png, _decode_gif, _decode_wav):
             try:
                 out = dec(payload)
             except Exception:  # noqa: BLE001 — corrupt media must not fail the job

@@ -405,6 +405,70 @@ def test_png_malformed_rejected():
         assert len(feats) == 8
 
 
+def test_gif_roundtrip_and_feature_parity():
+    """encode→decode identity for the pure-Python GIF LZW path, and
+    GIF-of-same-pixels == PGM features (shared _image_features)."""
+    import numpy as np
+
+    from avc_parser_spark.functions.multimodal import (
+        _decode_gif_pixels,
+        decode_features,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(9, 7), dtype="uint8")
+    payload = encode_gif(img)
+    out = _decode_gif_pixels(payload)
+    assert out is not None
+    assert np.array_equal(out, np.repeat(img[:, :, None], 3, axis=2))
+
+    gif_feats, gif_status = decode_features(payload)
+    pgm = b"P5\n7 9\n255\n" + img.tobytes()
+    pgm_feats, pgm_status = decode_features(pgm)
+    assert gif_status == "ok_gif" and pgm_status == "ok_ppm"
+    assert gif_feats == pytest.approx(pgm_feats, abs=1e-12)
+
+
+def test_gif_interlaced_decode():
+    """Interlaced GIFs (4-pass row order) reassemble to the original."""
+    import numpy as np
+
+    from avc_parser_spark.functions.multimodal import (
+        _decode_gif_pixels,
+        encode_gif,
+    )
+
+    img = (np.arange(11 * 5, dtype="uint8").reshape(11, 5) * 4) % 256
+    h = img.shape[0]
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    payload = bytearray(encode_gif(img[np.asarray(order)]))
+    desc_packed = 6 + 7 + 768 + 9  # header + LSD + palette + descriptor offset
+    assert payload[6 + 7 + 768] == 0x2C
+    payload[desc_packed] |= 0x40  # set the interlace flag
+    out = _decode_gif_pixels(bytes(payload))
+    assert out is not None
+    assert np.array_equal(out[:, :, 0], img)
+
+
+def test_gif_malformed_rejected():
+    import numpy as np
+
+    from avc_parser_spark.functions.multimodal import (
+        decode_features,
+        encode_gif,
+    )
+
+    good = encode_gif(np.zeros((4, 4), dtype="uint8"))
+    for bad in (good[:10], good[:600], b"GIF89a" + b"\x00" * 5):
+        feats, status = decode_features(bad)
+        assert status == "stubbed_fake"
+        assert len(feats) == 8
+
+
 def test_ppm_negative_dims_rejected():
     """A malformed 'P6\\n-1 4\\n255\\n' header must route to the stub, not
     produce NaN features under decode_status='ok_ppm' (ADVICE r3)."""
