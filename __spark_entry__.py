@@ -650,26 +650,25 @@ def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents WHERE doc_id % 5 <> 0 AND doc_id < 500
         """
     )
-    # the same planted corpus as dedup_minhash_lsh: 4 identical-text
-    # clusters over doc_id%25==0 (<500) → LSH recall exactly 1
+    # the same planted clusters as dedup_minhash_lsh (4 identical-text
+    # groups over doc_id%25==0, <500 → LSH recall exactly 1), but sketched
+    # over the planted docs only: full-corpus sketching is what
+    # dedup_minhash_lsh itself demonstrates; the op under test HERE is the
+    # pairs→keepers resolution, and planted-pair emission is unaffected by
+    # the other docs (identical sigs share every band regardless).
     docs = spark.sql(
         """
         SELECT doc_id,
-               case when doc_id % 25 = 0 and doc_id < 500
-                    then (case cast(floor(doc_id / 25.0) as int) % 4
-                          when 0 then 'alpha beta gamma delta epsilon zeta eta theta iota kappa'
-                          when 1 then 'lorem ipsum dolor sit amet consectetur adipiscing elit sed tempor'
-                          when 2 then 'north south east west river mountain valley forest desert ocean'
-                          else 'crimson amber violet indigo turquoise magenta cobalt emerald silver bronze'
-                          end)
-                    else text end AS text
-        FROM documents
+               (case cast(floor(doc_id / 25.0) as int) % 4
+                when 0 then 'alpha beta gamma delta epsilon zeta eta theta iota kappa'
+                when 1 then 'lorem ipsum dolor sit amet consectetur adipiscing elit sed tempor'
+                when 2 then 'north south east west river mountain valley forest desert ocean'
+                else 'crimson amber violet indigo turquoise magenta cobalt emerald silver bronze'
+                end) AS text
+        FROM documents WHERE doc_id % 25 = 0 AND doc_id < 500
         """
     ).repartition(spark.sparkContext.defaultParallelism)
-    mh_pairs = minhash_lsh_candidates(docs).filter(
-        (F.col("a") % 25 == 0) & (F.col("b") % 25 == 0)
-        & (F.col("a") < 500) & (F.col("b") < 500)
-    )
+    mh_pairs = minhash_lsh_candidates(docs)
     all_pairs = chain_pairs.unionByName(
         mh_pairs.select(
             (F.col("a") + off).alias("a"), (F.col("b") + off).alias("b")

@@ -168,6 +168,28 @@ def split_by_hash(
     return docs.withColumn(out_col, expr.otherwise(F.lit(last)))
 
 
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL for exact URL-level dedup (web-crawl standard):
+    lowercase scheme+host, strip fragments, default ports, tracking params
+    (utm_*/fbclid/gclid), trailing '?'/'&' leftovers and trailing slash.
+    Chained native regexp_replace — no UDF."""
+    u = F.coalesce(url, F.lit(""))
+    # lowercase scheme://host (leave path/query case alone)
+    u = F.concat(
+        F.lower(F.regexp_extract(u, r"^([^/]*//[^/]*)", 1)),
+        F.regexp_replace(u, r"^[^/]*//[^/]*", ""),
+    )
+    u = F.regexp_replace(u, r"#.*$", "")                       # fragment
+    u = F.regexp_replace(u, r"^(https?://[^/:]+):(?:80|443)(/|$)", r"$1$2")
+    tracking = r"(?:utm_[a-z]+|fbclid|gclid)=[^&#]*"
+    for _ in range(3):  # leading tracking param followed by real params
+        u = F.regexp_replace(u, r"\?" + tracking + r"&", "?")
+    u = F.regexp_replace(u, r"[?&]" + tracking, "")            # mid/trailing
+    u = F.regexp_replace(u, r"[?&]$", "")                      # dangling ? or &
+    u = F.regexp_replace(u, r"(.)/\?", r"$1?")                 # slash before query
+    return F.regexp_replace(u, r"(.)/$", r"$1")                # trailing slash
+
+
 # PII scrub patterns (order matters: emails before phone-ish digit runs).
 PII_PATTERNS = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),

@@ -203,6 +203,27 @@ def test_repetition_ratio_and_redact_pii(spark):
     assert "example" not in red and "415" not in red and "192.168" not in red
 
 
+def test_canonicalize_url(spark):
+    from avc_parser_spark.functions.text import canonicalize_url
+
+    cases = [
+        ("HTTP://Example.COM:80/Path/?utm_source=x&q=1#frag",
+         "http://example.com/Path?q=1"),
+        ("https://A.B:443/", "https://a.b"),
+        ("https://a.b/x?utm_a=1&utm_b=2&c=3", "https://a.b/x?c=3"),
+        ("https://a.b/x?c=3&fbclid=zzz", "https://a.b/x?c=3"),
+        ("https://a.b/x?utm_only=1", "https://a.b/x"),
+        ("https://a.b/p/", "https://a.b/p"),
+        ("relative/path", "relative/path"),
+    ]
+    df = spark.createDataFrame(cases, "url string, expected string")
+    rows = df.select("url", "expected",
+                     canonicalize_url(F.col("url")).alias("got")).collect()
+    wrong = [(r["url"], r["expected"], r["got"])
+             for r in rows if r["got"] != r["expected"]]
+    assert not wrong, wrong
+
+
 def test_ngram_contamination(spark):
     """Decontamination: verbatim copy → fully contaminated; half-lifted text
     → partial overlap below the 50% flag threshold... and the train gram
