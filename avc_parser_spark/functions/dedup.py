@@ -485,7 +485,6 @@ def ngram_contamination(
     eval_docs: DataFrame,
     n: int = 8,
     text_col: str = "text",
-    id_col: str = "doc_id",
     eval_id_col: str = "eval_id",
     hashed: bool = True,
 ) -> DataFrame:
@@ -532,6 +531,43 @@ def ngram_contamination(
         .withColumn(
             "contaminated", F.col("overlap_ngrams") * 2 >= F.col("total_ngrams")
         )
+    )
+
+
+def contaminated_train_docs(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = True,
+) -> DataFrame:
+    """Per-TRAIN-doc decontamination verdict — the direction a corpus
+    curation pipeline actually filters on: a train document is contaminated
+    when ANY of its distinct word n-grams appears in the (small, broadcast)
+    eval benchmark gram set.
+
+    Scale shape: train grams explode to (doc_id, gram) and are INNER-joined
+    against the broadcast eval gram set immediately, so only hit grams —
+    at most |eval grams| distinct values — survive into the per-doc count
+    shuffle; grams of clean documents die map-side and never shuffle.
+
+    Returns (id_col, eval_hits) for contaminated train docs ONLY (absent ⇒
+    clean); callers drop them with a left_anti join.
+    """
+
+    def grams() -> F.Column:
+        g = F.array_distinct(word_shingles(F.col(text_col), n))
+        if hashed:
+            g = F.transform(g, lambda s: F.xxhash64(s))
+        return F.explode(g).alias("g")
+
+    eval_gram_set = eval_docs.select(grams()).distinct()
+    return (
+        train.select(F.col(id_col), grams())
+        .join(F.broadcast(eval_gram_set), "g")
+        .groupBy(id_col)
+        .agg(F.countDistinct("g").alias("eval_hits"))
     )
 
 

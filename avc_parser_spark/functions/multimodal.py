@@ -124,6 +124,54 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
+def _unfilter_avg(line, prev, ch: int, stride: int):
+    """Average unfilter. recon[x] depends on recon[x-ch] through a floor
+    division, so there is no closed-form numpy scan (unlike Sub's cumsum);
+    the fast CPython shape is a single list walk — plain list indexing and
+    int arithmetic beat per-element numpy indexing + a predictor call ~10×
+    (measured; see BENCH.md round 5)."""
+    import numpy as np
+
+    ll, pp = line.tolist(), prev.tolist()
+    out = [0] * stride
+    for x in range(stride):
+        left = out[x - ch] if x >= ch else 0
+        out[x] = (ll[x] + ((left + pp[x]) >> 1)) & 255
+    return np.array(out, dtype=np.int32)
+
+
+def _unfilter_paeth(line, prev, ch: int, stride: int):
+    """Paeth unfilter via one list walk with the predictor inlined (no
+    per-byte function call, no numpy scalar indexing) — byte-identical to
+    the reference predictor (_png_paeth), property-tested against it."""
+    import numpy as np
+
+    ll, pp = line.tolist(), prev.tolist()
+    out = [0] * stride
+    for x in range(stride):
+        left = out[x - ch] if x >= ch else 0
+        up = pp[x]
+        ul = pp[x - ch] if x >= ch else 0
+        p = left + up - ul
+        pa = p - left
+        if pa < 0:
+            pa = -pa
+        pb = p - up
+        if pb < 0:
+            pb = -pb
+        pc = p - ul
+        if pc < 0:
+            pc = -pc
+        if pa <= pb and pa <= pc:
+            pred = left
+        elif pb <= pc:
+            pred = up
+        else:
+            pred = ul
+        out[x] = (ll[x] + pred) & 255
+    return np.array(out, dtype=np.int32)
+
+
 def _png_paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -180,12 +228,21 @@ def _decode_png_pixels(payload: bytes):
     ):
         return None
     ch = _PNG_CHANNELS[color]
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error:
-        return None
     stride = width * ch
-    if len(raw) < height * (stride + 1):
+    expected = height * (stride + 1)
+    # Bounded inflate: the expected raw size is known from IHDR, so never
+    # let untrusted IDAT allocate past it — a ~1000:1 zlib bomb would OOM
+    # an executor under plain zlib.decompress. decompressobj(max_length)
+    # caps the output; a 1-byte probe past the cap distinguishes a stream
+    # that is exactly `expected` long from an oversized (corrupt) one.
+    try:
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected)
+        if len(raw) < expected:
+            return None  # truncated stream
+        if d.unconsumed_tail and d.decompress(d.unconsumed_tail, 1):
+            return None  # stream inflates past the IHDR-implied size
+    except zlib.error:
         return None
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
@@ -199,17 +256,10 @@ def _decode_png_pixels(payload: bytes):
             recon = np.cumsum(lanes, axis=0, dtype=np.int64).reshape(stride) % 256
         elif ftype == 2:  # Up
             recon = (line + prev) % 256
-        elif ftype == 3:  # Average
-            recon = np.empty(stride, dtype=np.int32)
-            for x in range(stride):
-                left = recon[x - ch] if x >= ch else 0
-                recon[x] = (line[x] + (left + prev[x]) // 2) % 256
-        elif ftype == 4:  # Paeth
-            recon = np.empty(stride, dtype=np.int32)
-            for x in range(stride):
-                left = recon[x - ch] if x >= ch else 0
-                ul = prev[x - ch] if x >= ch else 0
-                recon[x] = (line[x] + _png_paeth(int(left), int(prev[x]), int(ul))) % 256
+        elif ftype == 3:  # Average (sequential left-dependency: list scan)
+            recon = _unfilter_avg(line, prev, ch, stride)
+        elif ftype == 4:  # Paeth (sequential left-dependency: list scan)
+            recon = _unfilter_paeth(line, prev, ch, stride)
         else:
             return None
         out[y] = recon.astype(np.uint8)
@@ -261,15 +311,13 @@ def encode_png(img, row_filters: list[int] | None = None) -> bytes:
         elif f == 3:
             left = np.concatenate([np.zeros(ch, np.int32), recon[:-ch]])
             filt = (recon - (left + prev) // 2) % 256
-        else:  # Paeth
+        else:  # Paeth — filtering reads only KNOWN recon values: vectorize
             left = np.concatenate([np.zeros(ch, np.int32), recon[:-ch]])
             ul = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
-            pred = np.array(
-                [
-                    _png_paeth(int(left[x]), int(prev[x]), int(ul[x]))
-                    for x in range(w * ch)
-                ],
-                dtype=np.int32,
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
             )
             filt = (recon - pred) % 256
         lines.append(bytes([f]) + filt.astype(np.uint8).tobytes())

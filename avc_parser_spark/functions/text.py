@@ -180,11 +180,14 @@ def canonicalize_url(url: Column) -> Column:
         F.regexp_replace(u, r"^[^/]*//[^/]*", ""),
     )
     u = F.regexp_replace(u, r"#.*$", "")                       # fragment
-    u = F.regexp_replace(u, r"^(https?://[^/:]+):(?:80|443)(/|$)", r"$1$2")
+    # default ports: scheme-matched only (http:443 / https:80 are distinct)
+    u = F.regexp_replace(u, r"^(http://[^/:]+):80(/|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:]+):443(/|$)", r"$1$2")
     tracking = r"(?:utm_[a-z]+|fbclid|gclid)=[^&#]*"
-    for _ in range(3):  # leading tracking param followed by real params
-        u = F.regexp_replace(u, r"\?" + tracking + r"&", "?")
-    u = F.regexp_replace(u, r"[?&]" + tracking, "")            # mid/trailing
+    u = F.regexp_replace(u, r"[?&]" + tracking, "")            # all occurrences
+    # repair a query that lost its '?' (leading tracking params stripped
+    # before a real param leave '&q=1'): first '&' with no '?' before it
+    u = F.regexp_replace(u, r"^([^?&]*)&", r"$1?")
     u = F.regexp_replace(u, r"[?&]$", "")                      # dangling ? or &
     u = F.regexp_replace(u, r"(.)/\?", r"$1?")                 # slash before query
     return F.regexp_replace(u, r"(.)/$", r"$1")                # trailing slash
@@ -194,7 +197,10 @@ def canonicalize_url(url: Column) -> Column:
 PII_PATTERNS = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+    # ≤2 separator chars between digits (') ' in '(415) 555'), never two
+    # consecutive spaces, 8-15 digits total: the old unbounded [\d\s().-]{7,}
+    # fused adjacent number runs ('1999  2000  2001') into one <PHONE>
+    (r"\+?\d(?:(?!\s\s)[\s().-]{0,2}\d){7,14}", "<PHONE>"),
 ]
 
 

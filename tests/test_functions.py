@@ -202,6 +202,14 @@ def test_repetition_ratio_and_redact_pii(spark):
     assert "<EMAIL>" in red and "<IP>" in red and "<PHONE>" in red
     assert "example" not in red and "415" not in red and "192.168" not in red
 
+    # adjacent number runs (years/figures) must not fuse into one <PHONE>:
+    # the separator is bounded to a single char and 15 digits total
+    years = spark.createDataFrame(
+        [(0, "revenue for 1999  2000  2001  2002 was flat")],
+        "doc_id long, text string",
+    ).select(redact_pii(F.col("text")).alias("red")).collect()[0]["red"]
+    assert "2002" in years  # double-spaced run no longer swallowed whole
+
 
 def test_canonicalize_url(spark):
     from avc_parser_spark.functions.text import canonicalize_url
@@ -215,6 +223,13 @@ def test_canonicalize_url(spark):
         ("https://a.b/x?utm_only=1", "https://a.b/x"),
         ("https://a.b/p/", "https://a.b/p"),
         ("relative/path", "relative/path"),
+        # 4+ leading tracking params before a real one: the stripped query
+        # must get its '?' repaired, not leave a dangling '&q=1'
+        ("https://a.b/x?utm_a=1&utm_b=1&utm_c=1&utm_d=1&q=1",
+         "https://a.b/x?q=1"),
+        # default-port strip is scheme-matched: these are DIFFERENT urls
+        ("http://a.b:443/x", "http://a.b:443/x"),
+        ("https://a.b:80/x", "https://a.b:80/x"),
     ]
     df = spark.createDataFrame(cases, "url string, expected string")
     rows = df.select("url", "expected",
@@ -362,6 +377,61 @@ def test_png_roundtrip_all_filters():
             out, och = decoded
             assert och == ch
             assert np.array_equal(out, img), (ch, filters)
+
+
+def test_png_unfilter_scan_matches_reference_predictor():
+    """The round-5 list-scan Average/Paeth unfilters must be byte-identical
+    to a direct per-byte evaluation of the spec predictor (_png_paeth) —
+    guards both sides: a matching encode/decode bug pair would slip past
+    the roundtrip test alone."""
+    import numpy as np
+
+    from avc_parser_spark.functions.multimodal import (
+        _png_paeth,
+        _unfilter_avg,
+        _unfilter_paeth,
+    )
+
+    rng = np.random.RandomState(5)
+    for ch in (1, 3, 4):
+        for width in (1, 2, 17):
+            stride = width * ch
+            line = rng.randint(0, 256, stride).astype(np.int32)
+            prev = rng.randint(0, 256, stride).astype(np.int32)
+            ref_avg = np.empty(stride, dtype=np.int32)
+            ref_pae = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                la = ref_avg[x - ch] if x >= ch else 0
+                ref_avg[x] = (line[x] + (la + prev[x]) // 2) % 256
+                lp = ref_pae[x - ch] if x >= ch else 0
+                ul = prev[x - ch] if x >= ch else 0
+                ref_pae[x] = (line[x] + _png_paeth(int(lp), int(prev[x]), int(ul))) % 256
+            assert np.array_equal(_unfilter_avg(line, prev, ch, stride), ref_avg)
+            assert np.array_equal(_unfilter_paeth(line, prev, ch, stride), ref_pae)
+
+
+def test_png_zlib_bomb_rejected():
+    """Untrusted IDAT must never inflate past the IHDR-implied raw size:
+    a ~1000:1 zlib bomb returns None instead of allocating gigabytes, and
+    a truncated stream returns None (ADVICE r4, medium)."""
+    import struct
+    import zlib
+
+    from avc_parser_spark.functions.multimodal import _PNG_SIG, _decode_png_pixels
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)  # 4x4 RGB → 52 raw bytes
+    bomb = zlib.compress(b"\x00" * 10_000_000, 9)
+    assert _decode_png_pixels(
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+    ) is None
+    trunc = zlib.compress(b"\x00" * 10)
+    assert _decode_png_pixels(
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", trunc) + chunk(b"IEND", b"")
+    ) is None
 
 
 def test_png_features_match_ppm():
