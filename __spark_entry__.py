@@ -697,6 +697,86 @@ def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared by q_corpus_curation (Spark input) — the same 4 planted
+# identical-text clusters as dedup_minhash_lsh/dedup_resolve (doc_id%25==0,
+# <500 → guaranteed LSH recall 1 at every scale factor).
+_PLANT_TEXT_CASE = """case when doc_id % 25 = 0 and doc_id < 500
+           then (case cast(floor(doc_id / 25.0) as int) % 4
+                 when 0 then 'alpha beta gamma delta epsilon zeta eta theta iota kappa'
+                 when 1 then 'lorem ipsum dolor sit amet consectetur adipiscing elit sed tempor'
+                 when 2 then 'north south east west river mountain valley forest desert ocean'
+                 else 'crimson amber violet indigo turquoise magenta cobalt emerald silver bronze'
+                 end)
+           else text end"""
+
+# Synthetic raw URLs: docs d%10==9 share a canonical URL with doc d-9 (same
+# decade head), every doc carries one of four decorations (uppercased
+# scheme+host + tracking params / fragment / trailing slash / explicit :443)
+# that canonicalize_url must strip to 'https://w.example.com/p/<base>'.
+_CURATION_RAW_URL = """concat(
+           case when doc_id % 4 = 0 then 'HTTPS://W.Example.COM'
+                when doc_id % 4 = 3 then 'https://w.example.com:443'
+                else 'https://w.example.com' end,
+           '/p/',
+           cast(doc_id - (case when doc_id % 10 = 9 then 9 else 0 end) as string),
+           case when doc_id % 4 = 0 then '?utm_source=feed&utm_campaign=x'
+                when doc_id % 4 = 1 then '#frag'
+                when doc_id % 4 = 2 then '/'
+                else '' end)"""
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE capstone: the end-to-end corpus-curation materialization —
+    canonicalize_url → URL-level exact dedup → MinHash near-dup pairs →
+    Jaccard verify → connected-component resolution (keep keepers) →
+    train/eval 8-gram decontamination → deterministic md5 split — composed
+    by curate_corpus() (functions/curation.py), the analog of the
+    reference's full main() lifecycle (parse_avc.py:3584-4117) as ONE flow.
+
+    Planted invariants make every stage enumerable in DuckDB:
+    - URL dups: doc_id%10==9 shares a canonical URL with doc_id-9 under
+      four different raw decorations ⇒ exactly those docs drop;
+    - near-dups: the 4 identical-text clusters (doc_id%25==0, <500) ⇒
+      non-keepers (id ≠ 25×variant) drop; pair_filter restricts resolver
+      edges to this known dup universe so the surviving set stays exact
+      (full-corpus pair verification is dedup_minhash_lsh's job);
+    - contamination: the eval suite carries the variant-0/1 cluster texts
+      verbatim ⇒ their two keepers (0 and 25) drop;
+    - split: md5 buckets (split_by_hash method='md5'), re-derived bit-exact
+      in DuckDB via ('0x'||substr(md5(id),1,4))::bigint % 10000.
+    The routed hive-partitioned write is test-gated in tests/test_curation.py.
+    """
+    from avc_parser_spark.functions.curation import curate_corpus
+
+    _views(spark, sf_dir, ["documents"])
+    docs = spark.sql(
+        f"""
+        SELECT doc_id,
+               {_CURATION_RAW_URL} AS url,
+               {_PLANT_TEXT_CASE} AS text
+        FROM documents
+        """
+    ).repartition(spark.sparkContext.defaultParallelism)
+    evals = spark.sql(
+        """
+        SELECT 0 AS eval_id,
+               'alpha beta gamma delta epsilon zeta eta theta iota kappa' AS text
+        UNION ALL
+        SELECT 1,
+               'lorem ipsum dolor sit amet consectetur adipiscing elit sed tempor'
+        """
+    )
+    curated = curate_corpus(
+        docs,
+        evals,
+        pair_filter=(
+            (F.col("a") % 25 == 0) & (F.col("b") % 25 == 0)
+            & (F.col("a") < 500) & (F.col("b") < 500)
+        ),
+    )
+    return curated.select("doc_id", "canon_url", "split")
+
+
 def q_streaming_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ACTUAL Structured Streaming execution path, driver-checked:
     writes the synthetic corpus to a landing dir, runs readStream → parse
@@ -994,26 +1074,36 @@ def q_resource_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_optimality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8 scalar report: efficiency_score = unique commands / total groups."""
-    from avc_parser_spark.aggregate import grouping_optimality_report
-
-    groups = _smart_groups(spark, sf_dir)
-    return grouping_optimality_report(groups)
-
-
-def q_grouping_optimality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8: regroup signature groups by sesearch command; mergeable = shared
-    command."""
-    from avc_parser_spark.aggregate import grouping_optimality
-
-    groups = _smart_groups(spark, sf_dir)
-    opt = grouping_optimality(groups)
-    return opt.select(
-        "sesearch_command",
-        F.col("group_count").alias("group_count"),
-        "mergeable",
+def q_grouping_optimality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 both faces as one mode-tagged union (merged round 5 to free a
+    driver slot for corpus_curation):
+    - 'detail': per-sesearch-command regrouping (group_count, mergeable);
+    - 'report': the scalar optimality report (total_groups, unique_commands,
+      mergeable_commands, efficiency_score = unique/total).
+    Columns (mode, k, n1, n2, n3, eff); unused slots are typed nulls."""
+    from avc_parser_spark.aggregate import (
+        grouping_optimality,
+        grouping_optimality_report,
     )
+
+    groups = _smart_groups(spark, sf_dir)
+    detail = grouping_optimality(groups).select(
+        F.lit("detail").alias("mode"),
+        F.col("sesearch_command").alias("k"),
+        F.col("group_count").cast("long").alias("n1"),
+        F.col("mergeable").cast("long").alias("n2"),
+        F.lit(None).cast("long").alias("n3"),
+        F.lit(None).cast("double").alias("eff"),
+    )
+    report = grouping_optimality_report(groups).select(
+        F.lit("report").alias("mode"),
+        F.lit("").alias("k"),
+        F.col("total_groups").alias("n1"),
+        F.col("unique_commands").alias("n2"),
+        F.col("mergeable_commands").alias("n3"),
+        F.col("efficiency_score").alias("eff"),
+    )
+    return detail.unionByName(report)
 
 
 
@@ -1535,8 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_stats_counters": q_stats_counters,
         # aggregates / analyzers / detectors
         "resource_consolidation": q_resource_consolidation,
-        "grouping_optimality": q_grouping_optimality,
-        "grouping_optimality_report": q_optimality_report,
+        "grouping_optimality_suite": q_grouping_optimality_suite,
         "detector_flags": q_detector_flags,
         "analyzer_findings": q_analyzer_findings,
         # sorts + filters (post-aggregation contract)
@@ -1571,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_suite": q_dedup_simhash_suite,
         "dedup_embedding_cosine": q_dedup_embedding,
         "dedup_resolve": q_dedup_resolve,
+        "corpus_curation": q_corpus_curation,
         # training-data ops: similarity search
         "ann_suite": q_ann_suite,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2195,7 +2285,7 @@ def oracle_sql() -> dict[str, str]:
                    cast(event_count as bigint) AS rcount
             FROM sub
         """,
-        "grouping_optimality_report": f"""
+        "grouping_optimality_suite": f"""
             WITH base AS (
               SELECT {PROCESS_CATEGORY_ORACLE} AS pc,
                      (case when doc_id % 5 = 4 then {TC_TYPE_CASE} else {TCONTEXT} end) AS st,
@@ -2216,34 +2306,18 @@ def oracle_sql() -> dict[str, str]:
               FROM base GROUP BY 1,2,3,4,5),
             cmds AS (
               SELECT sesearch_command, count(*) AS c FROM grp GROUP BY 1)
-            SELECT cast(sum(c) as bigint) AS total_groups,
-                   cast(count(*) as bigint) AS unique_commands,
-                   cast(sum(case when c > 1 then 1 else 0 end) as bigint) AS mergeable_commands,
-                   (round(count(*) * 1.0 / sum(c), 6))::DOUBLE AS efficiency_score
+            SELECT 'detail' AS mode, sesearch_command AS k,
+                   cast(c as bigint) AS n1,
+                   cast(case when c > 1 then 1 else 0 end as bigint) AS n2,
+                   cast(NULL as bigint) AS n3, cast(NULL as double) AS eff
             FROM cmds
-        """,
-        "grouping_optimality": f"""
-            WITH base AS (
-              SELECT {PROCESS_CATEGORY_ORACLE} AS pc,
-                     (case when doc_id % 5 = 4 then {TC_TYPE_CASE} else {TCONTEXT} end) AS st,
-                     {OBJECT_GROUP_ORACLE} AS og,
-                     (case when doc_id % 5 = 3 then {f['dest_port']}
-                           when doc_id % 5 = 4 then ''
-                           else {PATH_PATTERN_ORACLE} end) AS se,
-                     {PERMISSION_CATEGORY_ORACLE} AS pcat,
-                     {f['sc_type']} AS sc_type, {f['tc_type']} AS tc_type,
-                     {f['tclass']} AS tclass, {f['permission']} AS permission
-              FROM documents),
-            grp AS (
-              SELECT pc, st, og, se, pcat,
-                     'sesearch -A -s ' || min(sc_type) || ' -t ' || min(tc_type)
-                     || ' -c ' || min(tclass) || ' -p '
-                     || array_to_string(list_sort(list(DISTINCT permission)), ',')
-                     AS sesearch_command
-              FROM base GROUP BY 1,2,3,4,5)
-            SELECT sesearch_command, count(*) AS group_count,
-                   count(*) > 1 AS mergeable
-            FROM grp GROUP BY 1
+            UNION ALL
+            SELECT 'report', '',
+                   cast(sum(c) as bigint),
+                   cast(count(*) as bigint),
+                   cast(sum(case when c > 1 then 1 else 0 end) as bigint),
+                   (round(count(*) * 1.0 / sum(c), 6))::DOUBLE
+            FROM cmds
         """,
         "detector_flags": """
             SELECT doc_id AS sig_id,
@@ -2491,6 +2565,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'minhash' AS strategy, doc_id,
                    cast((cast(floor(doc_id / 25.0) as int) % 4) * 25 as bigint) AS keeper
             FROM documents WHERE doc_id % 25 = 0 AND doc_id < 500
+        """,
+        # curation survivors enumerated stage by stage from the plants:
+        # url-dup drops (doc_id%10==9), planted-cluster non-keepers
+        # (doc_id ≠ 25×variant), decontaminated keepers (variant 0/1);
+        # split re-derived from md5 exactly as split_by_hash(method='md5').
+        "corpus_curation": """
+            WITH s3 AS (
+              SELECT doc_id,
+                     'https://w.example.com/p/' ||
+                       cast(doc_id - (case when doc_id % 10 = 9 then 9 else 0 end) as varchar)
+                       AS canon_url
+              FROM documents
+              WHERE doc_id % 10 <> 9
+                AND NOT (doc_id % 25 = 0 AND doc_id < 500
+                         AND doc_id <> (cast(floor(doc_id / 25.0) as int) % 4) * 25)
+                AND NOT (doc_id % 25 = 0 AND doc_id < 500
+                         AND (cast(floor(doc_id / 25.0) as int) % 4) IN (0, 1))),
+            b AS (
+              SELECT doc_id, canon_url,
+                     ('0x' || substr(md5(cast(doc_id as varchar)), 1, 4))::bigint
+                       % 10000 AS bucket
+              FROM s3)
+            SELECT doc_id, canon_url,
+                   case when bucket < 9000 then 'train'
+                        when bucket < 9500 then 'val'
+                        else 'test' end AS split
+            FROM b
         """,
         "ann_lsh_topk": _ANN_LSH_ORACLE,
         # streaming == batch invariant: the availableNow windowed rollup

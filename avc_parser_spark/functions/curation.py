@@ -1,0 +1,109 @@
+"""End-to-end corpus curation: the composed flow a training-data engineer
+actually ships (reference analog: the full run lifecycle that chains parse →
+dedup → group → emit in parse_avc.py:3584-4117, re-expressed as a data
+pipeline over documents instead of a CLI over denials).
+
+canonicalize_url → URL-level exact dedup → MinHash+LSH near-dup candidates →
+n-gram Jaccard verification → connected-component resolution (keep cluster
+keepers) → train/eval n-gram decontamination → deterministic split
+assignment → optional hive-partitioned write of the surviving corpus.
+
+Every stage is individually verified by its own query/pytest; this module
+owns the COMPOSITION. Scale audit of the chain at 100 TB:
+
+- URL dedup: one shuffle on canon_url (window min), no driver state.
+- Near-dup: sketch is narrow, bucket groupBy is one bounded shuffle
+  (max_bucket cap), verification joins only candidate pairs.
+- Resolution: edges ≤ buckets × C(max_bucket, 2); O(log d) rounds.
+- Decontamination: eval grams BROADCAST; clean-doc grams die map-side.
+- Split: pure function of doc id, no shuffle.
+- Drops apply as left_anti joins on the (small) drop sets, so the full
+  corpus streams through exactly once per stage boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from avc_parser_spark.functions.dedup import (
+    contaminated_train_docs,
+    minhash_lsh_candidates,
+    ngram_jaccard,
+    resolve_clusters,
+)
+from avc_parser_spark.functions.text import canonicalize_url, split_by_hash
+
+
+def curate_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    pair_filter: Column | None = None,
+    contam_n: int = 8,
+    weights: dict[str, float] | None = None,
+    split_method: str = "md5",
+) -> DataFrame:
+    """Run the full curation chain; returns the SURVIVING corpus with
+    `canon_url` and `split` columns added.
+
+    `pair_filter` optionally restricts which verified near-dup pairs feed
+    the resolver (e.g. a demo corpus's known dup universe); production runs
+    leave it None and drop on every verified pair.
+
+    `eval_docs` (id + text of the benchmark/eval suite) enables the
+    decontamination stage; None skips it.
+    """
+    # 1. canonical URL + exact URL-level dedup: keeper = min id per canon.
+    #    One shuffle (window over canon_url); at warehouse scale the corpus
+    #    is typically already bucketed by url hash, making this co-located.
+    w = Window.partitionBy("canon_url")
+    s1 = (
+        docs.withColumn("canon_url", canonicalize_url(F.col(url_col)))
+        .withColumn("_url_keeper", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_url_keeper"))
+        .drop("_url_keeper")
+    )
+
+    # 2. text near-dup: candidates → Jaccard verify → connected components →
+    #    drop everything but each cluster's keeper (min id).
+    keyed = s1.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    candidates = minhash_lsh_candidates(keyed)
+    verified = ngram_jaccard(keyed, candidates).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+    if pair_filter is not None:
+        verified = verified.filter(pair_filter)
+    resolved = resolve_clusters(verified)
+    near_dup_drops = resolved.filter(F.col("doc_id") != F.col("keeper")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    s2 = s1.join(near_dup_drops, id_col, "left_anti")
+
+    # 3. decontamination: drop surviving train docs sharing any contam_n-gram
+    #    with the (broadcast) eval suite.
+    if eval_docs is not None:
+        contam = contaminated_train_docs(
+            s2, eval_docs, n=contam_n, text_col=text_col, id_col=id_col
+        )
+        s2 = s2.join(contam.select(id_col), id_col, "left_anti")
+
+    # 4. deterministic split assignment (md5 default: SQL-portable, so any
+    #    engine can re-derive the exact train/val/test membership).
+    return split_by_hash(s2, weights, id_col=id_col, method=split_method)
+
+
+def write_curated(
+    curated: DataFrame, path: str, partition_col: str = "split"
+) -> None:
+    """Materialize the surviving training corpus hive-partitioned by split,
+    so downstream training jobs read split=train/ as a directory-pruned scan
+    (same stored-layout contract as the IVF/LSH tables: the partition filter
+    must show up in the scan, test-gated in tests/test_curation.py)."""
+    curated.write.mode("overwrite").partitionBy(partition_col).parquet(path)

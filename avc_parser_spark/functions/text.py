@@ -148,16 +148,30 @@ def split_by_hash(
     id_col: str = "doc_id",
     seed: int = 42,
     out_col: str = "split",
+    method: str = "xxhash",
 ) -> DataFrame:
     """Deterministic train/val/test assignment: bucket = pmod(xxhash64(id,
     seed), 10000), split chosen by cumulative weight cutoffs. Unlike
     rand()-based sampling this is a pure function of the id — stable under
     repartitioning, re-runs, and incremental appends (a doc never migrates
     between splits), which is the property a 100 TB training pipeline
-    actually needs."""
+    actually needs.
+
+    method='md5' buckets on the first 16 bits of md5(cast(id as string))
+    instead (seed ignored) — slower than xxhash64 but reproducible in any
+    engine with md5 (DuckDB, Trino, Postgres), so cross-engine audits and
+    the SQL oracle can re-derive the exact assignment."""
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
     total = sum(weights.values())
-    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(10_000))
+    if method == "md5":
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+            ).cast("bigint")
+            % 10_000
+        )
+    else:
+        bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(10_000))
     expr = None
     acc = 0.0
     for name, w in weights.items():

@@ -119,6 +119,7 @@ def main() -> None:
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_resolve",
+        "corpus_curation",
         "ann_suite",
     ]:
         try:

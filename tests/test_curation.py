@@ -1,0 +1,95 @@
+"""End-to-end corpus curation (functions/curation.py): the composed
+canonicalize → dedup → resolve → decontaminate → split flow, plus the
+hive-partitioned routed write (reference analog: the full main() lifecycle,
+parse_avc.py:3584-4117)."""
+
+from pyspark.sql import functions as F
+
+
+def _corpus(spark):
+    """12-doc micro-corpus planting every drop reason exactly once:
+    - docs 0/1 share a canonical URL under different decorations → drop 1;
+    - docs 2/3/4 carry identical text → near-dup cluster, keeper 2 → drop 3,4;
+    - doc 5's text is lifted verbatim into the eval suite → contaminated;
+    - docs 6-11 are clean survivors."""
+    dup_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    lifted = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [
+        (0, "HTTPS://Site.COM/a?utm_source=x", "clean page zero body words here padd zero aa bb"),
+        (1, "https://site.com/a#frag", "clean page one body words here padd one cc dd"),
+        (2, "https://site.com/b", dup_text),
+        (3, "https://site.com/c", dup_text),
+        (4, "https://site.com/d", dup_text),
+        (5, "https://site.com/e", lifted),
+    ] + [
+        (i, f"https://site.com/p{i}",
+         f"distinct survivor document number {i} with enough unique words body {i * 7}")
+        for i in range(6, 12)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+
+def _evals(spark):
+    return spark.createDataFrame(
+        [(100, "one two three four five six seven eight nine ten eleven twelve")],
+        "eval_id long, text string",
+    )
+
+
+def test_curate_corpus_every_stage_drops(spark):
+    from avc_parser_spark.functions.curation import curate_corpus
+
+    out = curate_corpus(_corpus(spark), _evals(spark)).orderBy("doc_id")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # survivors: 0 (url keeper), 2 (cluster keeper), 6..11
+    assert sorted(rows) == [0, 2] + list(range(6, 12))
+    assert rows[0]["canon_url"] == "https://site.com/a"
+    assert all(r["split"] in ("train", "val", "test") for r in rows.values())
+
+
+def test_curate_corpus_skips_optional_stages(spark):
+    """eval_docs=None skips decontamination; the lifted doc then survives."""
+    from avc_parser_spark.functions.curation import curate_corpus
+
+    out = curate_corpus(_corpus(spark), None)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [0, 2, 5] + list(range(6, 12))
+
+
+def test_curated_write_partition_prunes(spark, tmp_path):
+    """write_curated materializes hive-partitioned by split; a split=train
+    read must carry the predicate as PartitionFilters (directory pruning),
+    and the union of partitions must round-trip the curated rows."""
+    from avc_parser_spark.functions.curation import curate_corpus, write_curated
+
+    curated = curate_corpus(_corpus(spark), _evals(spark)).select(
+        "doc_id", "canon_url", "split"
+    )
+    path = str(tmp_path / "curated")
+    write_curated(curated, path)
+
+    back = spark.read.parquet(path)
+    train = back.filter(F.col("split") == "train")
+    plan = train._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "split" in plan.split("PartitionFilters:")[1][:200]
+
+    want = sorted((r["doc_id"], r["canon_url"], r["split"]) for r in curated.collect())
+    got = sorted((r["doc_id"], r["canon_url"], r["split"]) for r in back.collect())
+    assert got == want
+
+
+def test_split_by_hash_md5_portable(spark):
+    """method='md5' must re-derive in plain SQL: bucket = first 16 md5 bits
+    of the id string — the property the DuckDB oracle (and any other
+    engine) relies on. Spot-check against hashlib."""
+    import hashlib
+
+    from avc_parser_spark.functions.text import split_by_hash
+
+    docs = spark.range(200).withColumnRenamed("id", "doc_id")
+    out = {r["doc_id"]: r["split"] for r in split_by_hash(docs, method="md5").collect()}
+    for i in (0, 7, 42, 199):
+        bucket = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 10_000
+        want = "train" if bucket < 9000 else ("val" if bucket < 9500 else "test")
+        assert out[i] == want, (i, bucket)
