@@ -1473,6 +1473,41 @@ def _gif_plants() -> tuple[list[str], list[int], list[int], list[int]]:
 _GIF_HEX, _GIF_NBYTES, _GIF_MEAN, _GIF_STD = _gif_plants()
 
 
+def _jpeg_plants() -> tuple[list[str], list[int], list[int], list[int]]:
+    """8 planted 16×16 grayscale baseline JPEGs + expected oracle constants.
+
+    JPEG is lossy in general, so the plants live in the EXACT-roundtrip
+    subspace: each image is a 2×2 mosaic of flat 8×8 blocks with EVEN
+    values — a flat block's only nonzero FDCT coefficient is DC = 8·(v−128),
+    and the quality-50 luma quantizer q00 = 16 divides it exactly, so the
+    real Huffman+dequant+IDCT decode provably reproduces the pixels
+    byte-for-byte (property-pinned in tests/test_functions.py). Feature
+    expectations are re-derived from the CONSTRUCTED arrays through the
+    float32 feature dtype, same discipline as the PNG/GIF plants."""
+    import numpy as np
+
+    from avc_parser_spark.functions.jpeg import encode_jpeg
+
+    hexes, nbytes, means, stds = [], [], [], []
+    for v in range(8):
+        blocks = np.array(
+            [[2 * ((7 * v + 13 * q) % 128) for q in (0, 1)],
+             [2 * ((7 * v + 13 * q) % 128) for q in (2, 3)]],
+            dtype=np.uint8,
+        )
+        img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+        payload = encode_jpeg(img, quality=50)
+        hexes.append(payload.hex())
+        nbytes.append(len(payload))
+        gray = img.astype("float64") / 255.0
+        means.append(int(np.floor(float(np.float32(gray.mean())) * 255 + 0.5)))
+        stds.append(int(np.floor(float(np.float32(gray.std())) * 1000 + 0.5)))
+    return hexes, nbytes, means, stds
+
+
+_JPEG_HEX, _JPEG_NBYTES, _JPEG_MEAN, _JPEG_STD = _jpeg_plants()
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal decode→resize→featurize pipeline with REAL planted
     payloads built in SQL: 8×8 binary PPM images (nearest-neighbor resized
@@ -1480,9 +1515,11 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     8×8 gradient PNGs (row filters cycling 0-4, decoded by the stdlib
     zlib+numpy kernel, NN-resized and re-encoded by the real PNG resize),
     6×6 grayscale GIFs (pure-Python LZW decode; no resize kernel →
+    passthrough), 16×16 grayscale baseline JPEGs from the exact-roundtrip
+    plant subspace (real Huffman+dequant+IDCT decode via jpeg.py;
     passthrough), RIFF/WAVE audio (8-bit PCM, constant amplitude; resize
     passthrough), plus text-cast payloads that take the honest
-    stubbed_fake path (JPEG/MP4 codecs absent in this container). The oracle verifies the
+    stubbed_fake path (MP4/video codecs absent in this container). The oracle verifies the
     decoded feature values OF THE RESIZED payloads (quantized back to exact
     integers), resize routing, decode routing, and byte counts — the real
     kernels end to end, not just plumbing."""
@@ -1494,11 +1531,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, ["documents"])
     png_case = _sql_case("cast(floor(doc_id / 8.0) as int) % 8", _PNG_HEX)
     gif_case = _sql_case("cast(floor(doc_id / 8.0) as int) % 8", _GIF_HEX)
+    jpeg_case = _sql_case("cast(floor(doc_id / 8.0) as int) % 8", _JPEG_HEX)
     media = spark.sql(
         f"""
         SELECT doc_id,
                (case when doc_id % 4 in (0, 1) then 'image'
-                     when doc_id % 8 = 3 then 'image'
+                     when doc_id % 8 in (3, 5) then 'image'
                      else 'audio' end) AS media_type,
                (case when doc_id % 8 = 0 then
                   cast('P6' || chr(10) || '8 8' || chr(10) || '255' || chr(10) as binary)
@@ -1510,6 +1548,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                   unhex({png_case})
                 when doc_id % 8 = 3 then
                   unhex({gif_case})
+                when doc_id % 8 = 5 then
+                  unhex({jpeg_case})
                 when doc_id % 4 = 2 then
                   unhex('{_WAV_HDR_HEX}')
                   || unhex(repeat(lpad(hex(doc_id % 256), 2, '0'), 8))
@@ -1519,7 +1559,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     resized = resize_media(media, max_dim=4)
     feats = extract_media_features(resized)
-    is_img = F.col("decode_status").isin("ok_ppm", "ok_png", "ok_gif")
+    is_img = F.col("decode_status").isin("ok_ppm", "ok_png", "ok_gif", "ok_jpeg")
     is_wav = F.col("decode_status") == "ok_wav"
 
     def q(expr: F.Column, cond: F.Column) -> F.Column:
@@ -2416,7 +2456,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": f"""
             SELECT doc_id,
                    (case when doc_id % 4 in (0, 1) then 'image'
-                         when doc_id % 8 = 3 then 'image'
+                         when doc_id % 8 in (3, 5) then 'image'
                          else 'audio' end) AS media_type,
                    (case when doc_id % 8 = 0 then 59
                          when doc_id % 8 = 4 then 23
@@ -2424,12 +2464,15 @@ def oracle_sql() -> dict[str, str]:
                            {_sql_case_int('cast(floor(doc_id / 8.0) as int) % 8', _PNG_NBYTES)}
                          when doc_id % 8 = 3 then
                            {_sql_case_int('cast(floor(doc_id / 8.0) as int) % 8', _GIF_NBYTES)}
+                         when doc_id % 8 = 5 then
+                           {_sql_case_int('cast(floor(doc_id / 8.0) as int) % 8', _JPEG_NBYTES)}
                          when doc_id % 4 = 2 then 52
                          else octet_length(encode(text)) end)::BIGINT AS n_bytes,
                    (case when doc_id % 4 = 0 then 'ok_ppm'
                          when doc_id % 4 = 2 then 'ok_wav'
                          when doc_id % 8 = 1 then 'ok_png'
                          when doc_id % 8 = 3 then 'ok_gif'
+                         when doc_id % 8 = 5 then 'ok_jpeg'
                          else 'stubbed_fake' end) AS decode_status,
                    (case when doc_id % 8 in (0, 1) then 'resized'
                          when doc_id % 8 = 4 then 'already_small'
@@ -2439,19 +2482,25 @@ def oracle_sql() -> dict[str, str]:
                            {_sql_case_int('cast(floor(doc_id / 8.0) as int) % 8', _PNG_MEAN)}
                          when doc_id % 8 = 3 then
                            {_sql_case_int('cast(floor(doc_id / 8.0) as int) % 8', _GIF_MEAN)}
+                         when doc_id % 8 = 5 then
+                           {_sql_case_int('cast(floor(doc_id / 8.0) as int) % 8', _JPEG_MEAN)}
                     end)::BIGINT AS mean_byte,
                    (case when doc_id % 4 = 0 then 0
                          when doc_id % 8 = 1 then
                            {_sql_case_int('cast(floor(doc_id / 8.0) as int) % 8', _PNG_STD)}
                          when doc_id % 8 = 3 then
                            {_sql_case_int('cast(floor(doc_id / 8.0) as int) % 8', _GIF_STD)}
+                         when doc_id % 8 = 5 then
+                           {_sql_case_int('cast(floor(doc_id / 8.0) as int) % 8', _JPEG_STD)}
                     end)::BIGINT AS std_milli,
                    (case when doc_id % 8 in (0, 1) then 4
                          when doc_id % 8 = 4 then 2
-                         when doc_id % 8 = 3 then 6 end)::BIGINT AS px_w,
+                         when doc_id % 8 = 3 then 6
+                         when doc_id % 8 = 5 then 16 end)::BIGINT AS px_w,
                    (case when doc_id % 8 in (0, 1) then 4
                          when doc_id % 8 = 4 then 2
-                         when doc_id % 8 = 3 then 6 end)::BIGINT AS px_h,
+                         when doc_id % 8 = 3 then 6
+                         when doc_id % 8 = 5 then 16 end)::BIGINT AS px_h,
                    (case when doc_id % 4 = 2
                          then abs((doc_id % 256) - 128) end)::BIGINT AS rms_byte,
                    (case when doc_id % 4 = 2 then 8000 end)::BIGINT AS sample_rate

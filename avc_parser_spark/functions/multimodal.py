@@ -2,11 +2,12 @@
 
 Images/audio/video ride as `binary` columns with a metadata struct; decode /
 feature-extract / resize / frame-sample run as Arrow-batched pandas UDFs via
-mapInPandas. Decode kernels: REAL for formats decodable without external
-codecs — binary PPM/PGM images (pure numpy) and RIFF/WAVE audio (stdlib
+mapInPandas. Decode kernels: REAL for binary PPM/PGM (pure numpy), PNG
+(stdlib zlib + numpy unfiltering), GIF (pure-Python LZW), baseline JPEG
+(jpeg.py: Huffman + dequant + IDCT in numpy) and RIFF/WAVE audio (stdlib
 `wave`) — and an honest deterministic fake (decode_status='stubbed_fake')
-for compressed formats (JPEG/PNG/MP4) this container can't decode; swap the
-fake for PIL/ffmpeg kernels where they ship.
+for formats needing codecs this container doesn't ship (MP4/video); swap
+the fake for an ffmpeg kernel where it ships.
 """
 
 from __future__ import annotations
@@ -511,6 +512,26 @@ def _decode_gif(payload: bytes) -> tuple[list[float], str] | None:
     return _image_features(gray, w, h), "ok_gif"
 
 
+def _decode_jpeg(payload: bytes) -> tuple[list[float], str] | None:
+    """Feature extraction over the real baseline-JPEG decode (jpeg.py):
+    same grayscale reduction + shared _image_features as PPM/PNG/GIF."""
+    if payload[:2] != b"\xff\xd8":
+        return None
+    from avc_parser_spark.functions.jpeg import decode_jpeg_pixels
+
+    decoded = decode_jpeg_pixels(payload)
+    if decoded is None:
+        return None
+    img, nc = decoded
+    gray = (
+        img.astype("float64") / 255.0
+        if nc == 1
+        else img.astype("float64").mean(axis=2) / 255.0
+    )
+    h, w = gray.shape
+    return _image_features(gray, w, h), "ok_jpeg"
+
+
 def _decode_wav(payload: bytes) -> tuple[list[float], str] | None:
     """REAL decode for RIFF/WAVE audio — stdlib `wave`, no external codec.
     Features: RMS energy over 6 equal time chunks + normalized duration +
@@ -544,11 +565,12 @@ def _decode_wav(payload: bytes) -> tuple[list[float], str] | None:
 
 def decode_features(payload: bytes) -> tuple[list[float], str]:
     """Best-available decode: real PPM/PGM, PNG (stdlib zlib + numpy
-    unfiltering), GIF (pure-Python LZW) and WAV kernels, deterministic
-    fake for formats needing codecs this container doesn't ship
-    (JPEG/MP4)."""
+    unfiltering), GIF (pure-Python LZW), baseline JPEG (jpeg.py) and WAV
+    kernels, deterministic fake for formats needing codecs this container
+    doesn't ship (MP4/video)."""
     if payload:
-        for dec in (_decode_ppm, _decode_png, _decode_gif, _decode_wav):
+        for dec in (_decode_ppm, _decode_png, _decode_gif, _decode_jpeg,
+                    _decode_wav):
             try:
                 out = dec(payload)
             except Exception:  # noqa: BLE001 — corrupt media must not fail the job

@@ -434,6 +434,85 @@ def test_png_zlib_bomb_rejected():
     ) is None
 
 
+def test_jpeg_exact_plant_subspace():
+    """Flat 8×8 blocks with EVEN values at quality 50 must roundtrip
+    byte-exactly (DC = 8·(v−128) divisible by q00 = 16, all AC zero) —
+    the invariant the multimodal_features oracle's JPEG plants rely on."""
+    import numpy as np
+
+    from avc_parser_spark.functions.jpeg import decode_jpeg_pixels, encode_jpeg
+
+    for v in range(8):  # the 8 actual plant images
+        blocks = np.array(
+            [[2 * ((7 * v + 13 * q) % 128) for q in (0, 1)],
+             [2 * ((7 * v + 13 * q) % 128) for q in (2, 3)]],
+            dtype=np.uint8,
+        )
+        img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+        out, nc = decode_jpeg_pixels(encode_jpeg(img, quality=50))
+        assert nc == 1 and np.array_equal(out, img), v
+
+
+def test_jpeg_features_match_ppm_within_quantization():
+    """Property: a JPEG and a P6 PPM of the SAME smooth RGB pixels produce
+    close features (shared _image_features; the JPEG side differs only by
+    quantization loss)."""
+    import numpy as np
+    import pytest
+
+    from avc_parser_spark.functions.jpeg import encode_jpeg
+    from avc_parser_spark.functions.multimodal import decode_features
+
+    yy, xx = np.meshgrid(np.arange(24), np.arange(24), indexing="ij")
+    img = np.stack(
+        [40 + yy * 3, 60 + xx * 2, 90 + yy + xx], axis=2
+    ).clip(0, 255).astype(np.uint8)
+    ppm = b"P6\n24 24\n255\n" + img.tobytes()
+    jpg = encode_jpeg(img, quality=90)
+    jpg_feats, jpg_status = decode_features(jpg)
+    ppm_feats, ppm_status = decode_features(ppm)
+    assert jpg_status == "ok_jpeg" and ppm_status == "ok_ppm"
+    assert jpg_feats == pytest.approx(ppm_feats, abs=0.01)
+
+
+def test_jpeg_subsampling_and_restart_markers():
+    """4:2:0 chroma subsampling and DRI/RSTn restart intervals both decode
+    close to the source (smooth image, so subsampling loss is small)."""
+    import numpy as np
+
+    from avc_parser_spark.functions.jpeg import decode_jpeg_pixels, encode_jpeg
+
+    yy, xx = np.meshgrid(np.arange(40), np.arange(48), indexing="ij")
+    img = np.stack(
+        [50 + yy * 2, 80 + xx, 100 + yy + xx], axis=2
+    ).clip(0, 255).astype(np.uint8)
+    for kwargs in (
+        {"subsampling": "420"},
+        {"restart_interval": 2},
+        {"subsampling": "420", "restart_interval": 3},
+    ):
+        out, nc = decode_jpeg_pixels(encode_jpeg(img, quality=90, **kwargs))
+        assert nc == 3 and out.shape == img.shape, kwargs
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.mean() < 2.0 and err.max() <= 16, (kwargs, err.max())
+
+
+def test_jpeg_corrupt_rejected():
+    """Corrupt/truncated/non-baseline payloads must return None (and so
+    fall through to the honest stubbed_fake path), never raise."""
+    import numpy as np
+
+    from avc_parser_spark.functions.jpeg import decode_jpeg_pixels, encode_jpeg
+
+    good = encode_jpeg(np.full((8, 8), 100, dtype=np.uint8))
+    assert decode_jpeg_pixels(b"") is None
+    assert decode_jpeg_pixels(b"\xff\xd8\xff\xdbjunk") is None
+    assert decode_jpeg_pixels(good[:40]) is None          # truncated headers
+    assert decode_jpeg_pixels(good[:-20]) is None         # truncated entropy
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2")  # SOF2 unsupported
+    assert decode_jpeg_pixels(progressive) is None
+
+
 def test_png_features_match_ppm():
     """Property: a PNG and a P6 PPM of the SAME RGB pixels produce identical
     features (shared _image_features; decode kernels can't drift)."""
