@@ -777,18 +777,36 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curated.select("doc_id", "canon_url", "split")
 
 
+# deterministic event-time pattern for the streaming sessionizer plant:
+# per comm ('c0'..'c4'), events step 600 s, with a +3600 s jump every 100
+# docs → gap 4200 s > the 1800 s session gap ⇒ a new session per century.
+_SESS_TS_SQL = (
+    f"{{e0}} + cast(floor(doc_id / 5) as bigint) * 600"
+    " + cast(floor(doc_id / 100) as bigint) * 3600"
+)
+
+
 def q_streaming_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ACTUAL Structured Streaming execution path, driver-checked:
-    writes the synthetic corpus to a landing dir, runs readStream → parse
-    (stateless mapInPandas) → watermarked windowed rollup → memory sink
-    with trigger=availableNow, waits for termination, and returns the sink
-    table. The oracle is the equivalent batch aggregate (streaming == batch
-    is the invariant, pytest-proven in tests/test_streaming_plans.py)."""
+    """TWO actual Structured Streaming execution paths, mode-tagged:
+    - 'rollup': readStream → stateless parse (mapInPandas) → watermarked
+      windowed rollup → memory sink (complete, availableNow). Oracle = the
+      equivalent batch aggregate (streaming == batch invariant).
+    - 'sessions': the custom STATEFUL operator (applyInPandasWithState with
+      event-time timeout) driver-checked: readStream over two files — the
+      planted per-comm event corpus and a far-future flush batch that
+      advances the watermark so every real session closes by timeout (the
+      pattern proven in tests/test_streaming_plans.py) — append memory
+      sink. Oracle = the batch lag/cumsum sessionization in DuckDB SQL.
+    Columns (mode, k, t1, t2, n): rollup = (lang, hour_epoch, null, count);
+    sessions = (comm, start_epoch, end_epoch, events)."""
     import os
     import shutil
     import uuid
 
-    from avc_parser_spark.streaming import run_stream_to_memory
+    from avc_parser_spark.streaming import (
+        run_stream_to_memory,
+        stream_denial_sessions,
+    )
 
     base = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "data", "tmp", "stream"
@@ -802,11 +820,65 @@ def q_streaming_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "q_stream_rollup_" + uuid.uuid4().hex[:8]
     query = run_stream_to_memory(spark, landing, ckpt, name=name)
     query.awaitTermination()
-    return spark.table(name).select(
-        F.col("hour_start").cast("long").alias("hour_epoch"),
-        "lang",
+    rollup = spark.table(name).select(
+        F.lit("rollup").alias("mode"),
+        F.col("lang").alias("k"),
+        F.col("hour_start").cast("long").alias("t1"),
+        F.lit(None).cast("long").alias("t2"),
         F.col("events").alias("n"),
     )
+
+    _views(spark, sf_dir, ["documents"])
+    sess_landing = os.path.join(base, "sess_landing")
+    ts_sql = _SESS_TS_SQL.format(e0=EPOCH0)
+    spark.sql(
+        f"""
+        SELECT 'c' || cast(doc_id % 5 as string) AS comm,
+               timestamp_seconds({ts_sql}) AS event_ts,
+               'parse_ok' AS route
+        FROM documents
+        """
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sess_landing, "b1")
+    )
+    spark.sql(
+        f"""
+        SELECT 'flush' AS comm,
+               timestamp_seconds({EPOCH0 + 500_000_000}) AS event_ts,
+               'parse_ok' AS route
+        """
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sess_landing, "b2")
+    )
+    stream = (
+        spark.readStream.schema("comm string, event_ts timestamp, route string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sess_landing + "/*")
+    )
+    sname = "q_stream_sessions_" + uuid.uuid4().hex[:8]
+    q2 = (
+        stream_denial_sessions(stream, gap_minutes=30, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName(sname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    sessions = spark.table(sname).filter(F.col("comm") != "flush").select(
+        F.lit("sessions").alias("mode"),
+        F.col("comm").alias("k"),
+        F.col("session_start").cast("long").alias("t1"),
+        F.col("session_end").cast("long").alias("t2"),
+        F.col("events").alias("n"),
+    )
+    out = rollup.unionByName(sessions)
+    # both sinks are in-memory tables (independent of the files), so the
+    # landing/checkpoint dirs can go now that the queries terminated
+    # (VERDICT r4 nit #2: don't leave a corpus copy behind per run)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 def q_mls_case(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2643,12 +2715,34 @@ def oracle_sql() -> dict[str, str]:
             FROM b
         """,
         "ann_lsh_topk": _ANN_LSH_ORACLE,
-        # streaming == batch invariant: the availableNow windowed rollup
-        # equals the batch per-lang/per-hour aggregate over the same corpus.
+        # streaming == batch invariant, both modes: the availableNow
+        # windowed rollup equals the batch per-lang/per-hour aggregate, and
+        # the stateful event-time-timeout sessionizer equals the batch
+        # lag/cumsum sessionization over the same planted events.
         "streaming_lang_rollup": f"""
-            SELECT cast(floor(({f['epoch']}) / 3600.0) * 3600 as bigint) AS hour_epoch,
-                   lang,
+            WITH ev AS (
+              SELECT 'c' || cast(doc_id % 5 as varchar) AS comm,
+                     {_SESS_TS_SQL.format(e0=EPOCH0)} AS ts
+              FROM documents),
+            lagd AS (
+              SELECT comm, ts,
+                     lag(ts) OVER (PARTITION BY comm ORDER BY ts) AS prev
+              FROM ev),
+            sess AS (
+              SELECT comm, ts,
+                     sum(case when prev IS NULL OR ts - prev > 1800
+                              then 1 else 0 end)
+                       OVER (PARTITION BY comm ORDER BY ts) AS sid
+              FROM lagd)
+            SELECT 'rollup' AS mode, lang AS k,
+                   cast(floor(({f['epoch']}) / 3600.0) * 3600 as bigint) AS t1,
+                   cast(NULL as bigint) AS t2,
                    count(*) AS n
-            FROM documents GROUP BY 1, 2
+            FROM documents GROUP BY 2, 3
+            UNION ALL
+            SELECT 'sessions', comm,
+                   cast(min(ts) as bigint), cast(max(ts) as bigint),
+                   count(*)
+            FROM sess GROUP BY comm, sid
         """,
     }

@@ -126,8 +126,20 @@ def stream_denial_sessions(
                 state.setTimeoutTimestamp(
                     max(timeout_ms, state.getCurrentWatermarkMs() + 1)
                 )
+        # explicit dtypes: a bare empty DataFrame is all-object, and the
+        # Arrow serializer's concat of empty/all-NA frames raises pandas
+        # FutureWarnings (the kernels stay warning-clean under -W error)
         yield pd.DataFrame(
-            out, columns=["comm", "session_start", "session_end", "events"]
+            {
+                "comm": pd.Series([r["comm"] for r in out], dtype="object"),
+                "session_start": pd.Series(
+                    [r["session_start"] for r in out], dtype="datetime64[ns]"
+                ),
+                "session_end": pd.Series(
+                    [r["session_end"] for r in out], dtype="datetime64[ns]"
+                ),
+                "events": pd.Series([r["events"] for r in out], dtype="int64"),
+            }
         )
 
     ok = (
