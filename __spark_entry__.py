@@ -631,17 +631,27 @@ def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
       of 5) — A~B, B~C ⇒ same keeper requires multi-hop label propagation;
     - 'minhash': end-to-end — the guaranteed-recall planted MinHash pairs
       (identical texts → complete intra-cluster pair graphs) resolved to
-      keeper = cluster minimum (= 25 × variant, enumerable in DuckDB).
+      keeper = cluster minimum (= 25 × variant, enumerable in DuckDB);
+    - 'embedding' (round 5): edges from embedding_near_dups over planted
+      1.5×-scaled-copy vectors (vec_id%10==1 copies vec_id−1: cosine
+      exactly 1, same LSH bucket by construction → recall 1), restricted
+      to the planted pairs so components stay enumerable ⇒ keeper =
+      pair minimum. Proves the resolver is strategy-agnostic where users
+      mix edge sources (text + embedding dedup in one pass).
     Docs with no candidate pair keep themselves (left-join + coalesce), so
     the output is a full keep/drop assignment at every scale factor.
 
-    Both strategies resolve in ONE propagation loop: the minhash vertex ids
-    are offset by 2^40 so components can never cross strategies, and the
-    iterative fixed costs (2 joins + a scalar count per round) are paid
-    once instead of per strategy."""
-    from avc_parser_spark.functions.dedup import resolve_clusters
+    All three strategies resolve in ONE propagation loop: minhash vertex
+    ids are offset by 2^40 and embedding vertex ids by 2^41 so components
+    can never cross strategies (both offsets vanish mod 2^40 on output),
+    and the iterative fixed costs (2 joins + a scalar count per round) are
+    paid once instead of per strategy."""
+    from avc_parser_spark.functions.dedup import (
+        embedding_near_dups,
+        resolve_clusters,
+    )
 
-    _views(spark, sf_dir, ["documents"])
+    _views(spark, sf_dir, ["documents", "embeddings"])
     off = 1 << 40
 
     chain_pairs = spark.sql(
@@ -669,9 +679,30 @@ def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ).repartition(spark.sparkContext.defaultParallelism)
     mh_pairs = minhash_lsh_candidates(docs)
+
+    emb = spark.sql(
+        """
+        SELECT a.vec_id,
+               case when a.vec_id % 10 = 1
+                    then transform(b.embedding, x -> cast(x as double) * 1.5)
+                    else transform(a.embedding, x -> cast(x as double)) end
+                 AS embedding
+        FROM embeddings a LEFT JOIN embeddings b ON b.vec_id = a.vec_id - 1
+        WHERE a.vec_id % 10 IN (0, 1)
+        """
+    )
+    emb_pairs = embedding_near_dups(emb, threshold=0.8).filter(
+        (F.col("b") == F.col("a") + 1) & (F.col("b") % 10 == 1)
+    )
+
+    emb_off = 1 << 41
     all_pairs = chain_pairs.unionByName(
         mh_pairs.select(
             (F.col("a") + off).alias("a"), (F.col("b") + off).alias("b")
+        )
+    ).unionByName(
+        emb_pairs.select(
+            (F.col("a") + emb_off).alias("a"), (F.col("b") + emb_off).alias("b")
         )
     )
     resolved = resolve_clusters(all_pairs)
@@ -683,6 +714,10 @@ def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT 'minhash' AS strategy, doc_id, doc_id + {off} AS vid
         FROM documents WHERE doc_id % 25 = 0 AND doc_id < 500
+        UNION ALL
+        SELECT 'embedding' AS strategy, vec_id AS doc_id,
+               vec_id + {emb_off} AS vid
+        FROM embeddings WHERE vec_id % 10 IN (0, 1)
         """
     )
     return (
@@ -2686,6 +2721,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'minhash' AS strategy, doc_id,
                    cast((cast(floor(doc_id / 25.0) as int) % 4) * 25 as bigint) AS keeper
             FROM documents WHERE doc_id % 25 = 0 AND doc_id < 500
+            UNION ALL
+            SELECT 'embedding' AS strategy, vec_id AS doc_id,
+                   cast(vec_id - (case when vec_id % 10 = 1 then 1 else 0 end)
+                        as bigint) AS keeper
+            FROM embeddings WHERE vec_id % 10 IN (0, 1)
         """,
         # curation survivors enumerated stage by stage from the plants:
         # url-dup drops (doc_id%10==9), planted-cluster non-keepers
