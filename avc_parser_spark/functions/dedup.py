@@ -247,6 +247,80 @@ def minhash_bucket_stats(
     )
 
 
+def sketch_minhash_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = DEFAULT_PERMS,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """(doc_id, sig, band_0..band_{bands-1}) — the sketch computed ONCE per
+    document with the band keys materialized as plain columns, so a stored
+    copy can be band-probed later without touching `sig` (column pruning)."""
+    rows_per_band = num_perms // bands
+    sig_udf = minhash_signature_udf(num_perms)
+    sketched = docs.select(
+        F.col(id_col).alias("doc_id"),
+        sig_udf(base_shingle_hashes(word_shingles(F.col(text_col)))).alias("sig"),
+    )
+    keys = _minhash_band_keys(bands, rows_per_band)
+    return sketched.select(
+        "doc_id", "sig", *[k.alias(f"band_{b}") for b, k in enumerate(keys)]
+    )
+
+
+def write_sketch_table(
+    docs: DataFrame,
+    path: str,
+    mode: str = "append",
+    **kwargs,
+) -> None:
+    """Persist the MinHash sketch table (append mode = the operational
+    ingest pattern: each new partition's sketches land next to the old
+    ones; a document is sketched exactly once in its lifetime)."""
+    sketch_minhash_table(docs, **kwargs).write.mode(mode).parquet(path)
+
+
+def minhash_delta_candidates(
+    spark,
+    stored_path: str,
+    delta_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = DEFAULT_PERMS,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Incremental near-dup probe: sketch ONLY the delta batch and join its
+    band keys against the STORED sketch table — the 100 TB ingest shape:
+
+    - the corpus is never re-sketched (its signatures were written once by
+      write_sketch_table at its own ingest time);
+    - the delta's exploded band keys BROADCAST (a delta is small relative
+      to the corpus), so the stored table is one narrow map-side pass with
+      no shuffle, and column pruning reads ONLY (doc_id, band_*) from the
+      store — `sig` never leaves disk (plan-gated in tests/test_functions.py);
+    - output pairs (a = stored doc, b = delta doc) then feed the usual
+      verify → resolve_clusters chain, exactly like full-corpus candidates.
+    """
+    band_cols = [F.col(f"band_{b}") for b in range(bands)]
+    stored_banded = spark.read.parquet(stored_path).select(
+        F.col("doc_id").alias("a"),
+        F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
+    )
+    delta_banded = sketch_minhash_table(
+        delta_docs, text_col, id_col, num_perms, bands
+    ).select(
+        F.col("doc_id").alias("b"),
+        F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
+    )
+    return (
+        stored_banded.join(F.broadcast(delta_banded), ["band", "bucket"])
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
 def ngram_jaccard(
     docs: DataFrame,
     pairs: DataFrame,

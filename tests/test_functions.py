@@ -268,6 +268,43 @@ def test_ngram_contamination(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_incremental_sketch_table(spark, tmp_path):
+    """The operational 100 TB ingest pattern: sketches are written once per
+    batch (append); a delta batch probes the STORED band columns without
+    re-sketching the corpus, finds exactly the planted cross-batch dups,
+    and the stored scan must read only (doc_id, band_*) — never `sig`."""
+    from avc_parser_spark.functions.dedup import (
+        minhash_delta_candidates,
+        write_sketch_table,
+    )
+
+    dup_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    dup_b = "lorem ipsum dolor sit amet consectetur adipiscing elit sed tempor"
+
+    def corpus(ids, planted):
+        return spark.createDataFrame(
+            [
+                (i, planted.get(i, f"unique document body {i} with words {i*13} {i*7} end"))
+                for i in ids
+            ],
+            "doc_id long, text string",
+        )
+
+    path = str(tmp_path / "sketches")
+    write_sketch_table(corpus(range(10), {2: dup_a}), path)
+    write_sketch_table(corpus(range(10, 20), {12: dup_b}), path)  # append
+
+    delta = corpus([100, 101, 102], {100: dup_a, 101: dup_b})
+    pairs = minhash_delta_candidates(spark, path, delta)
+    got = sorted((r["a"], r["b"]) for r in pairs.collect())
+    assert got == [(2, 100), (12, 101)]
+
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # delta side broadcasts
+    scan_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "band_0" in scan_schema and "sig" not in scan_schema
+
+
 def test_resolve_clusters_transitive_chain(spark):
     """A~B, B~C ⇒ same keeper: pure chains require label propagation across
     hops, not just direct-pair min."""
