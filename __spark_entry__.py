@@ -1556,22 +1556,27 @@ _PNG_HEX, _PNG_NBYTES, _PNG_MEAN, _PNG_STD = _png_plants()
 
 
 def _gif_plants() -> tuple[list[str], list[int], list[int], list[int]]:
-    """8 planted 6×6 grayscale GIF payloads (gradient pixels through the
-    pure-Python LZW encoder) + expected oracle constants — same
-    re-derivation discipline as the PNG plants (float32 feature dtype).
-    GIFs have no resize kernel → passthrough; features decode the 6×6."""
+    """8 planted OVERSIZED (6×6 > max_dim 4) grayscale GIF payloads
+    (gradient pixels through the dictionary-LZW encoder) + expected oracle
+    constants AFTER the real GIF resize kernel runs (decode → NN 4×4 →
+    re-encode): the NN row/col selection is re-derived here from the
+    constructed pixels (same spec math as the kernel, float32 feature
+    dtype), so resize_status='resized' and the post-resize features are
+    driver-checked end to end."""
     import numpy as np
 
     from avc_parser_spark.functions.multimodal import encode_gif
 
     hexes, nbytes, means, stds = [], [], [], []
     yy, xx = np.meshgrid(np.arange(6), np.arange(6), indexing="ij")
+    ys = np.arange(4) * 6 // 4
     for v in range(8):
         img = ((23 * v + 29 * yy + 11 * xx) % 256).astype("uint8")
         payload = encode_gif(img)
         hexes.append(payload.hex())
-        nbytes.append(len(payload))
-        gray = img.astype("float64") / 255.0
+        small = img[ys][:, ys]
+        nbytes.append(len(encode_gif(small)))
+        gray = small.astype("float64") / 255.0
         means.append(int(np.floor(float(np.float32(gray.mean())) * 255 + 0.5)))
         stds.append(int(np.floor(float(np.float32(gray.std())) * 1000 + 0.5)))
     return hexes, nbytes, means, stds
@@ -1621,8 +1626,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 4×4 by the real resize kernel), 2×2 PPMs (already under max_dim),
     8×8 gradient PNGs (row filters cycling 0-4, decoded by the stdlib
     zlib+numpy kernel, NN-resized and re-encoded by the real PNG resize),
-    6×6 grayscale GIFs (pure-Python LZW decode; no resize kernel →
-    passthrough), 16×16 grayscale baseline JPEGs from the exact-roundtrip
+    oversized 6×6 grayscale GIFs (pure-Python LZW decode, NN-resized to
+    4×4 and re-encoded by the real GIF resize — dictionary LZW),
+    16×16 grayscale baseline JPEGs from the exact-roundtrip
     plant subspace (real Huffman+dequant+IDCT decode via jpeg.py;
     passthrough), RIFF/WAVE audio (8-bit PCM, constant amplitude; resize
     passthrough), plus text-cast payloads that take the honest
@@ -2581,7 +2587,7 @@ def oracle_sql() -> dict[str, str]:
                          when doc_id % 8 = 3 then 'ok_gif'
                          when doc_id % 8 = 5 then 'ok_jpeg'
                          else 'stubbed_fake' end) AS decode_status,
-                   (case when doc_id % 8 in (0, 1) then 'resized'
+                   (case when doc_id % 8 in (0, 1, 3) then 'resized'
                          when doc_id % 8 = 4 then 'already_small'
                          else 'passthrough' end) AS resize_status,
                    (case when doc_id % 4 = 0 then doc_id % 256
@@ -2600,13 +2606,11 @@ def oracle_sql() -> dict[str, str]:
                          when doc_id % 8 = 5 then
                            {_sql_case_int('cast(floor(doc_id / 8.0) as int) % 8', _JPEG_STD)}
                     end)::BIGINT AS std_milli,
-                   (case when doc_id % 8 in (0, 1) then 4
+                   (case when doc_id % 8 in (0, 1, 3) then 4
                          when doc_id % 8 = 4 then 2
-                         when doc_id % 8 = 3 then 6
                          when doc_id % 8 = 5 then 16 end)::BIGINT AS px_w,
-                   (case when doc_id % 8 in (0, 1) then 4
+                   (case when doc_id % 8 in (0, 1, 3) then 4
                          when doc_id % 8 = 4 then 2
-                         when doc_id % 8 = 3 then 6
                          when doc_id % 8 = 5 then 16 end)::BIGINT AS px_h,
                    (case when doc_id % 4 = 2
                          then abs((doc_id % 256) - 128) end)::BIGINT AS rms_byte,

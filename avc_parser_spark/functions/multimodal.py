@@ -457,10 +457,11 @@ def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> list[int] | None
 
 
 def encode_gif(img) -> bytes:
-    """Minimal GIF89a encoder for tests/plants: 8-bit grayscale-palette
-    image from a (h, w) or (h, w, 3) uint8 array (RGB is converted to the
-    gray ramp via channel mean). LZW stream uses the clear-code-per-symbol
-    trick (no dictionary management, decodes with any conformant reader)."""
+    """GIF89a encoder with REAL dictionary LZW (variable code width,
+    clear-on-full) — 8-bit grayscale-palette image from a (h, w) or
+    (h, w, 3) uint8 array (RGB is converted to the gray ramp via channel
+    mean). Replaced the round-4 clear-code-per-symbol trick so the resize
+    path re-encodes at honest compression, not ~2.4 bytes/pixel."""
     import numpy as np
 
     arr = np.asarray(img, dtype=np.uint8)
@@ -472,7 +473,7 @@ def encode_gif(img) -> bytes:
     palette = bytes(v for g in range(256) for v in (g, g, g))
     desc = b"\x2c" + b"\x00\x00\x00\x00" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
     min_code = 8
-    clear = 1 << min_code
+    clear, end = 1 << min_code, (1 << min_code) + 1
     width = min_code + 1
     acc = bits = 0
     stream = bytearray()
@@ -486,11 +487,33 @@ def encode_gif(img) -> bytes:
             acc >>= 8
             bits -= 8
 
+    # The decoder (our _lzw_decode and every conformant reader) builds its
+    # table one code BEHIND the encoder, so the emit width for code k+1
+    # follows (next_code - 1), the decoder's table size after code k.
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
     emit(clear)
-    for px in arr.reshape(-1):
-        emit(int(px))
-        emit(clear)  # keep the table empty → fixed code width
-    emit(clear + 1)  # end
+    buf = b""
+    for px in arr.reshape(-1).tolist():
+        cand = buf + bytes([px])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code - 1 >= (1 << width) and width < 12:
+                width += 1
+        else:  # table full: clear and restart (keeps reader in sync)
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code + 1
+        buf = bytes([px])
+    if buf:
+        emit(table[buf])
+    emit(end)
     if bits:
         stream.append(acc & 0xFF)
     blocks = bytearray()
@@ -665,9 +688,32 @@ def _resize_png(payload: bytes, max_dim: int) -> bytes | None:
     return encode_png(img[ys][:, xs])
 
 
+def _resize_gif(payload: bytes, max_dim: int) -> bytes | None:
+    """REAL nearest-neighbor resize for GIF payloads: LZW decode, NN
+    downsample so the longest side is ≤ max_dim, re-encode through the
+    dictionary-LZW encoder (grayscale palette — matches how features read
+    GIFs). Returns the original payload when already small, None when not
+    decodable GIF (caller passes those through)."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    img = _decode_gif_pixels(payload)
+    if img is None:
+        return None
+    height, width = img.shape[:2]
+    scale = max(width, height) / max_dim
+    if scale <= 1:
+        return payload
+    nw, nh = max(int(width / scale), 1), max(int(height / scale), 1)
+    ys = (np.arange(nh) * height // nh).clip(0, height - 1)
+    xs = (np.arange(nw) * width // nw).clip(0, width - 1)
+    return encode_gif(img[ys][:, xs])
+
+
 def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
-    """Resize op over the media table (Arrow-batched mapInPandas): PPM and
-    PNG payloads are REALLY downsampled (nearest neighbor) to max_dim;
+    """Resize op over the media table (Arrow-batched mapInPandas): PPM, PNG
+    and GIF payloads are REALLY downsampled (nearest neighbor) to max_dim;
     other formats pass through unchanged with resize_status='passthrough'."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -679,6 +725,8 @@ def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
                     resized = _resize_ppm(raw, max_dim)
                     if resized is None:
                         resized = _resize_png(raw, max_dim)
+                    if resized is None:
+                        resized = _resize_gif(raw, max_dim)
                 except Exception:  # noqa: BLE001 — corrupt media passes through
                     resized = None
                 if resized is None:

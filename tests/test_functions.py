@@ -661,6 +661,32 @@ def test_gif_interlaced_decode():
     assert np.array_equal(out[:, :, 0], img)
 
 
+def test_gif_resize_nearest_neighbor():
+    """_resize_gif: 8×8 → 4×4 NN downsample through decode → re-encode
+    (dictionary LZW), decodable, matching a direct NN index of the source;
+    already-small payloads return identity (caller marks already_small)."""
+    import numpy as np
+
+    from avc_parser_spark.functions.multimodal import (
+        _decode_gif_pixels,
+        _resize_gif,
+        encode_gif,
+    )
+
+    yy, xx = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    img = ((31 * yy + 7 * xx) % 256).astype("uint8")
+    small_payload = _resize_gif(encode_gif(img), 4)
+    out = _decode_gif_pixels(small_payload)
+    assert out is not None and out.shape[:2] == (4, 4)
+    ys = np.arange(4) * 8 // 4
+    want = img[ys][:, ys]
+    got = out.astype(np.uint16).mean(axis=2).astype(np.uint8)
+    assert np.array_equal(got, want)
+
+    p = encode_gif(img[:4, :4])
+    assert _resize_gif(p, 4) is p  # identity object → already_small
+
+
 def test_gif_malformed_rejected():
     import numpy as np
 
