@@ -541,8 +541,9 @@ def encode_jpeg(
     """Encode grayscale (H, W) or RGB (H, W, 3) uint8 → baseline JFIF
     (Annex K Huffman tables, quality-scaled Annex K quantizers).
 
-    subsampling: '444' (no chroma subsampling) or '420' (2×2 box-averaged
-    chroma — the dominant real-crawl layout); ignored for grayscale.
+    subsampling: '444' (no chroma subsampling), '422' (horizontal-only) or
+    '420' (2×2 box-averaged chroma — the dominant real-crawl layout);
+    ignored for grayscale.
     restart_interval > 0 emits DRI + RSTn markers every N MCUs (exercises
     the decoder's predictor-reset path)."""
     img = np.asarray(img, dtype=np.uint8)
@@ -563,8 +564,10 @@ def encode_jpeg(
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         channels = [np.rint(c) - 128.0 for c in (y, cb, cr)]
         quants = [lq, cq, cq]
-        samps = [(2, 2), (1, 1), (1, 1)] if subsampling == "420" else \
-            [(1, 1), (1, 1), (1, 1)]
+        samps = {
+            "420": [(2, 2), (1, 1), (1, 1)],
+            "422": [(2, 1), (1, 1), (1, 1)],
+        }.get(subsampling, [(1, 1), (1, 1), (1, 1)])
 
     hmax = max(s[0] for s in samps)
     vmax = max(s[1] for s in samps)

@@ -525,6 +525,7 @@ def test_jpeg_subsampling_and_restart_markers():
     ).clip(0, 255).astype(np.uint8)
     for kwargs in (
         {"subsampling": "420"},
+        {"subsampling": "422"},
         {"restart_interval": 2},
         {"subsampling": "420", "restart_interval": 3},
     ):
