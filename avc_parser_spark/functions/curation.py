@@ -28,10 +28,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from avc_parser_spark.functions.dedup import (
+    base_shingle_hashes,
     contaminated_train_docs,
-    minhash_lsh_candidates,
-    ngram_jaccard,
+    jaccard_from_hashes,
+    minhash_candidates_from_hashes,
     resolve_clusters,
+    word_shingles,
 )
 from avc_parser_spark.functions.text import canonicalize_url, split_by_hash
 
@@ -67,20 +69,31 @@ def curate_corpus(
         .withColumn("_url_keeper", F.min(id_col).over(w))
         .filter(F.col(id_col) == F.col("_url_keeper"))
         .drop("_url_keeper")
+        # consumed three times (sketching, near-dup anti-join, contamination):
+        # cache the url-deduped survivors instead of re-running the
+        # canonicalize+window lineage per stage. MEMORY_AND_DISK spills at
+        # scale; a 100 TB deployment would materialize this boundary as a
+        # table (write once, read per stage) — same shape.
+        .persist()
     )
 
     # 2. text near-dup: candidates → Jaccard verify → connected components →
-    #    drop everything but each cluster's keeper (min id).
-    keyed = s1.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    )
-    candidates = minhash_lsh_candidates(keyed)
-    verified = ngram_jaccard(keyed, candidates).filter(
+    #    drop everything but each cluster's keeper (min id). The corpus is
+    #    shingled+hashed ONCE (persisted) and shared between the MinHash
+    #    sketch and the Jaccard verifier's two join sides — shingling is the
+    #    expensive string pass, so never run it per consumer.
+    hashed = s1.select(
+        F.col(id_col).alias("_id"),
+        base_shingle_hashes(word_shingles(F.col(text_col))).alias("h"),
+    ).persist()
+    candidates = minhash_candidates_from_hashes(hashed)
+    verified = jaccard_from_hashes(hashed, candidates).filter(
         F.col("jaccard") >= jaccard_threshold
     )
     if pair_filter is not None:
         verified = verified.filter(pair_filter)
     resolved = resolve_clusters(verified)
+    hashed.unpersist()  # resolve_clusters materialized the edge set
     near_dup_drops = resolved.filter(F.col("doc_id") != F.col("keeper")).select(
         F.col("doc_id").alias(id_col)
     )

@@ -182,12 +182,26 @@ def minhash_lsh_candidates(
     many buckets/documents the cap dropped.
     Returns distinct candidate (a, b) id pairs with a < b.
     """
+    hashed = docs.select(
+        F.col(id_col).alias("_id"),
+        base_shingle_hashes(word_shingles(F.col(text_col))).alias("h"),
+    )
+    return minhash_candidates_from_hashes(hashed, num_perms, bands, max_bucket)
+
+
+def minhash_candidates_from_hashes(
+    hashed: DataFrame,
+    num_perms: int = DEFAULT_PERMS,
+    bands: int = DEFAULT_BANDS,
+    max_bucket: int = 512,
+) -> DataFrame:
+    """minhash_lsh_candidates over a PRECOMPUTED (_id, h) hashed-shingle
+    frame — lets callers (curate_corpus) share one shingling pass between
+    the sketch and the Jaccard verifier instead of re-hashing the corpus
+    per consumer."""
     rows_per_band = num_perms // bands
     sig_udf = minhash_signature_udf(num_perms)
-    sketched = docs.select(
-        F.col(id_col).alias("_id"),
-        sig_udf(base_shingle_hashes(word_shingles(F.col(text_col)))).alias("sig"),
-    )
+    sketched = hashed.select("_id", sig_udf(F.col("h")).alias("sig"))
     banded = sketched.select(
         "_id",
         F.posexplode(F.array(*_minhash_band_keys(bands, rows_per_band))).alias(
@@ -339,10 +353,17 @@ def ngram_jaccard(
     shingles = F.array_distinct(word_shingles(F.col(text_col), k))
     if hashed:
         shingles = F.transform(shingles, lambda s: F.xxhash64(s))
-    sh = docs.select(F.col(id_col).alias("_id"), shingles.alias("sh"))
+    sh = docs.select(F.col(id_col).alias("_id"), shingles.alias("h"))
+    return jaccard_from_hashes(sh, pairs)
+
+
+def jaccard_from_hashes(hashed: DataFrame, pairs: DataFrame) -> DataFrame:
+    """ngram_jaccard over a PRECOMPUTED (_id, h) shingle-set frame (shared
+    with minhash_candidates_from_hashes so the corpus is shingled once)."""
+    sh = hashed
     return (
-        pairs.join(sh.withColumnRenamed("_id", "a").withColumnRenamed("sh", "sh_a"), "a")
-        .join(sh.withColumnRenamed("_id", "b").withColumnRenamed("sh", "sh_b"), "b")
+        pairs.join(sh.withColumnRenamed("_id", "a").withColumnRenamed("h", "sh_a"), "a")
+        .join(sh.withColumnRenamed("_id", "b").withColumnRenamed("h", "sh_b"), "b")
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))
