@@ -106,7 +106,10 @@ def main() -> None:
     docs_per_sec = round(N_DOCS / e2e, 1)
 
     # ---- per-query timings over driver testdata ----------------------------
-    qmap = em.queries()
+    # BENCH_QUERIES=0 skips these for scaling-ladder legs (the ladder's
+    # metric is docs_per_sec from the e2e run above; timing 14 extra
+    # queries at 1 core just stretches the leg's exposure to host noise).
+    qmap = em.queries() if os.environ.get("BENCH_QUERIES", "1") != "0" else {}
     for name in [
         "pipeline_grok_parse",
         "pipeline_signature_smart",
@@ -121,7 +124,7 @@ def main() -> None:
         "dedup_resolve",
         "corpus_curation",
         "ann_suite",
-    ]:
+    ] if qmap else []:
         try:
             queries[name] = timed(lambda n=name: qmap[n](spark, SF_DIR).count())
         except Exception:  # noqa: BLE001
