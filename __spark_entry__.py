@@ -1620,6 +1620,68 @@ def _jpeg_plants() -> tuple[list[str], list[int], list[int], list[int]]:
 _JPEG_HEX, _JPEG_NBYTES, _JPEG_MEAN, _JPEG_STD = _jpeg_plants()
 
 
+def _mp4_plants() -> tuple[
+    list[str], list[int], list[int], list[int], list[int], list[int], list[int]
+]:
+    """8 planted ISO-BMFF (MP4) containers + expected oracle constants.
+
+    Container metadata parse (mp4.py) is LOSSLESS — unlike the lossy image
+    codecs there is no roundtrip subspace to engineer: every planted
+    duration/timescale/track-layout/dimension/sample-count is recovered
+    exactly, so the quantized features are enumerable in DuckDB directly.
+    Variants cover video-only, video+audio, audio-only (null dims path),
+    multi-audio, four codec fourccs, and the duration/timescale feature
+    caps (v7 sits exactly on the 3600 s / 90 kHz boundaries). Expected
+    values are re-derived through the float32 feature dtype, same
+    discipline as the PNG/GIF/JPEG plants."""
+    import numpy as np
+
+    from avc_parser_spark.functions.mp4 import build_mp4
+
+    def vt(codec, w, h, n):
+        return {"kind": "vide", "codec": codec, "width": w, "height": h,
+                "n_samples": n}
+
+    def at(n):
+        return {"kind": "soun", "codec": "mp4a", "n_samples": n}
+
+    specs = [
+        (10, 1000, [vt("avc1", 320, 240, 240), at(430)]),
+        (30, 90000, [vt("avc1", 640, 360, 900)]),
+        (60, 600, [vt("hvc1", 1280, 720, 1800), at(2812)]),
+        (120, 1000, [at(5625)]),
+        (300, 30000, [vt("avc1", 1920, 1080, 9000)]),
+        (600, 1000, [vt("av01", 3840, 2160, 18000), at(28125)]),
+        (1800, 12288, [vt("avc1", 256, 256, 54000)]),
+        (3600, 90000, [vt("avc1", 160, 120, 107999), at(1000), at(2000)]),
+    ]
+
+    def quant(x: float, scale: float) -> int:
+        return int(np.floor(float(np.float32(min(x, 1.0))) * scale + 0.5))
+
+    hexes, nbytes, pw, ph, dur, frames, raw_frames = [], [], [], [], [], [], []
+    for duration, ts, tracks in specs:
+        payload = build_mp4(duration, ts, tracks)
+        hexes.append(payload.hex())
+        nbytes.append(len(payload))
+        vids = [t for t in tracks if t["kind"] == "vide"]
+        v = vids[0] if vids else None
+        pw.append(quant(((v or {}).get("width") or 0) / 4096.0, 4096))
+        ph.append(quant(((v or {}).get("height") or 0) / 4096.0, 4096))
+        dur.append(quant(duration / 3600.0, 3600))
+        frames.append(
+            quant(sum(t["n_samples"] for t in vids) / 108000.0, 108000)
+        )
+        # raw first-video-track sample count as frame_sample_plan sees it
+        # (coalesce(n_frames, 1) for the audio-only variant)
+        raw_frames.append(v["n_samples"] if v else 1)
+    return hexes, nbytes, pw, ph, dur, frames, raw_frames
+
+
+(_MP4_HEX, _MP4_NBYTES, _MP4_W, _MP4_H, _MP4_DUR, _MP4_FRAMES,
+ _MP4_RAW_FRAMES) = _mp4_plants()
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal decode→resize→featurize pipeline with REAL planted
     payloads built in SQL: 8×8 binary PPM images (nearest-neighbor resized
@@ -1631,8 +1693,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     16×16 grayscale baseline JPEGs from the exact-roundtrip
     plant subspace (real Huffman+dequant+IDCT decode via jpeg.py;
     passthrough), RIFF/WAVE audio (8-bit PCM, constant amplitude; resize
-    passthrough), plus text-cast payloads that take the honest
-    stubbed_fake path (MP4/video codecs absent in this container). The oracle verifies the
+    passthrough), planted MP4 containers (real ISO-BMFF box parse via
+    mp4.py — lossless duration/tracks/dims/frame-count metadata, frames
+    honestly not decoded, status ok_mp4_meta), plus text-cast payloads
+    that keep the honest stubbed_fake path alive. The oracle verifies the
     decoded feature values OF THE RESIZED payloads (quantized back to exact
     integers), resize routing, decode routing, and byte counts — the real
     kernels end to end, not just plumbing."""
@@ -1645,11 +1709,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     png_case = _sql_case("cast(floor(doc_id / 8.0) as int) % 8", _PNG_HEX)
     gif_case = _sql_case("cast(floor(doc_id / 8.0) as int) % 8", _GIF_HEX)
     jpeg_case = _sql_case("cast(floor(doc_id / 8.0) as int) % 8", _JPEG_HEX)
+    mp4_case = _sql_case("cast(floor(doc_id / 16.0) as int) % 8", _MP4_HEX)
     media = spark.sql(
         f"""
         SELECT doc_id,
                (case when doc_id % 4 in (0, 1) then 'image'
                      when doc_id % 8 in (3, 5) then 'image'
+                     when doc_id % 16 = 7 then 'video'
                      else 'audio' end) AS media_type,
                (case when doc_id % 8 = 0 then
                   cast('P6' || chr(10) || '8 8' || chr(10) || '255' || chr(10) as binary)
@@ -1666,6 +1732,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 when doc_id % 4 = 2 then
                   unhex('{_WAV_HDR_HEX}')
                   || unhex(repeat(lpad(hex(doc_id % 256), 2, '0'), 8))
+                when doc_id % 16 = 7 then
+                  unhex({mp4_case})
                 else cast(text as binary) end) AS payload
         FROM documents
         """
@@ -1674,6 +1742,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_media_features(resized)
     is_img = F.col("decode_status").isin("ok_ppm", "ok_png", "ok_gif", "ok_jpeg")
     is_wav = F.col("decode_status") == "ok_wav"
+    is_mp4 = F.col("decode_status") == "ok_mp4_meta"
 
     def q(expr: F.Column, cond: F.Column) -> F.Column:
         return F.when(cond, F.round(expr).cast("long"))
@@ -1682,29 +1751,37 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "media_type", "n_bytes", "decode_status", "resize_status",
         q(F.col("feature")[4] * 255, is_img).alias("mean_byte"),
         q(F.col("feature")[5] * 1000, is_img).alias("std_milli"),
-        q(F.col("feature")[6] * 4096, is_img).alias("px_w"),
-        q(F.col("feature")[7] * 4096, is_img).alias("px_h"),
+        q(F.col("feature")[6] * 4096, is_img | is_mp4).alias("px_w"),
+        q(F.col("feature")[7] * 4096, is_img | is_mp4).alias("px_h"),
         q(F.col("feature")[0] * 128, is_wav).alias("rms_byte"),
         q(F.col("feature")[7] * 96000, is_wav).alias("sample_rate"),
+        q(F.col("feature")[0] * 3600, is_mp4).alias("vid_dur_sec"),
+        q(F.col("feature")[4] * 108000, is_mp4).alias("vid_frames"),
     )
 
 
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling fan-out (sequence+explode, shuffle-free): one
-    work unit per sampled frame index."""
-    from avc_parser_spark.functions.multimodal import frame_sample_plan
+    work unit per sampled frame index. The frame counts are no longer
+    synthesized — extract_video_meta runs the REAL ISO-BMFF parse (mp4.py)
+    over planted MP4 containers and frame_sample_plan expands the parsed
+    stsz sample counts; the audio-only plant exercises the
+    coalesce(n_frames, 1) guard. One decode pass, payload rides through —
+    no re-join shuffle between parse and fan-out."""
+    from avc_parser_spark.functions.multimodal import (
+        extract_video_meta,
+        frame_sample_plan,
+    )
 
     _views(spark, sf_dir, ["documents"])
+    mp4_case = _sql_case("cast(floor(doc_id / 16.0) as int) % 8", _MP4_HEX)
     media = spark.sql(
-        """
-        SELECT doc_id, 'video' AS media_type, cast(null as binary) AS payload,
-               cast(null as int) AS width, cast(null as int) AS height,
-               cast(1 + doc_id % 120 as int) AS n_frames,
-               cast(null as int) AS sample_rate
+        f"""
+        SELECT doc_id, 'video' AS media_type, unhex({mp4_case}) AS payload
         FROM documents WHERE doc_id % 3 = 0
         """
     )
-    return frame_sample_plan(media, every_n=30).select(
+    return frame_sample_plan(extract_video_meta(media), every_n=300).select(
         "doc_id", F.col("frame_idx").cast("long").alias("frame_idx")
     )
 
@@ -2570,6 +2647,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    (case when doc_id % 4 in (0, 1) then 'image'
                          when doc_id % 8 in (3, 5) then 'image'
+                         when doc_id % 16 = 7 then 'video'
                          else 'audio' end) AS media_type,
                    (case when doc_id % 8 = 0 then 59
                          when doc_id % 8 = 4 then 23
@@ -2580,12 +2658,15 @@ def oracle_sql() -> dict[str, str]:
                          when doc_id % 8 = 5 then
                            {_sql_case_int('cast(floor(doc_id / 8.0) as int) % 8', _JPEG_NBYTES)}
                          when doc_id % 4 = 2 then 52
+                         when doc_id % 16 = 7 then
+                           {_sql_case_int('cast(floor(doc_id / 16.0) as int) % 8', _MP4_NBYTES)}
                          else octet_length(encode(text)) end)::BIGINT AS n_bytes,
                    (case when doc_id % 4 = 0 then 'ok_ppm'
                          when doc_id % 4 = 2 then 'ok_wav'
                          when doc_id % 8 = 1 then 'ok_png'
                          when doc_id % 8 = 3 then 'ok_gif'
                          when doc_id % 8 = 5 then 'ok_jpeg'
+                         when doc_id % 16 = 7 then 'ok_mp4_meta'
                          else 'stubbed_fake' end) AS decode_status,
                    (case when doc_id % 8 in (0, 1, 3) then 'resized'
                          when doc_id % 8 = 4 then 'already_small'
@@ -2608,18 +2689,33 @@ def oracle_sql() -> dict[str, str]:
                     end)::BIGINT AS std_milli,
                    (case when doc_id % 8 in (0, 1, 3) then 4
                          when doc_id % 8 = 4 then 2
-                         when doc_id % 8 = 5 then 16 end)::BIGINT AS px_w,
+                         when doc_id % 8 = 5 then 16
+                         when doc_id % 16 = 7 then
+                           {_sql_case_int('cast(floor(doc_id / 16.0) as int) % 8', _MP4_W)}
+                         end)::BIGINT AS px_w,
                    (case when doc_id % 8 in (0, 1, 3) then 4
                          when doc_id % 8 = 4 then 2
-                         when doc_id % 8 = 5 then 16 end)::BIGINT AS px_h,
+                         when doc_id % 8 = 5 then 16
+                         when doc_id % 16 = 7 then
+                           {_sql_case_int('cast(floor(doc_id / 16.0) as int) % 8', _MP4_H)}
+                         end)::BIGINT AS px_h,
                    (case when doc_id % 4 = 2
                          then abs((doc_id % 256) - 128) end)::BIGINT AS rms_byte,
-                   (case when doc_id % 4 = 2 then 8000 end)::BIGINT AS sample_rate
+                   (case when doc_id % 4 = 2 then 8000 end)::BIGINT AS sample_rate,
+                   (case when doc_id % 16 = 7 then
+                           {_sql_case_int('cast(floor(doc_id / 16.0) as int) % 8', _MP4_DUR)}
+                         end)::BIGINT AS vid_dur_sec,
+                   (case when doc_id % 16 = 7 then
+                           {_sql_case_int('cast(floor(doc_id / 16.0) as int) % 8', _MP4_FRAMES)}
+                         end)::BIGINT AS vid_frames
             FROM documents
         """,
-        "multimodal_frame_sample": """
+        "multimodal_frame_sample": f"""
             SELECT doc_id,
-                   unnest(generate_series(0, doc_id % 120, 30)) AS frame_idx
+                   unnest(generate_series(
+                       0,
+                       greatest({_sql_case_int('cast(floor(doc_id / 16.0) as int) % 8', _MP4_RAW_FRAMES)} - 1, 0),
+                       300)) AS frame_idx
             FROM documents WHERE doc_id % 3 = 0
         """,
         "pipeline_json_normalize": f"""

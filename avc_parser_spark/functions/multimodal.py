@@ -4,10 +4,13 @@ Images/audio/video ride as `binary` columns with a metadata struct; decode /
 feature-extract / resize / frame-sample run as Arrow-batched pandas UDFs via
 mapInPandas. Decode kernels: REAL for binary PPM/PGM (pure numpy), PNG
 (stdlib zlib + numpy unfiltering), GIF (pure-Python LZW), baseline JPEG
-(jpeg.py: Huffman + dequant + IDCT in numpy) and RIFF/WAVE audio (stdlib
-`wave`) — and an honest deterministic fake (decode_status='stubbed_fake')
-for formats needing codecs this container doesn't ship (MP4/video); swap
-the fake for an ffmpeg kernel where it ships.
+(jpeg.py: Huffman + dequant + IDCT in numpy), MP4 container metadata
+(mp4.py: lossless ISO-BMFF box parse — duration/tracks/codec/dims/frame
+count; frame decode needs codecs this container doesn't ship, so features
+are metadata-derived and honestly tagged 'ok_mp4_meta') and RIFF/WAVE audio
+(stdlib `wave`) — plus an honest deterministic fake
+(decode_status='stubbed_fake') for anything else; swap the fake for an
+ffmpeg kernel where it ships.
 """
 
 from __future__ import annotations
@@ -555,6 +558,36 @@ def _decode_jpeg(payload: bytes) -> tuple[list[float], str] | None:
     return _image_features(gray, w, h), "ok_jpeg"
 
 
+def _decode_mp4(payload: bytes) -> tuple[list[float], str] | None:
+    """Container-metadata decode for ISO-BMFF (MP4) video payloads via
+    mp4.py: lossless box-tree parse (mvhd/tkhd/mdhd/hdlr/stsd/stsz) — no
+    frame decode (no codecs in this container), but duration, track
+    layout, codec and dimensions are exact, which is the triage a 100 TB
+    crawl pipeline runs BEFORE any frame decode. Features: normalized
+    duration, track counts, video sample count, timescale, dimensions."""
+    if len(payload) < 16 or payload[4:8] != b"ftyp":
+        return None
+    from avc_parser_spark.functions.mp4 import parse_mp4_meta
+
+    meta = parse_mp4_meta(payload)
+    if meta is None:
+        return None
+    vids = [t for t in meta["tracks"] if t["kind"] == "vide"]
+    auds = [t for t in meta["tracks"] if t["kind"] == "soun"]
+    v = vids[0] if vids else None
+    feats = [
+        min(meta["duration_sec"] / 3600.0, 1.0),
+        min(meta["n_tracks"] / 8.0, 1.0),
+        min(len(vids) / 8.0, 1.0),
+        min(len(auds) / 8.0, 1.0),
+        min(sum(t["n_samples"] for t in vids) / 108000.0, 1.0),
+        min(meta["timescale"] / 90000.0, 1.0),
+        min(((v["width"] if v else 0) or 0) / 4096.0, 1.0),
+        min(((v["height"] if v else 0) or 0) / 4096.0, 1.0),
+    ]
+    return feats, "ok_mp4_meta"
+
+
 def _decode_wav(payload: bytes) -> tuple[list[float], str] | None:
     """REAL decode for RIFF/WAVE audio — stdlib `wave`, no external codec.
     Features: RMS energy over 6 equal time chunks + normalized duration +
@@ -588,12 +621,12 @@ def _decode_wav(payload: bytes) -> tuple[list[float], str] | None:
 
 def decode_features(payload: bytes) -> tuple[list[float], str]:
     """Best-available decode: real PPM/PGM, PNG (stdlib zlib + numpy
-    unfiltering), GIF (pure-Python LZW), baseline JPEG (jpeg.py) and WAV
-    kernels, deterministic fake for formats needing codecs this container
-    doesn't ship (MP4/video)."""
+    unfiltering), GIF (pure-Python LZW), baseline JPEG (jpeg.py), MP4
+    container metadata (mp4.py — lossless box parse, frames honestly not
+    decoded) and WAV kernels; deterministic fake for anything else."""
     if payload:
         for dec in (_decode_ppm, _decode_png, _decode_gif, _decode_jpeg,
-                    _decode_wav):
+                    _decode_mp4, _decode_wav):
             try:
                 out = dec(payload)
             except Exception:  # noqa: BLE001 — corrupt media must not fail the job
@@ -751,6 +784,77 @@ def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
         run,
         schema="doc_id bigint, media_type string, payload binary, resize_status string",
     )
+
+
+VIDEO_META_SCHEMA_DDL = (
+    "doc_id bigint, media_type string, payload binary, parse_status string, "
+    "duration_sec double, timescale int, n_tracks int, n_video_tracks int, "
+    "n_audio_tracks int, codec string, width int, height int, n_frames int"
+)
+
+
+def extract_video_meta(media: DataFrame) -> DataFrame:
+    """Parse ISO-BMFF container metadata per payload (Arrow-batched
+    mapInPandas over mp4.py) and attach typed columns: duration, track
+    layout, codec fourcc, dimensions, frame count (stsz sample count of the
+    first video track). The payload rides through so frame_sample_plan can
+    consume the result directly — one decode pass, no re-join shuffle.
+    Non-MP4 / unparseable payloads get parse_status='not_mp4' with null
+    meta (corrupt media must not fail the job)."""
+    from avc_parser_spark.functions.mp4 import parse_mp4_meta
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "parse_status", "duration_sec", "timescale", "n_tracks",
+                    "n_video_tracks", "n_audio_tracks", "codec", "width",
+                    "height", "n_frames",
+                )
+            }
+            for p in pdf["payload"]:
+                raw = bytes(p) if isinstance(p, (bytes, bytearray)) else b""
+                try:
+                    meta = parse_mp4_meta(raw)
+                except Exception:  # noqa: BLE001 — corrupt media must not fail the job
+                    meta = None
+                if meta is None:
+                    for k in rows:
+                        rows[k].append("not_mp4" if k == "parse_status" else None)
+                    continue
+                vids = [t for t in meta["tracks"] if t["kind"] == "vide"]
+                auds = [t for t in meta["tracks"] if t["kind"] == "soun"]
+                v = vids[0] if vids else None
+                rows["parse_status"].append("ok_mp4_meta")
+                rows["duration_sec"].append(meta["duration_sec"])
+                rows["timescale"].append(meta["timescale"])
+                rows["n_tracks"].append(meta["n_tracks"])
+                rows["n_video_tracks"].append(len(vids))
+                rows["n_audio_tracks"].append(len(auds))
+                rows["codec"].append(v["codec"] if v else None)
+                rows["width"].append(v["width"] if v else None)
+                rows["height"].append(v["height"] if v else None)
+                rows["n_frames"].append(v["n_samples"] if v else None)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": pdf["payload"],
+                    **rows,
+                }
+            )
+            for col, dt in (
+                ("duration_sec", "float64"), ("timescale", "Int32"),
+                ("n_tracks", "Int32"), ("n_video_tracks", "Int32"),
+                ("n_audio_tracks", "Int32"), ("width", "Int32"),
+                ("height", "Int32"), ("n_frames", "Int32"),
+            ):
+                out[col] = out[col].astype(dt)
+            yield out
+
+    pruned = media.select("doc_id", "media_type", "payload")
+    return pruned.mapInPandas(run, schema=VIDEO_META_SCHEMA_DDL)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:

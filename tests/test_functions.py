@@ -971,3 +971,134 @@ def test_media_resize_ppm(spark):
 
     assert out[1]["resize_status"] == "passthrough"
     assert bytes(out[1]["payload"]) == b"RIFF not really"
+
+
+def test_mp4_meta_roundtrip():
+    """build_mp4 → parse_mp4_meta recovers every planted container field
+    exactly (metadata parse is lossless — no roundtrip subspace needed)."""
+    from avc_parser_spark.functions.mp4 import build_mp4, parse_mp4_meta
+
+    p = build_mp4(
+        60.0,
+        1000,
+        [
+            {"kind": "vide", "codec": "avc1", "width": 1280, "height": 720,
+             "n_samples": 1800},
+            {"kind": "soun", "codec": "mp4a", "n_samples": 2812},
+        ],
+    )
+    meta = parse_mp4_meta(p)
+    assert meta["timescale"] == 1000
+    assert meta["duration_sec"] == 60.0
+    assert meta["n_tracks"] == 2
+    v, a = meta["tracks"]
+    assert (v["kind"], v["codec"], v["width"], v["height"], v["n_samples"]) == (
+        "vide", "avc1", 1280, 720, 1800
+    )
+    assert (a["kind"], a["codec"], a["n_samples"]) == ("soun", "mp4a", 2812)
+    # 64-bit largesize boxes parse too (size==1 + largesize prefix)
+    import struct
+
+    big = struct.pack(">I4sQ", 1, b"free", 24) + b"\x00" * 8
+    assert parse_mp4_meta(p + big)["n_tracks"] == 2
+
+
+def test_mp4_malformed_rejected():
+    """Truncated/crafted payloads return None (and route to stubbed_fake
+    through decode_features), never raise and never loop on a lying size."""
+    import struct
+
+    from avc_parser_spark.functions.mp4 import build_mp4, parse_mp4_meta
+    from avc_parser_spark.functions.multimodal import decode_features
+
+    good = build_mp4(10.0, 1000, [{"kind": "vide", "codec": "avc1",
+                                   "width": 64, "height": 64, "n_samples": 5}])
+    bad_cases = [
+        b"",
+        b"\x00" * 32,                      # no ftyp
+        good[:12],                         # inside ftyp
+        good[:200],                        # truncated inside moov
+        struct.pack(">I", 2 ** 31) + good[4:],   # lying top-level size
+        good[:4] + b"ftyp" + b"\xff" * 64,       # garbage after magic
+    ]
+    for bad in bad_cases:
+        assert parse_mp4_meta(bad) is None
+        feats, status = decode_features(bad) if bad else (None, None)
+        if bad:
+            assert status == "stubbed_fake"
+    # zero-size box (extends to end) must terminate, not spin
+    zero = good + struct.pack(">I4s", 0, b"free")
+    assert parse_mp4_meta(zero)["n_tracks"] == 1
+
+
+def test_mp4_decode_features_quantization():
+    """decode_features on an MP4 yields ok_mp4_meta with features that
+    quantize back to the exact planted metadata (float32 discipline — the
+    same invariant the multimodal_features oracle relies on)."""
+    import numpy as np
+
+    from avc_parser_spark.functions.mp4 import build_mp4
+    from avc_parser_spark.functions.multimodal import decode_features
+
+    p = build_mp4(
+        3600.0,
+        90000,
+        [
+            {"kind": "vide", "codec": "avc1", "width": 160, "height": 120,
+             "n_samples": 107999},
+            {"kind": "soun", "codec": "mp4a", "n_samples": 1000},
+            {"kind": "soun", "codec": "mp4a", "n_samples": 2000},
+        ],
+    )
+    feats, status = decode_features(p)
+    assert status == "ok_mp4_meta"
+    f32 = [float(np.float32(x)) for x in feats]
+    assert round(f32[0] * 3600) == 3600      # duration cap boundary exact
+    assert round(f32[4] * 108000) == 107999  # video sample count
+    assert round(f32[5] * 90000) == 90000    # timescale cap boundary
+    assert round(f32[6] * 4096) == 160 and round(f32[7] * 4096) == 120
+    assert round(f32[1] * 8) == 3 and round(f32[3] * 8) == 2  # track counts
+
+
+def test_extract_video_meta_and_frame_sample(spark):
+    """extract_video_meta parses real containers in one Arrow pass (payload
+    rides through) and frame_sample_plan expands the PARSED stsz counts;
+    audio-only and corrupt payloads exercise the coalesce(n_frames,1) and
+    not_mp4 guards."""
+    from avc_parser_spark.functions.mp4 import build_mp4
+    from avc_parser_spark.functions.multimodal import (
+        extract_video_meta,
+        frame_sample_plan,
+    )
+
+    vid = build_mp4(10.0, 1000, [{"kind": "vide", "codec": "hvc1",
+                                  "width": 320, "height": 240,
+                                  "n_samples": 61}])
+    aud = build_mp4(5.0, 1000, [{"kind": "soun", "codec": "mp4a",
+                                 "n_samples": 9}])
+    rows = [
+        (0, "video", bytearray(vid)),
+        (1, "video", bytearray(aud)),
+        (2, "video", bytearray(b"garbage, not a container")),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    )
+    meta = extract_video_meta(media)
+    by_id = {r["doc_id"]: r for r in meta.collect()}
+    assert by_id[0]["parse_status"] == "ok_mp4_meta"
+    assert (by_id[0]["codec"], by_id[0]["width"], by_id[0]["n_frames"]) == (
+        "hvc1", 320, 61
+    )
+    assert by_id[0]["duration_sec"] == 10.0
+    assert by_id[1]["parse_status"] == "ok_mp4_meta"
+    assert by_id[1]["n_frames"] is None and by_id[1]["codec"] is None
+    assert by_id[2]["parse_status"] == "not_mp4"
+    assert bytes(by_id[0]["payload"]) == vid  # payload rides through intact
+
+    sampled = frame_sample_plan(meta, every_n=30).collect()
+    frames = sorted(
+        (r["doc_id"], r["frame_idx"]) for r in sampled
+    )
+    # doc 0: parsed 61 frames -> indices 0,30,60; docs 1-2: coalesce -> 0
+    assert frames == [(0, 0), (0, 30), (0, 60), (1, 0), (2, 0)]
