@@ -1102,3 +1102,49 @@ def test_extract_video_meta_and_frame_sample(spark):
     )
     # doc 0: parsed 61 frames -> indices 0,30,60; docs 1-2: coalesce -> 0
     assert frames == [(0, 0), (0, 30), (0, 60), (1, 0), (2, 0)]
+
+
+def test_mp4_parser_mutation_robustness_property():
+    """parse_mp4_meta over byte-mutated / truncated / garbage-extended
+    variants of valid containers must always terminate quickly and return
+    a dict or None — never raise, never loop on crafted size fields (the
+    box-walk budget and bounds checks are the contract for untrusted
+    web-crawl payloads)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from avc_parser_spark.functions.mp4 import build_mp4, parse_mp4_meta
+
+    base = build_mp4(
+        30.0,
+        1000,
+        [
+            {"kind": "vide", "codec": "avc1", "width": 320, "height": 240,
+             "n_samples": 900},
+            {"kind": "soun", "codec": "mp4a", "n_samples": 1406},
+        ],
+    )
+
+    edits = st.lists(
+        st.tuples(st.integers(0, len(base) - 1), st.integers(0, 255)),
+        max_size=8,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        edits,
+        st.integers(0, len(base)),
+        st.binary(max_size=64),
+    )
+    def check(muts, cut, tail):
+        buf = bytearray(base)
+        for pos, val in muts:
+            buf[pos] = val
+        payload = bytes(buf[:cut]) + tail
+        out = parse_mp4_meta(payload)
+        assert out is None or isinstance(out, dict)
+        if isinstance(out, dict):
+            assert out["timescale"] > 0
+            assert isinstance(out["tracks"], list)
+
+    check()
