@@ -20,7 +20,9 @@ from pyspark.sql import SparkSession
 
 # One pages row carries up to ~8 KB text + html binary; 10k rows/batch keeps
 # Arrow batches ~100 MB worst case, comfortably inside executor memory.
-ARROW_BATCH_ROWS = 10_000
+# Arrow batch size for pandas-UDF transfer; env-overridable so the bench
+# ladder can sweep IPC-batch granularity without a code edit.
+ARROW_BATCH_ROWS = int(os.environ.get("SPARK_ARROW_BATCH_ROWS", "10000"))
 
 
 def get_spark(
