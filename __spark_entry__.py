@@ -360,14 +360,38 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_token_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting, mode-tagged (established suite pattern):
+    mode='stats' — per-lang doc/whitespace-token/BPE-ish-subtoken totals
+    (integer-exact, no float boundary risk); mode='pack' — GPT-style
+    concat-then-chunk sequence packing placement (pack_sequences: md5
+    bucket, per-bucket token prefix sum, seq_len=2048), the layout step a
+    pretraining pipeline runs after curation. Every value is re-derived in
+    DuckDB (md5 bucket + window prefix sum in SQL)."""
+    from avc_parser_spark.functions.text import pack_sequences
+
     _views(spark, sf_dir, ["documents"])
-    prof = document_profile(spark.table("documents"))
-    return prof.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    docs = spark.table("documents")
+    null_n = F.lit(None).cast("long")
+    prof = document_profile(docs)
+    stats = prof.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum("n_tokens").cast("long").alias("n2"),
+        F.sum("n_subtokens").cast("long").alias("n3"),
+    ).select(
+        F.lit("stats").alias("mode"), F.col("lang").alias("k"),
+        "n1", "n2", "n3", null_n.alias("n4"), null_n.alias("n5"),
     )
+    pack = pack_sequences(docs, seq_len=2048, bucket_count=16).select(
+        F.lit("pack").alias("mode"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("pack_bucket").cast("long").alias("n1"),
+        F.col("n_tokens").cast("long").alias("n2"),
+        F.col("tok_start").cast("long").alias("n3"),
+        F.col("seq_start").cast("long").alias("n4"),
+        F.col("seq_offset").cast("long").alias("n5"),
+    )
+    return stats.unionByName(pack)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1882,7 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data ops: text
         "text_profile": q_text_profile,
         "text_quality": q_text_quality,
-        "token_stats_per_lang": q_token_stats_per_lang,
+        "token_suite": q_token_suite,
         # training-data ops: dedup
         "dedup_exact": q_dedup_exact,
         "ngram_overlap_suite": q_ngram_overlap_suite,
@@ -2287,13 +2311,36 @@ def oracle_sql() -> dict[str, str]:
                      end, 6) AS stopword_ratio
             FROM documents
         """,
-        "token_stats_per_lang": """
-            SELECT lang, count(*) AS docs,
-                   cast(sum(case when trim(text) = '' then 0
-                            else len(regexp_split_to_array(trim(text), '\\s+')) end) as bigint) AS total_tokens,
-                   round(avg(case when trim(text) = '' then 0
-                             else len(regexp_split_to_array(trim(text), '\\s+')) end), 4) AS avg_tokens
-            FROM documents GROUP BY lang
+        "token_suite": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     (case when trim(coalesce(text, '')) = '' then 0
+                           else len(regexp_split_to_array(trim(text), '\\s+')) end) AS n_tokens,
+                     len(regexp_extract_all(coalesce(text, ''),
+                         '([A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9])')) AS n_subtokens,
+                     (('0x' || substr(md5(cast(doc_id as varchar)), 1, 4))::bigint % 16)
+                       AS pack_bucket
+              FROM documents),
+            packed AS (
+              SELECT doc_id, pack_bucket, n_tokens,
+                     coalesce(sum(n_tokens) OVER (
+                         PARTITION BY pack_bucket ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS tok_start
+              FROM toks)
+            SELECT 'stats' AS mode, lang AS k,
+                   count(*) AS n1,
+                   cast(sum(n_tokens) as bigint) AS n2,
+                   cast(sum(n_subtokens) as bigint) AS n3,
+                   cast(null as bigint) AS n4, cast(null as bigint) AS n5
+            FROM toks GROUP BY lang
+            UNION ALL
+            SELECT 'pack', cast(doc_id as varchar),
+                   pack_bucket, cast(n_tokens as bigint),
+                   cast(tok_start as bigint),
+                   cast(tok_start // 2048 as bigint),
+                   cast(tok_start % 2048 as bigint)
+            FROM packed
         """,
         "dedup_exact": """
             WITH corpus AS (

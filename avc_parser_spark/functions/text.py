@@ -235,6 +235,72 @@ def fingerprint64(text: Column) -> Column:
     return F.xxhash64(norm)
 
 
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    bucket_count: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style concat-then-chunk sequence packing: place every document
+    into the fixed-`seq_len` training-sequence stream.
+
+    Documents are distributed into `bucket_count` id-hash buckets (md5, the
+    same engine-portable discipline as split_by_hash(method='md5'), so any
+    SQL engine can re-derive the exact layout), concatenated in id order
+    within each bucket, and the token stream is chunked into `seq_len`
+    sequences — documents may straddle sequence boundaries, the standard
+    pretraining layout. Returns per-doc placement:
+
+      pack_bucket  — which independent packing stream the doc landed in
+      n_tokens     — whitespace token count contributed
+      tok_start    — exclusive prefix sum of tokens within the bucket
+      seq_start    — index of the training sequence the doc starts in
+      seq_offset   — token offset within that sequence
+      n_seqs       — how many sequences the doc spans (0 for empty docs)
+
+    Scale shape: ONE window prefix-sum per bucket — no global ordering, no
+    driver state; parallelism = bucket_count (set ≈ cluster cores at
+    100 TB, each bucket's stream is an independent shard). Placement is
+    stable under append-only ingest with increasing ids: new docs extend
+    each bucket's stream, existing placements never move. The no-split
+    greedy variant needs a sequential per-bucket scan and is deliberately
+    not offered — concat-chunk is what large-scale pretraining uses."""
+    from pyspark.sql.window import Window
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % bucket_count
+    )
+    n_tok = token_count(F.col(text_col))
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = docs.select(
+        F.col(id_col),
+        bucket.alias("pack_bucket"),
+        n_tok.alias("n_tokens"),
+    ).withColumn("tok_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return placed.select(
+        id_col,
+        "pack_bucket",
+        "n_tokens",
+        "tok_start",
+        F.floor(F.col("tok_start") / seq_len).alias("seq_start"),
+        (F.col("tok_start") % seq_len).alias("seq_offset"),
+        F.when(F.col("n_tokens") == 0, F.lit(0))
+        .otherwise(
+            F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / seq_len)
+            - F.floor(F.col("tok_start") / seq_len)
+            + 1
+        )
+        .alias("n_seqs"),
+    )
+
+
 def document_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis profile of a documents table."""
     t = F.col(text_col)

@@ -1148,3 +1148,48 @@ def test_mp4_parser_mutation_robustness_property():
             assert isinstance(out["tracks"], list)
 
     check()
+
+
+def test_pack_sequences_layout(spark):
+    """pack_sequences = concat-then-chunk placement: per-bucket prefix sums
+    (verified against a Python reference), correct sequence indices for
+    straddling docs, zero-token docs span 0 sequences, and append-only
+    stability (adding higher-id docs never moves existing placements)."""
+    import hashlib as _hl
+
+    from avc_parser_spark.functions.text import pack_sequences
+
+    rows = [(i, "tok " * (i * 7 % 23)) for i in range(40)]  # 0..22 tokens
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pack_sequences(
+        docs, seq_len=10, bucket_count=4
+    ).collect()}
+
+    # python reference: same md5 bucket, id order, exclusive prefix sum
+    def bucket(i):
+        return int(_hl.md5(str(i).encode()).hexdigest()[:4], 16) % 4
+
+    streams: dict[int, int] = {}
+    for i in sorted(r[0] for r in rows):
+        ntok = (i * 7 % 23)
+        b = bucket(i)
+        pre = streams.get(b, 0)
+        r = out[i]
+        assert (r["pack_bucket"], r["n_tokens"], r["tok_start"]) == (b, ntok, pre)
+        assert r["seq_start"] == pre // 10 and r["seq_offset"] == pre % 10
+        expected_span = 0 if ntok == 0 else (pre + ntok - 1) // 10 - pre // 10 + 1
+        assert r["n_seqs"] == expected_span
+        streams[b] = pre + ntok
+
+    # append-only stability: add docs with HIGHER ids, existing rows frozen
+    more = docs.union(
+        spark.createDataFrame([(100, "a b c"), (101, "d e")],
+                              "doc_id long, text string")
+    )
+    again = {r["doc_id"]: r for r in pack_sequences(
+        more, seq_len=10, bucket_count=4
+    ).collect()}
+    for i in out:
+        assert (again[i]["tok_start"], again[i]["seq_start"]) == (
+            out[i]["tok_start"], out[i]["seq_start"]
+        )
