@@ -349,3 +349,22 @@ def test_stateful_sessions_match_batch_sessionization(spark, tmp_path):
     }
     assert got == expected
     assert len(expected) >= 9  # several sessions per comm actually closed
+
+
+def test_pack_sequences_plan_single_exchange(spark):
+    """pack_sequences must cost exactly ONE hash exchange (on pack_bucket)
+    feeding the window prefix-sum — no global sort, no extra shuffle. At
+    100 TB the bucket count is the parallelism knob; a global-order plan
+    here would serialize the corpus through one partition."""
+    from avc_parser_spark.functions.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma"[: 5 + i % 10]) for i in range(64)],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, seq_len=16, bucket_count=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "pack_bucket" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+    assert "Window" in plan
