@@ -143,6 +143,83 @@ def run_with_checkpoints(
     }
 
 
+def run_audit_logs_with_checkpoints(
+    spark: SparkSession,
+    logs_path: str,
+    out_path: str,
+    force: bool = False,
+) -> dict:
+    """Per-FILE resumable ingest of raw ausearch-export logs (the
+    reference CLI's native input, via sources.read_audit_logs).
+
+    Each source file is one checkpoint unit — the operational shape for a
+    directory receiving daily log drops: re-running skips files whose
+    size+mtime fingerprint is unchanged, new drops process incrementally.
+    Events land under events/warc_date=log-<file>/ so read_events and the
+    report path work identically to the pages-warehouse mode."""
+    import glob as _glob
+    import re as _re
+
+    from avc_parser_spark.sources import read_audit_logs
+
+    if os.path.isdir(logs_path):
+        files = sorted(_glob.glob(os.path.join(logs_path, "*.log")))
+    else:
+        files = sorted(_glob.glob(logs_path)) or [logs_path]
+
+    os.makedirs(os.path.join(out_path, MANIFEST_DIR), exist_ok=True)
+    manifest = {} if force else read_manifest(out_path)
+
+    processed, skipped = [], []
+    for path in files:
+        part = "log-" + _re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.basename(path))
+        st = os.stat(path)
+        fp = f"{st.st_size}:{int(st.st_mtime)}"
+        prior = manifest.get(part)
+        if prior and prior.get("input_fingerprint") == fp:
+            skipped.append(part)
+            continue
+
+        t0 = time.time()
+        blocks = read_audit_logs(spark, path)
+        input_rows = blocks.count()
+        events = signature_exprs(parse_pages(blocks))
+        events.write.mode("overwrite").parquet(
+            os.path.join(out_path, "events", f"warc_date={part}")
+        )
+        routed = {
+            r["route"]: r["n"]
+            for r in spark.read.parquet(
+                os.path.join(out_path, "events", f"warc_date={part}")
+            )
+            .groupBy("route")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        entry = {
+            "partition": part,
+            "input_fingerprint": fp,
+            "input_rows": input_rows,
+            "routed_rows": routed,
+            "output_rows": sum(routed.values()),
+            "wall_sec": round(time.time() - t0, 3),
+            "engine_version": __version__,
+            "completed_at_epoch": int(time.time()),
+        }
+        mpath = _manifest_path(out_path, part)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(entry, fh)
+        os.replace(tmp, mpath)
+        processed.append(part)
+
+    return {
+        "processed": processed,
+        "skipped": skipped,
+        "manifest": read_manifest(out_path),
+    }
+
+
 def read_events(spark: SparkSession, out_path: str) -> DataFrame:
     return spark.read.option("basePath", os.path.join(out_path, "events")).parquet(
         os.path.join(out_path, "events", "warc_date=*")

@@ -16,6 +16,9 @@ Cluster usage (north rule: packaged for spark-submit --py-files):
 Local smoke:
     python scripts/run_pipeline.py --pages data/bench_pages_500000 --out data/run1
 
+Raw ausearch exports (the reference CLI's input — per-file resumable):
+    python scripts/run_pipeline.py --audit-logs /var/log/audit-exports --out data/run2 --report
+
 Resumable: re-running skips pages partitions whose manifest entry matches
 the input fingerprint (see avc_parser_spark/checkpoint.py).
 """
@@ -32,7 +35,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", required=True, help="pages warehouse path")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--pages", help="pages warehouse path")
+    src.add_argument(
+        "--audit-logs",
+        help="raw ausearch-export file/dir/glob (the reference CLI's input; "
+        "per-file resumable ingest)",
+    )
     ap.add_argument("--out", required=True, help="output path")
     ap.add_argument("--force", action="store_true", help="reprocess everything")
     ap.add_argument("--report", action="store_true", help="write JSON report")
@@ -42,14 +51,23 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from avc_parser_spark.analyzers import run_analyzers
-    from avc_parser_spark.checkpoint import read_events, run_with_checkpoints
+    from avc_parser_spark.checkpoint import (
+        read_events,
+        run_audit_logs_with_checkpoints,
+        run_with_checkpoints,
+    )
     from avc_parser_spark.pipeline import denial_groups
     from avc_parser_spark.sinks import write_json_report
 
     spark = SparkSession.builder.appName("avc-parser-pipeline").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    result = run_with_checkpoints(spark, args.pages, args.out, force=args.force)
+    if args.audit_logs:
+        result = run_audit_logs_with_checkpoints(
+            spark, args.audit_logs, args.out, force=args.force
+        )
+    else:
+        result = run_with_checkpoints(spark, args.pages, args.out, force=args.force)
     print(
         json.dumps(
             {

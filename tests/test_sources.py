@@ -90,3 +90,45 @@ def test_read_audit_logs_matches_whole_file_parse(spark):
     # denial that the whole-file path also produced
     extra = from_source.filter(F.col("route") != "parse_ok")
     assert all(r["permission"] is None for r in extra.collect())
+
+
+def test_run_audit_logs_with_checkpoints_resume(spark, tmp_path):
+    """Per-file checkpointing: first run processes every file, re-run
+    skips all, touching one file reprocesses exactly that file, and
+    read_events sees the union."""
+    import os
+    import time as _time
+
+    from avc_parser_spark.checkpoint import (
+        read_events,
+        run_audit_logs_with_checkpoints,
+    )
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    block = (
+        "type=AVC msg=audit(1700000000.100:{i}): avc:  denied  {{ read }} "
+        'for pid={i} comm=c{i} scontext=u:r:t:s0 tcontext=u:r:f:s0 '
+        "tclass=file\n"
+    )
+    for i in (1, 2):
+        (logs / f"day{i}.log").write_text("----\n" + block.format(i=i) + "----\n")
+    out = str(tmp_path / "out")
+
+    r1 = run_audit_logs_with_checkpoints(spark, str(logs), out)
+    assert sorted(r1["processed"]) == ["log-day1.log", "log-day2.log"]
+    assert r1["skipped"] == []
+
+    r2 = run_audit_logs_with_checkpoints(spark, str(logs), out)
+    assert r2["processed"] == [] and len(r2["skipped"]) == 2
+
+    # new content in day2 -> only day2 reprocesses
+    p2 = logs / "day2.log"
+    p2.write_text(p2.read_text() + block.format(i=3) + "----\n")
+    os.utime(p2, (_time.time() + 2, _time.time() + 2))
+    r3 = run_audit_logs_with_checkpoints(spark, str(logs), out)
+    assert r3["processed"] == ["log-day2.log"]
+    assert r3["skipped"] == ["log-day1.log"]
+
+    ev = read_events(spark, out)
+    assert ev.filter(ev.route == "parse_ok").count() == 3
