@@ -35,17 +35,10 @@ from pyspark.sql import functions as F
 AUDIT_SEPARATOR = "\n----\n"
 
 
-def read_audit_logs(spark: SparkSession, path: str) -> DataFrame:
-    """Read raw ausearch-export files under `path` (file, dir, or glob)
-    into the pages-shaped frame `parse_pages` consumes.
-
-    url = <source file>#<block ordinal> (stable within a read; block
-    ordinals are per-partition monotonic ids, deterministic for a fixed
-    file layout), warc_ts = the file's modification time surrogate is NOT
-    available engine-side, so it is left null — the parse kernel's own
-    per-record timestamps (P5) carry the time dimension for audit data.
-    """
-    raw = spark.read.option("lineSep", AUDIT_SEPARATOR).text(path)
+def _blocks_frame(raw: DataFrame, url_suffix) -> DataFrame:
+    """Shared batch/stream block shaping: strip residual separator lines,
+    drop empty blocks, emit the pages-shaped columns. One definition so
+    the two readers can never drift."""
     body = F.array_join(
         F.filter(
             F.split(F.col("value"), "\n"),
@@ -60,13 +53,41 @@ def read_audit_logs(spark: SparkSession, path: str) -> DataFrame:
         )
         .filter(F.col("text") != "")
         .select(
-            F.concat(
-                F.col("src_file"),
-                F.lit("#"),
-                F.monotonically_increasing_id().cast("string"),
-            ).alias("url"),
+            F.concat(F.col("src_file"), F.lit("#"), url_suffix).alias("url"),
             F.lit(None).cast("timestamp").alias("warc_ts"),
             "text",
             F.lit("und").alias("lang"),
         )
     )
+
+
+def read_audit_logs(spark: SparkSession, path: str) -> DataFrame:
+    """Read raw ausearch-export files under `path` (file, dir, or glob)
+    into the pages-shaped frame `parse_pages` consumes.
+
+    url = <source file>#<block ordinal> (stable within a read; block
+    ordinals are per-partition monotonic ids, deterministic for a fixed
+    file layout), warc_ts = the file's modification time surrogate is NOT
+    available engine-side, so it is left null — the parse kernel's own
+    per-record timestamps (P5) carry the time dimension for audit data.
+    """
+    raw = spark.read.option("lineSep", AUDIT_SEPARATOR).text(path)
+    return _blocks_frame(raw, F.monotonically_increasing_id().cast("string"))
+
+
+def stream_audit_logs(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """Streaming twin: Structured Streaming's file source discovers new
+    ausearch-export files dropped into `landing_dir` and their blocks flow
+    into the same pages shape (feed to streaming.stream_events). The
+    separator-as-record-delimiter trick carries over unchanged — block
+    splitting happens inside the text source, exactly-once per file via
+    the stream's own file tracking. url suffix = xxhash64 of the cleaned
+    block text (monotonic ids are not batch-stable in a stream);
+    byte-identical duplicate blocks within one file coalesce onto one
+    url, which downstream signature aggregation counts correctly
+    anyway."""
+    raw = (
+        spark.readStream.option("lineSep", AUDIT_SEPARATOR)
+        .text(landing_dir)
+    )
+    return _blocks_frame(raw, F.xxhash64(F.col("text")).cast("string"))

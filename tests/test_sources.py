@@ -12,7 +12,7 @@ import pytest
 from pyspark.sql import functions as F  # noqa: F401
 
 from avc_parser_spark.parse.udf import parse_pages
-from avc_parser_spark.sources import read_audit_logs
+from avc_parser_spark.sources import read_audit_logs, stream_audit_logs
 
 TESTAVC = "/root/reference/testAVC"
 
@@ -90,6 +90,53 @@ def test_read_audit_logs_matches_whole_file_parse(spark):
     # denial that the whole-file path also produced
     extra = from_source.filter(F.col("route") != "parse_ok")
     assert all(r["permission"] is None for r in extra.collect())
+
+
+def test_stream_audit_logs_matches_batch(spark, tmp_path):
+    """Streaming twin of the raw file source: an availableNow stream over a
+    landing dir of ausearch exports parses to the same event multiset as
+    the batch reader, and a file dropped AFTER the first drain is picked up
+    incrementally (exactly-once per file via the stream's tracking)."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    block = (
+        "type=AVC msg=audit(1700000000.{ms}00:{i}): avc:  denied  "
+        "{{ read }} for pid={i} comm=c{i} scontext=u:r:t:s0 "
+        "tcontext=u:r:f:s0 tclass=file\n"
+    )
+    (landing / "a.log").write_text(
+        "----\n" + block.format(i=1, ms=1) + "----\n" + block.format(i=2, ms=2)
+    )
+    (landing / "b.log").write_text(block.format(i=3, ms=3))
+
+    events = parse_pages(stream_audit_logs(spark, str(landing)))
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            events.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    got = drain()
+    batch = parse_pages(read_audit_logs(spark, str(landing)))
+    assert _event_signature(got) == _event_signature(batch)
+    assert got.filter(F.col("route") == "parse_ok").count() == 3
+
+    # drop a new file -> only its blocks arrive in the next drain (the
+    # parquet sink resumes from the same checkpoint, exactly-once per file)
+    (landing / "c.log").write_text(block.format(i=4, ms=4))
+    comms = sorted(
+        r["comm"]
+        for r in drain().filter(F.col("route") == "parse_ok").collect()
+    )
+    assert comms == ["c1", "c2", "c3", "c4"]
 
 
 def test_run_audit_logs_with_checkpoints_resume(spark, tmp_path):
