@@ -197,3 +197,32 @@ def run_routed_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_audit_routed_stream(
+    spark: SparkSession,
+    audit_landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Tail a landing zone of raw ausearch-export files: new files are
+    block-split by the streaming file source (sources.stream_audit_logs),
+    parsed by the same kernel, and appended route-partitioned — the
+    operational ingest mode for hosts that drop audit exports into a
+    directory. availableNow=False leaves the query running as a true tail
+    (production); True drains what exists and stops (tests / cron-style
+    catch-up runs)."""
+    from avc_parser_spark.sources import stream_audit_logs
+
+    events = stream_events(stream_audit_logs(spark, audit_landing_dir))
+    writer = (
+        events.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("route")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -179,3 +179,34 @@ def test_run_audit_logs_with_checkpoints_resume(spark, tmp_path):
 
     ev = read_events(spark, out)
     assert ev.filter(ev.route == "parse_ok").count() == 3
+
+
+def test_run_audit_routed_stream(spark, tmp_path):
+    """Operational tail mode: raw exports dropped into a landing dir come
+    out route-partitioned, matching the batch parse of the same files."""
+    from avc_parser_spark.streaming import run_audit_routed_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.log").write_text(
+        "----\n"
+        "type=AVC msg=audit(1700000000.100:1): avc:  denied  { read } for "
+        "pid=1 comm=c1 scontext=u:r:t:s0 tcontext=u:r:f:s0 tclass=file\n"
+        "----\n"
+        "not an audit block at all\n"
+    )
+    q = run_audit_routed_stream(
+        spark, str(landing), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    routed = spark.read.parquet(str(tmp_path / "out"))
+    got = {
+        r["route"]: r["n"]
+        for r in routed.groupBy("route").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    batch = parse_pages(read_audit_logs(spark, str(landing)))
+    exp = {
+        r["route"]: r["n"]
+        for r in batch.groupBy("route").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == exp and got.get("parse_ok") == 1
