@@ -366,9 +366,13 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (integer-exact, no float boundary risk); mode='pack' — GPT-style
     concat-then-chunk sequence packing placement (pack_sequences: md5
     bucket, per-bucket token prefix sum, seq_len=2048), the layout step a
-    pretraining pipeline runs after curation. Every value is re-derived in
-    DuckDB (md5 bucket + window prefix sum in SQL)."""
-    from avc_parser_spark.functions.text import pack_sequences
+    pretraining pipeline runs after curation; mode='mix' — deterministic
+    mixture rebalance (sample_to_mixture: per-lang counts → bigint-exact
+    hash-gate cutoffs toward target weights en:2 de:1 fr:1 zh:1, es
+    dropped), one row per KEPT doc so the oracle pins the exact sample.
+    Every value is re-derived in DuckDB (md5 bucket + window prefix sum +
+    the same `div` cutoff arithmetic in SQL)."""
+    from avc_parser_spark.functions.text import pack_sequences, sample_to_mixture
 
     _views(spark, sf_dir, ["documents"])
     docs = spark.table("documents")
@@ -391,7 +395,16 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq_start").cast("long").alias("n4"),
         F.col("seq_offset").cast("long").alias("n5"),
     )
-    return stats.unionByName(pack)
+    mix = sample_to_mixture(
+        docs, {"en": 2, "de": 1, "fr": 1, "zh": 1}, method="md5"
+    ).select(
+        F.lit("mix").alias("mode"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("mix_bucket").cast("long").alias("n1"),
+        F.col("mix_cutoff").cast("long").alias("n2"),
+        null_n.alias("n3"), null_n.alias("n4"), null_n.alias("n5"),
+    )
+    return stats.unionByName(pack).unionByName(mix)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2327,7 +2340,24 @@ def oracle_sql() -> dict[str, str]:
                          PARTITION BY pack_bucket ORDER BY doc_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                        AS tok_start
-              FROM toks)
+              FROM toks),
+            mixw AS (SELECT * FROM (VALUES ('en', 2), ('de', 1),
+                                            ('fr', 1), ('zh', 1)) w(lang, w)),
+            mixc AS (
+              SELECT d.lang, count(*) AS n, min(w.w) AS w
+              FROM documents d JOIN mixw w ON d.lang = w.lang
+              GROUP BY d.lang),
+            mixt AS (SELECT min((n * 5) // w) AS t FROM mixc),
+            mixcut AS (
+              SELECT lang,
+                     ((w * (SELECT t FROM mixt) * 10000) // (5 * n)) AS cutoff
+              FROM mixc),
+            mixkeep AS (
+              SELECT d.doc_id,
+                     (('0x' || substr(md5(cast(d.doc_id as varchar)), 1, 4))::bigint
+                        % 10000) AS bucket,
+                     c.cutoff
+              FROM documents d JOIN mixcut c ON d.lang = c.lang)
             SELECT 'stats' AS mode, lang AS k,
                    count(*) AS n1,
                    cast(sum(n_tokens) as bigint) AS n2,
@@ -2341,6 +2371,12 @@ def oracle_sql() -> dict[str, str]:
                    cast(tok_start // 2048 as bigint),
                    cast(tok_start % 2048 as bigint)
             FROM packed
+            UNION ALL
+            SELECT 'mix', cast(doc_id as varchar),
+                   cast(bucket as bigint), cast(cutoff as bigint),
+                   cast(null as bigint), cast(null as bigint),
+                   cast(null as bigint)
+            FROM mixkeep WHERE bucket < cutoff
         """,
         "dedup_exact": """
             WITH corpus AS (

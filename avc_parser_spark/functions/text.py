@@ -314,3 +314,72 @@ def document_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
         fingerprint64(t).alias("fingerprint"),
     )
     return with_lang_guess(profiled, text_col)
+
+
+def sample_to_mixture(
+    docs: DataFrame,
+    weights: dict[str, int],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    method: str = "xxhash",
+) -> DataFrame:
+    """Deterministic down-sampling to a target stratum mixture (the
+    pretraining-corpus rebalance step: "make the kept corpus w_s/W parts
+    stratum s", e.g. language weights). No upsampling: the kept corpus is
+    the LARGEST one whose target shares all fit inside their strata —
+    T = min_s floor(n_s*W/w_s) docs total, so the scarcest stratum is kept
+    whole and the rest are hash-gated down to w_s*T/W.
+
+    All cutoff arithmetic is bigint (`div`), so any engine re-derives the
+    exact same kept set — method='md5' buckets like split_by_hash(md5) for
+    cross-engine audits, default xxhash64(id, seed) stays JVM-native.
+    Strata absent from `weights` (weight 0) are dropped.
+
+    Scale shape: one partial-agg count per stratum (tiny result), cutoffs
+    computed on that tiny frame (min-cap cross join, broadcast), then ONE
+    narrow filter pass over the corpus — no corpus shuffle, no collect.
+    Output adds `mix_bucket` and `mix_cutoff` (bucket < cutoff ⇔ kept).
+    """
+    w_total = int(sum(weights.values()))
+    if w_total <= 0:
+        raise ValueError("weights must contain a positive total")
+    wexpr = None
+    for name, w in weights.items():
+        cond = F.col(strata_col) == name
+        lit = F.lit(int(w)).cast("bigint")
+        wexpr = F.when(cond, lit) if wexpr is None else wexpr.when(cond, lit)
+    wexpr = wexpr.otherwise(F.lit(0).cast("bigint"))
+
+    counts = (
+        docs.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+        .withColumn("_w", wexpr)
+        .filter(F.col("_w") > 0)
+    )
+    capped = counts.withColumn(
+        "_cap", F.expr(f"(_n * {w_total}) div _w")
+    )
+    total = capped.agg(F.min("_cap").alias("_t"))
+    cutoffs = (
+        capped.crossJoin(F.broadcast(total))
+        .withColumn(
+            "mix_cutoff",
+            F.expr(f"(_w * _t * 10000) div ({w_total} * _n)"),
+        )
+        .select(strata_col, "mix_cutoff")
+    )
+    if method == "md5":
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+            ).cast("bigint")
+            % 10_000
+        )
+    else:
+        bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(10_000))
+    return (
+        docs.join(F.broadcast(cutoffs), strata_col)
+        .withColumn("mix_bucket", bucket)
+        .filter(F.col("mix_bucket") < F.col("mix_cutoff"))
+    )

@@ -1193,3 +1193,72 @@ def test_pack_sequences_layout(spark):
         assert (again[i]["tok_start"], again[i]["seq_start"]) == (
             out[i]["tok_start"], out[i]["seq_start"]
         )
+
+
+def test_sample_to_mixture_exact_md5_rederivation(spark):
+    """sample_to_mixture(md5): the kept id set equals a pure-Python
+    re-derivation of the integer cutoff arithmetic — the property that lets
+    any engine (DuckDB oracle, cross-engine audit) reproduce the sample."""
+    import hashlib
+
+    from avc_parser_spark.functions.text import sample_to_mixture
+
+    def lang_of(i):
+        m = i % 10
+        return "en" if m < 5 else "de" if m < 7 else "fr" if m < 9 else "es"
+
+    n = 1000
+    docs = spark.createDataFrame(
+        [(i, lang_of(i)) for i in range(n)], "doc_id bigint, lang string"
+    )
+    weights = {"en": 2, "de": 1, "fr": 1}  # es: weight 0 -> dropped
+    out = sample_to_mixture(docs, weights, method="md5")
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+
+    # pure-Python twin: counts -> T = min((n*W) div w) -> integer cutoffs
+    counts = {"en": 500, "de": 200, "fr": 200}
+    w_total = sum(weights.values())
+    t = min((counts[s] * w_total) // w for s, w in weights.items())
+    cutoffs = {
+        s: (w * t * 10_000) // (w_total * counts[s])
+        for s, w in weights.items()
+    }
+    assert t == 800
+    # de and fr are binding (cap 800): kept whole; en gated to 8000/10000
+    assert cutoffs == {"en": 8000, "de": 10_000, "fr": 10_000}
+    expected = {
+        i
+        for i in range(n)
+        if lang_of(i) in cutoffs
+        and int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 10_000
+        < cutoffs[lang_of(i)]
+    }
+    assert kept == expected
+    # every es doc dropped, every de/fr doc kept
+    langs_kept = {lang_of(i) for i in kept}
+    assert "es" not in langs_kept
+    assert sum(1 for i in kept if lang_of(i) == "de") == 200
+    assert sum(1 for i in kept if lang_of(i) == "fr") == 200
+
+
+def test_sample_to_mixture_xxhash_deterministic_and_proportional(spark):
+    from avc_parser_spark.functions.text import sample_to_mixture
+
+    docs = (
+        spark.range(0, 20000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 4 < 2, "en")
+            .when(F.col("doc_id") % 4 == 2, "de")
+            .otherwise("fr"),
+        )
+    )
+    weights = {"en": 1, "de": 1, "fr": 1}
+    out = sample_to_mixture(docs, weights)
+    a = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    b = {r["lang"]: r["n"] for r in sample_to_mixture(docs, weights).groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert a == b  # pure function of ids
+    # en (10000 docs) gated toward the 5000-doc strata; de/fr kept whole
+    assert a["de"] == 5000 and a["fr"] == 5000
+    assert abs(a["en"] - 5000) < 300  # hash-gate binomial tolerance
