@@ -1326,9 +1326,20 @@ def q_ngram_overlap_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       broadcast-semi-join plan — the train gram stream is filtered against
       the broadcast eval gram set before any dedup/shuffle). Planted eval
       docs are verbatim copies of train docs, so overlap == total distinct
-      8-grams, enumerable in DuckDB (k1 = overlap, k2 = total)."""
+      8-grams, enumerable in DuckDB (k1 = overlap, k2 = total);
+    - 'winnow': MOSS-style winnowing fingerprint candidates (rolling
+      k-gram hash + window-min selection, winnow_candidates) over the same
+      planted corpus as the minhash query — identical planted texts have
+      identical fingerprint sets, so every intra-cluster pair surfaces
+      with fp_jaccard exactly 1 (guaranteed recall, not probabilistic);
+      the oracle enumerates the planted pairs (k1 = fp_jaccard = 1.0,
+      k2 = partner id). The unrestricted candidate superset stays
+      pytest-verified (accidental fingerprint collisions in the raw corpus
+      are not SQL-expressible)."""
     from avc_parser_spark.functions.dedup import (
         ngram_contamination,
+        winnow_candidates,
+        winnow_jaccard,
         word_shingles,
     )
 
@@ -1368,7 +1379,41 @@ def q_ngram_overlap_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("overlap_ngrams").cast("double").alias("k1"),
         F.col("total_ngrams").cast("double").alias("k2"),
     )
-    return adjacent.unionByName(contam)
+    # winnow: full-corpus fingerprinting with the minhash query's planted
+    # overrides; doc_id<500 keeps planted clusters scale-constant
+    wdocs = spark.sql(
+        """
+        SELECT doc_id,
+               case when doc_id % 25 = 0 and doc_id < 500
+                    then (case cast(floor(doc_id / 25.0) as int) % 4
+                          when 0 then 'alpha beta gamma delta epsilon zeta eta theta iota kappa'
+                          when 1 then 'lorem ipsum dolor sit amet consectetur adipiscing elit sed tempor'
+                          when 2 then 'north south east west river mountain valley forest desert ocean'
+                          else 'crimson amber violet indigo turquoise magenta cobalt emerald silver bronze'
+                          end)
+                    else text end AS text
+        FROM documents
+        """
+    ).repartition(spark.sparkContext.defaultParallelism)
+    # full-corpus candidates (the scale-bearing stage), then verify ONLY
+    # the planted pairs the oracle enumerates — max_bucket=16 is the
+    # honest stop-list for a corpus this small (fingerprints shared by
+    # >3% of docs are boilerplate; planted clusters have 5 members)
+    wpairs = winnow_candidates(wdocs, max_bucket=16).filter(
+        (F.col("a") % 25 == 0) & (F.col("b") % 25 == 0)
+        & (F.col("a") < 500) & (F.col("b") < 500)
+    )
+    winnow = (
+        winnow_jaccard(wdocs, wpairs)
+        .filter(F.col("fp_jaccard") >= 0.9)
+        .select(
+            F.lit("winnow").alias("mode"),
+            "a",
+            F.col("fp_jaccard").alias("k1"),
+            F.col("b").cast("double").alias("k2"),
+        )
+    )
+    return adjacent.unionByName(contam).unionByName(winnow)
 
 
 
@@ -2678,6 +2723,17 @@ def oracle_sql() -> dict[str, str]:
                    cast(t.n8 as double) AS k2
             FROM documents d JOIN sh8 t ON t.doc_id = d.doc_id - 7
             WHERE d.doc_id % 50 = 7 AND d.doc_id < 500
+            UNION ALL
+            -- winnow: identical planted texts => identical fingerprint sets
+            -- => every intra-cluster pair, fp_jaccard exactly 1.0
+            SELECT 'winnow' AS mode, x.doc_id AS a,
+                   1.0 AS k1, cast(y.doc_id as double) AS k2
+            FROM documents x JOIN documents y
+              ON y.doc_id > x.doc_id
+             AND (cast(floor(y.doc_id / 25.0) as int) % 4)
+                 = (cast(floor(x.doc_id / 25.0) as int) % 4)
+            WHERE x.doc_id % 25 = 0 AND y.doc_id % 25 = 0
+              AND x.doc_id < 500 AND y.doc_id < 500
         """,
         "tpch_semi_anti": _TPCH_SEMI_ANTI_SQL,
         "tpch_q12ish_caseagg": """

@@ -809,3 +809,149 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing document fingerprints (Schleimer/Wilkerson/
+    Aiken, SIGMOD'03 — the rolling-hash fingerprinting scheme): hash every
+    char k-gram of the normalized text, then keep the minimum hash of each
+    sliding window of `window` consecutive k-gram hashes. Guarantee: two
+    documents sharing a normalized substring of length >= window + k - 1
+    share at least one fingerprint, so fingerprint-equality joins have
+    full recall on matches at least that long; expected density is
+    ~2/(window+1) of all k-grams — a bounded, tunable sketch. (xxhash64
+    per k-gram replaces the classic Rabin rolling update — same selected
+    set semantics; the rolling recurrence is a single-threaded scan
+    optimization Spark's columnar transform doesn't need.)
+
+    Same split as the MinHash sketch (the measured-faster pattern here):
+    the k-gram hashing happens once, natively (xxhash64 per position,
+    JVM-side); the window-min selection is ONE batched-numpy pass
+    (sliding_window_view.min) inside a pandas UDF — a nested native
+    transform-of-slice tree for the windows is codegen-hostile (it gets
+    re-inlined through every downstream Generate/Exchange stage and blew
+    up compile+eval time by minutes on a 500-doc corpus). Docs shorter
+    than k chars get one whole-text fingerprint (note: all empty docs
+    therefore share one). Returns (id, fingerprints array<bigint>,
+    n_fingerprints)."""
+    # normalization materialized into its own Project so the per-gram
+    # substring never re-evaluates the regex (inside a transform lambda
+    # the outer expression is per-element, not hoisted)
+    normed = docs.select(
+        F.col(id_col), normalized_text(F.col(text_col)).alias("_wn_t")
+    )
+    t = F.col("_wn_t")
+    grams = F.when(F.length(t) < k, F.array(F.xxhash64(t))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (k - 1)),
+            lambda i: F.xxhash64(F.substring(t, i, F.lit(k))),
+        )
+    )
+    staged = normed.select(F.col(id_col), grams.alias("_wn_gh"))
+    sel = _winnow_select_udf(window)
+    return staged.select(
+        id_col, sel(F.col("_wn_gh")).alias("fingerprints")
+    ).withColumn("n_fingerprints", F.size("fingerprints"))
+
+
+def _winnow_select_udf(window: int):
+    """Window-min fingerprint selection over precomputed gram hashes:
+    per doc, numpy sliding-window min + unique — one Arrow round trip."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _sel(gh: pd.Series) -> pd.Series:
+        out = []
+        for arr in gh:
+            if arr is None or len(arr) == 0:
+                out.append([])
+                continue
+            a = np.asarray(arr, dtype=np.int64)
+            if a.size < window:
+                out.append([int(a.min())])
+                continue
+            mins = np.lib.stride_tricks.sliding_window_view(a, window).min(
+                axis=1
+            )
+            out.append(np.unique(mins).tolist())
+        return pd.Series(out)
+
+    return _sel
+
+
+def winnow_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    max_bucket: int = 512,
+) -> DataFrame:
+    """Candidate near-dup pairs by shared winnowing fingerprint: explode
+    fingerprints → bucket docs per fingerprint (buckets over `max_bucket`
+    dropped — same web-scale stop-list rationale as the LSH band cap: a
+    fingerprint shared by thousands of docs is boilerplate, and keeping it
+    costs C(bucket, 2) pairs) → intra-bucket pairs → distinct. ONE shuffle
+    on the fingerprint key. Returns (a, b) with a < b."""
+    fps = winnow_fingerprints(docs, text_col, id_col, k, window)
+    exploded = fps.select(
+        F.col(id_col).alias("_id"), F.explode("fingerprints").alias("fp")
+    )
+    grouped = (
+        exploded.groupBy("fp")
+        .agg(F.sort_array(F.collect_set("_id")).alias("members"))
+        .filter(F.size("members").between(2, max_bucket))
+    )
+    return (
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("members"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("members"), i + 2, F.size("members")),
+                            lambda b: F.struct(a.alias("a"), b.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct()
+    )
+
+
+def winnow_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Fingerprint-set Jaccard for candidate pairs (the cheap verify step:
+    fingerprints are ~2/(window+1) the size of the gram sets). Broadcast
+    NOT assumed — pairs join fingerprints on each side by id."""
+    fps = winnow_fingerprints(docs, text_col, id_col, k, window)
+    a = fps.select(F.col(id_col).alias("a"), F.col("fingerprints").alias("_fa"))
+    b = fps.select(F.col(id_col).alias("b"), F.col("fingerprints").alias("_fb"))
+    return (
+        pairs.join(a, "a")
+        .join(b, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.size(F.array_intersect("_fa", "_fb"))
+                / F.size(F.array_union("_fa", "_fb")),
+                6,
+            ).alias("fp_jaccard"),
+        )
+    )

@@ -1262,3 +1262,60 @@ def test_sample_to_mixture_xxhash_deterministic_and_proportional(spark):
     # en (10000 docs) gated toward the 5000-doc strata; de/fr kept whole
     assert a["de"] == 5000 and a["fr"] == 5000
     assert abs(a["en"] - 5000) < 300  # hash-gate binomial tolerance
+
+
+def test_winnow_fingerprints_guarantee_and_density(spark):
+    """Winnowing invariants (Schleimer et al.): identical texts → identical
+    fingerprint sets; a shared normalized substring of length >= window+k-1
+    → at least one shared fingerprint; density stays well below the raw
+    gram count; short/empty docs degrade to one whole-text fingerprint."""
+    from avc_parser_spark.functions.dedup import winnow_fingerprints
+
+    k, w = 8, 4
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    shared = "a very distinctive shared passage that is plenty long enough"
+    rows = [
+        (0, base),
+        (1, base),                                   # identical to 0
+        (2, "unrelated WORDS zqxj kvw pmt " + shared),
+        (3, shared + " plus a completely different tail xyzzy"),
+        (4, "tiny"),                                 # < k chars
+        (5, ""),                                     # empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: (set(r["fingerprints"]), r["n_fingerprints"])
+        for r in winnow_fingerprints(docs, k=k, window=w).collect()
+    }
+    assert out[0][0] == out[1][0]                    # identical → identical
+    assert len(shared) >= w + k - 1
+    assert out[2][0] & out[3][0]                     # guarantee: >=1 shared
+    n_grams = len(base) - k + 1
+    assert 0 < out[0][1] < 0.8 * n_grams             # real compression
+    assert out[4][1] == 1 and out[5][1] == 1         # degenerate docs
+
+
+def test_winnow_candidates_and_jaccard(spark):
+    """Candidate join finds the planted identical pair with fp_jaccard 1.0
+    and emits nothing between character-disjoint documents."""
+    from avc_parser_spark.functions.dedup import (
+        winnow_candidates,
+        winnow_jaccard,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "0123456789 0123456789 0123456789 0123456789 0123456789"),
+        (3, "ZZZZZZZZZZ YYYYYYYYYY XXXXXXXXXX WWWWWWWWWW VVVVVVVVVV"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = winnow_candidates(docs)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert (2, 3) not in got and (3, 2) not in got
+    jac = {
+        (r["a"], r["b"]): r["fp_jaccard"]
+        for r in winnow_jaccard(docs, pairs).collect()
+    }
+    assert jac[(0, 1)] == 1.0
