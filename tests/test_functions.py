@@ -1319,3 +1319,33 @@ def test_winnow_candidates_and_jaccard(spark):
         for r in winnow_jaccard(docs, pairs).collect()
     }
     assert jac[(0, 1)] == 1.0
+
+
+def test_resolve_clusters_over_winnow_pairs(spark):
+    """Strategy-agnostic resolution, winnowing edition: winnow_candidates
+    pairs feed the SAME resolve loop that serves minhash/simhash/embedding
+    edges — a transitive chain (A≈B via shared prefix, B≈C via shared
+    suffix) collapses to one keeper even though A and C share nothing."""
+    from avc_parser_spark.functions.dedup import (
+        resolve_clusters,
+        winnow_candidates,
+    )
+
+    # head and tail share NO 8-char substring (disjoint vocabularies), so
+    # the only candidate edges are the planted head/tail overlaps
+    head = "zebra quokka wombat flamingo heron egret plover lapwing osprey"
+    tail = "copper zinc nickel cobalt titanium vanadium chromium molybdenum"
+    rows = [
+        (0, head + " aaa111"),
+        (1, head + " " + tail),            # bridges 0 and 2
+        (2, "bbb222 " + tail),
+        (3, "qqq www eee rrr ttt yyy uuu iii ooo ppp sss ddd fff ggg"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = winnow_candidates(docs)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (0, 1) in got and (1, 2) in got and (0, 2) not in got
+    resolved = {
+        r["doc_id"]: r["keeper"] for r in resolve_clusters(pairs).collect()
+    }
+    assert resolved == {0: 0, 1: 0, 2: 0}  # transitive closure via 1
