@@ -819,71 +819,78 @@ def winnow_fingerprints(
     window: int = 4,
 ) -> DataFrame:
     """MOSS-style winnowing document fingerprints (Schleimer/Wilkerson/
-    Aiken, SIGMOD'03 — the rolling-hash fingerprinting scheme): hash every
-    char k-gram of the normalized text, then keep the minimum hash of each
-    sliding window of `window` consecutive k-gram hashes. Guarantee: two
-    documents sharing a normalized substring of length >= window + k - 1
-    share at least one fingerprint, so fingerprint-equality joins have
-    full recall on matches at least that long; expected density is
-    ~2/(window+1) of all k-grams — a bounded, tunable sketch. (xxhash64
-    per k-gram replaces the classic Rabin rolling update — same selected
-    set semantics; the rolling recurrence is a single-threaded scan
-    optimization Spark's columnar transform doesn't need.)
+    Aiken, SIGMOD'03 — rolling-hash fingerprinting): hash every byte
+    k-gram of the UTF-8 normalized text with a polynomial rolling hash,
+    then keep the minimum of each sliding window of `window` consecutive
+    gram hashes. Guarantee: two documents sharing a normalized substring
+    of length >= window + k - 1 bytes share at least one fingerprint, so
+    fingerprint-equality joins have full recall on matches at least that
+    long; expected density is ~2/(window+1) of all k-grams — a bounded,
+    tunable sketch.
 
-    Same split as the MinHash sketch (the measured-faster pattern here):
-    the k-gram hashing happens once, natively (xxhash64 per position,
-    JVM-side); the window-min selection is ONE batched-numpy pass
-    (sliding_window_view.min) inside a pandas UDF — a nested native
-    transform-of-slice tree for the windows is codegen-hostile (it gets
-    re-inlined through every downstream Generate/Exchange stage and blew
-    up compile+eval time by minutes on a 500-doc corpus). Docs shorter
-    than k chars get one whole-text fingerprint (note: all empty docs
-    therefore share one). Returns (id, fingerprints array<bigint>,
-    n_fingerprints)."""
-    # normalization materialized into its own Project so the per-gram
-    # substring never re-evaluates the regex (inside a transform lambda
-    # the outer expression is per-element, not hoisted)
+    The whole sketch is ONE batched-numpy pass inside a pandas UDF over
+    the JVM-normalized text: the polynomial gram hashes are k vectorized
+    ops over the byte array (acc = acc*B + bytes[j:j+m] for j in 0..k-1 —
+    the columnar form of the Rabin rolling recurrence), then
+    sliding_window_view.min + unique. Two earlier shapes measured worse:
+    a native transform-of-slice window tree re-inlines through every
+    downstream Generate/Exchange stage (minutes of compile+eval on 500
+    docs), and native-xxhash64-grams→Arrow→numpy-window ships the full
+    gram-hash array (~8 bytes per TEXT BYTE) across the Arrow boundary —
+    hashing in numpy ships only the text. Docs shorter than k bytes get
+    one whole-text fingerprint (note: all empty docs therefore share
+    one). Returns (id, fingerprints array<bigint>, n_fingerprints)."""
     normed = docs.select(
         F.col(id_col), normalized_text(F.col(text_col)).alias("_wn_t")
     )
-    t = F.col("_wn_t")
-    grams = F.when(F.length(t) < k, F.array(F.xxhash64(t))).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.length(t) - (k - 1)),
-            lambda i: F.xxhash64(F.substring(t, i, F.lit(k))),
-        )
-    )
-    staged = normed.select(F.col(id_col), grams.alias("_wn_gh"))
-    sel = _winnow_select_udf(window)
-    return staged.select(
-        id_col, sel(F.col("_wn_gh")).alias("fingerprints")
+    fp = _winnow_fp_udf(k, window)
+    return normed.select(
+        id_col, fp(F.col("_wn_t")).alias("fingerprints")
     ).withColumn("n_fingerprints", F.size("fingerprints"))
 
 
-def _winnow_select_udf(window: int):
-    """Window-min fingerprint selection over precomputed gram hashes:
-    per doc, numpy sliding-window min + unique — one Arrow round trip."""
+def _winnow_fp_udf(k: int, window: int):
+    """Rolling-hash + window-min winnowing sketch, one Arrow round trip."""
     import numpy as np
     from pyspark.sql.pandas.functions import pandas_udf
 
+    B = np.uint64(1099511628211)  # FNV-1a prime as the polynomial base
+    OFF = np.uint64(0xCBF29CE484222325)
+
+    def _whole(b: bytes) -> int:
+        # pure-Python masked ints: scalar numpy uint64 arithmetic WARNS on
+        # overflow (array ops wrap silently) — see the FP-flake history
+        acc = 0xCBF29CE484222325
+        for c in b:
+            acc = (acc * 1099511628211 + c) & 0xFFFFFFFFFFFFFFFF
+        return acc - (1 << 64) if acc >= (1 << 63) else acc
+
     @pandas_udf("array<long>")
-    def _sel(gh: pd.Series) -> pd.Series:
+    def _fp(texts: pd.Series) -> pd.Series:
         out = []
-        for arr in gh:
-            if arr is None or len(arr) == 0:
-                out.append([])
+        for s in texts:
+            b = (s or "").encode("utf-8")
+            n = len(b)
+            if n < k:
+                out.append([_whole(b)])
                 continue
-            a = np.asarray(arr, dtype=np.int64)
-            if a.size < window:
-                out.append([int(a.min())])
+            codes = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+            m = n - k + 1
+            acc = np.full(m, OFF, dtype=np.uint64)
+            for j in range(k):
+                acc = acc * B + codes[j : j + m]
+            if m < window:
+                out.append(
+                    [int(np.uint64(acc.min()).astype(np.int64))]
+                )
                 continue
-            mins = np.lib.stride_tricks.sliding_window_view(a, window).min(
-                axis=1
-            )
-            out.append(np.unique(mins).tolist())
+            mins = np.lib.stride_tricks.sliding_window_view(
+                acc, window
+            ).min(axis=1)
+            out.append(np.unique(mins).view(np.int64).tolist())
         return pd.Series(out)
 
-    return _sel
+    return _fp
 
 
 def winnow_candidates(

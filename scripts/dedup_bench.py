@@ -11,7 +11,12 @@ a steady-state docs/s figure for the LLM-pipeline family too.
     taskset -c 0-31 env SPARK_GRAFT_CPUS=32 python scripts/dedup_bench.py
 
 Prints one JSON line: {"n_docs": ..., "exact_sec": ..., "minhash_sec": ...,
-"exact_docs_per_sec": ..., "minhash_docs_per_sec": ..., "pairs": ...}
+"exact_docs_per_sec": ..., "minhash_docs_per_sec": ..., "pairs": ...,
+"winnow_docs": ..., "winnow_sec": ..., "winnow_docs_per_sec": ...}
+
+Winnowing runs on the 200k corpus (WINNOW_WAREHOUSE): its unit of work is
+a char k-gram, not a word shingle — ~5-10x the hashes per doc of MinHash —
+so the 200k corpus already measures steady state for it.
 """
 
 from __future__ import annotations
@@ -36,6 +41,7 @@ def main() -> None:
     from avc_parser_spark.functions.dedup import (
         exact_duplicates,
         minhash_lsh_candidates,
+        winnow_candidates,
     )
 
     spark = get_spark()
@@ -54,6 +60,18 @@ def main() -> None:
     pairs = minhash_lsh_candidates(docs).count()
     minhash_sec = time.time() - t0
 
+    wdocs = (
+        spark.read.parquet(
+            os.environ.get(
+                "WINNOW_WAREHOUSE", "/root/repo/data/bench_pages_200000"
+            )
+        ).select(F.xxhash64("url").alias("doc_id"), "text")
+    )
+    n_wdocs = wdocs.count()
+    t0 = time.time()
+    winnow_pairs = winnow_candidates(wdocs, max_bucket=64).count()
+    winnow_sec = time.time() - t0
+
     print(
         json.dumps(
             {
@@ -64,6 +82,10 @@ def main() -> None:
                 "minhash_docs_per_sec": round(n_docs / minhash_sec, 1),
                 "exact_dup_groups": n_exact,
                 "pairs": pairs,
+                "winnow_docs": n_wdocs,
+                "winnow_sec": round(winnow_sec, 2),
+                "winnow_docs_per_sec": round(n_wdocs / winnow_sec, 1),
+                "winnow_pairs": winnow_pairs,
             }
         )
     )
