@@ -14,10 +14,18 @@ np.copyto in a loop for ~1.5 s after a barrier start; aggregate GB/s =
 total bytes / wall. Ceiling cap for an n→4n pair = min(4, bw(4n)/bw(n));
 adjusted efficiency = raw_ratio / cap.
 
+A second, independent probe measures CPU AVAILABILITY: N spin workers
+pinned to cores 0..N-1 counting pure-Python loop iterations. memcpy
+bounds what DRAM permits; spin bounds what the scheduler permits — the
+round-5 contended windows showed clean memcpy caps while bursty
+co-tenant steal depressed the actual legs, and the spin probe is the
+instrument that separates those two states.
+
 Usage:
   python scripts/ceiling_probe.py                # probes 1 2 4 8 16 32
   python scripts/ceiling_probe.py 1 4           # probe just these counts
-Prints one JSON line: {"gbps": {"1": ..., ...}, "pairs": {"1->4": {...}}}
+Prints one JSON line:
+  {"gbps": {...}, "pairs": {...}, "spin_per_core": {...}, "load": [...]}
 """
 
 from __future__ import annotations
@@ -44,6 +52,37 @@ def _worker(barrier, out, idx):
         np.copyto(dst, src)
         n += 1
     out[idx] = n * len(src) / (time.perf_counter() - t0)
+
+
+def _spin_worker(barrier, out, idx):
+    import os
+
+    os.sched_setaffinity(0, {idx})
+    barrier.wait()
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < SECONDS:
+        for _ in range(100000):
+            pass
+        n += 1
+    out[idx] = n / (time.perf_counter() - t0)
+
+
+def spin_probe(nproc: int) -> float:
+    """Per-core spin throughput (loop-units/s/core) with nproc pinned
+    workers — 1.0x scaling from 1 to N means N fully available cores."""
+    ctx = mp.get_context("spawn")
+    barrier = ctx.Barrier(nproc)
+    out = ctx.Array("d", nproc)
+    procs = [
+        ctx.Process(target=_spin_worker, args=(barrier, out, i))
+        for i in range(nproc)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    return float(sum(out)) / nproc
 
 
 def probe(nproc: int) -> float:
@@ -78,7 +117,23 @@ def main() -> None:
                 "cap": round(cap, 3),
                 "max_possible_efficiency": round(cap / 4.0, 3),
             }
-    print(json.dumps({"buf_mb": BUF_MB, "gbps": gbps, "pairs": pairs}))
+    import os
+
+    spin = {
+        str(n): round(max(spin_probe(n) for _ in range(2)), 1)
+        for n in sorted(set(counts))
+    }
+    print(
+        json.dumps(
+            {
+                "buf_mb": BUF_MB,
+                "gbps": gbps,
+                "pairs": pairs,
+                "spin_per_core": spin,
+                "load": [round(x, 2) for x in os.getloadavg()],
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
