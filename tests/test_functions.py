@@ -1349,3 +1349,59 @@ def test_resolve_clusters_over_winnow_pairs(spark):
         r["doc_id"]: r["keeper"] for r in resolve_clusters(pairs).collect()
     }
     assert resolved == {0: 0, 1: 0, 2: 0}  # transitive closure via 1
+
+
+def test_winnow_fingerprints_differential_vs_python_reference(spark):
+    """The vectorized numpy rolling-hash sketch must equal an independent
+    scalar pure-Python implementation of the same scheme (FNV-base
+    polynomial over UTF-8 bytes, window-min, unique) on a seeded corpus
+    covering multibyte chars, boundary lengths (n<k, grams<window), runs,
+    and whitespace-collapse normalization."""
+    import random
+    import re
+
+    from avc_parser_spark.functions.dedup import winnow_fingerprints
+
+    K, W = 8, 4
+    B, OFF, MASK = 1099511628211, 0xCBF29CE484222325, (1 << 64) - 1
+
+    def py_winnow(text):
+        # mirror normalized_text exactly: Spark SQL trim() strips ONLY
+        # spaces (U+0020), then lower, then ASCII \s+ collapse
+        norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", (text or "").strip(" ").lower())
+        b = norm.encode("utf-8")
+        def signed(v):
+            return v - (1 << 64) if v >= (1 << 63) else v
+        if len(b) < K:
+            acc = OFF
+            for c in b:
+                acc = (acc * B + c) & MASK
+            return {signed(acc)}
+        grams = []
+        for i in range(len(b) - K + 1):
+            acc = OFF
+            for c in b[i : i + K]:
+                acc = (acc * B + c) & MASK
+            grams.append(acc)
+        if len(grams) < W:
+            return {signed(min(grams))}
+        return {
+            signed(min(grams[j : j + W]))
+            for j in range(len(grams) - W + 1)
+        }
+
+    rng = random.Random(20260817)
+    alphabet = "ab c\tde\nf0.,:!漢字éß日本語 "
+    rows = []
+    for i in range(200):
+        n = rng.choice([0, 1, 3, 7, 8, 9, 11, 12, 30, 80, 300])
+        rows.append((i, "".join(rng.choice(alphabet) for _ in range(n))))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in winnow_fingerprints(docs, k=K, window=W).collect()
+    }
+    mismatches = [
+        i for i, t in rows if got[i] != py_winnow(t)
+    ]
+    assert mismatches == [], f"{len(mismatches)} docs diverge: {mismatches[:5]}"
