@@ -1338,8 +1338,9 @@ def q_ngram_overlap_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       are not SQL-expressible)."""
     from avc_parser_spark.functions.dedup import (
         ngram_contamination,
-        winnow_candidates,
-        winnow_jaccard,
+        winnow_candidates_from_fps,
+        winnow_fingerprints,
+        winnow_jaccard_from_fps,
         word_shingles,
     )
 
@@ -1398,13 +1399,16 @@ def q_ngram_overlap_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full-corpus candidates (the scale-bearing stage), then verify ONLY
     # the planted pairs the oracle enumerates — max_bucket=16 is the
     # honest stop-list for a corpus this small (fingerprints shared by
-    # >3% of docs are boilerplate; planted clusters have 5 members)
-    wpairs = winnow_candidates(wdocs, max_bucket=16).filter(
+    # >3% of docs are boilerplate; planted clusters have 5 members).
+    # The corpus is sketched ONCE (persisted fps shared by the candidate
+    # and verify stages — the curate_corpus one-sketch-pass pattern).
+    wfps = winnow_fingerprints(wdocs).persist()
+    wpairs = winnow_candidates_from_fps(wfps, max_bucket=16).filter(
         (F.col("a") % 25 == 0) & (F.col("b") % 25 == 0)
         & (F.col("a") < 500) & (F.col("b") < 500)
     )
     winnow = (
-        winnow_jaccard(wdocs, wpairs)
+        winnow_jaccard_from_fps(wfps, wpairs)
         .filter(F.col("fp_jaccard") >= 0.9)
         .select(
             F.lit("winnow").alias("mode"),

@@ -908,6 +908,16 @@ def winnow_candidates(
     costs C(bucket, 2) pairs) → intra-bucket pairs → distinct. ONE shuffle
     on the fingerprint key. Returns (a, b) with a < b."""
     fps = winnow_fingerprints(docs, text_col, id_col, k, window)
+    return winnow_candidates_from_fps(fps, id_col, max_bucket)
+
+
+def winnow_candidates_from_fps(
+    fps: DataFrame, id_col: str = "doc_id", max_bucket: int = 512
+) -> DataFrame:
+    """winnow_candidates over a PRECOMPUTED (id, fingerprints) frame —
+    callers that also verify (winnow_jaccard_from_fps) sketch the corpus
+    ONCE and persist, the same one-sketch-pass pattern as
+    minhash_candidates_from_hashes."""
     exploded = fps.select(
         F.col(id_col).alias("_id"), F.explode("fingerprints").alias("fp")
     )
@@ -947,6 +957,13 @@ def winnow_jaccard(
     fingerprints are ~2/(window+1) the size of the gram sets). Broadcast
     NOT assumed — pairs join fingerprints on each side by id."""
     fps = winnow_fingerprints(docs, text_col, id_col, k, window)
+    return winnow_jaccard_from_fps(fps, pairs, id_col)
+
+
+def winnow_jaccard_from_fps(
+    fps: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """winnow_jaccard over a PRECOMPUTED (id, fingerprints) frame."""
     a = fps.select(F.col(id_col).alias("a"), F.col("fingerprints").alias("_fa"))
     b = fps.select(F.col(id_col).alias("b"), F.col("fingerprints").alias("_fb"))
     return (
