@@ -905,8 +905,10 @@ def winnow_candidates(
     fingerprints → bucket docs per fingerprint (buckets over `max_bucket`
     dropped — same web-scale stop-list rationale as the LSH band cap: a
     fingerprint shared by thousands of docs is boilerplate, and keeping it
-    costs C(bucket, 2) pairs) → intra-bucket pairs → distinct. ONE shuffle
-    on the fingerprint key. Returns (a, b) with a < b."""
+    costs C(bucket, 2) pairs) → intra-bucket pairs → distinct. The CORPUS
+    crosses one shuffle (on the fingerprint key); the only other exchange
+    is the pair-level distinct, which is bounded by the bucket cap.
+    Returns (a, b) with a < b."""
     fps = winnow_fingerprints(docs, text_col, id_col, k, window)
     return winnow_candidates_from_fps(fps, id_col, max_bucket)
 

@@ -368,3 +368,55 @@ def test_pack_sequences_plan_single_exchange(spark):
     assert "pack_bucket" in plan
     assert "Exchange rangepartitioning" not in plan  # no global sort
     assert "Window" in plan
+
+
+def test_sample_to_mixture_plan_broadcasts_cutoffs(spark):
+    """The per-stratum cutoff frame must reach the corpus via a broadcast
+    join — a sort-merge join here would shuffle the full corpus on the
+    stratum key (catastrophic at 100 TB: strata are few and huge)."""
+    from avc_parser_spark.functions.text import sample_to_mixture
+
+    docs = (
+        spark.range(0, 1000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 2 == 0, "en").otherwise("de"),
+        )
+    )
+    plan = (
+        sample_to_mixture(docs, {"en": 1, "de": 1})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_winnow_candidates_plan_single_corpus_shuffle(spark):
+    """The corpus-sized data crosses exactly one exchange (hash on the
+    fingerprint key); the only other exchange is the pair-level distinct,
+    bounded by the bucket cap — no corpus-wide sort, no cartesian."""
+    import re
+
+    from avc_parser_spark.functions.dedup import winnow_candidates
+
+    docs = (
+        spark.range(0, 500)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "text",
+            F.concat(F.lit("body of document number "), F.col("doc_id")),
+        )
+    )
+    plan = (
+        winnow_candidates(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert exchanges == ["hashpartitioning", "hashpartitioning"]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
