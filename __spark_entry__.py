@@ -1335,9 +1335,17 @@ def q_ngram_overlap_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       the oracle enumerates the planted pairs (k1 = fp_jaccard = 1.0,
       k2 = partner id). The unrestricted candidate superset stays
       pytest-verified (accidental fingerprint collisions in the raw corpus
-      are not SQL-expressible)."""
+      are not SQL-expressible);
+    - 'paradedup': CCNet-style PARAGRAPH-level dedup (paragraph_dedup,
+      keep='first') over the full corpus with planted multi-paragraph docs
+      (shared boilerplate header/footer + per-doc unique paragraph +
+      intra-doc repeats). The oracle runs the COMPLETE algorithm in DuckDB
+      (split -> global min-(id,pos) instance -> ordered string_agg), so the
+      reassembled text itself is checked: k1 = 16-bit md5 slice of the
+      deduped text, k2 = paragraphs kept."""
     from avc_parser_spark.functions.dedup import (
         ngram_contamination,
+        paragraph_dedup,
         winnow_candidates_from_fps,
         winnow_fingerprints,
         winnow_jaccard_from_fps,
@@ -1417,7 +1425,42 @@ def q_ngram_overlap_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b").cast("double").alias("k2"),
         )
     )
-    return adjacent.unionByName(contam).unionByName(winnow)
+    # paradedup: planted multi-paragraph docs over the raw corpus (raw
+    # texts have no newlines, so every non-planted doc is one paragraph);
+    # doc_id<500 keeps plants scale-constant. Both engines run the FULL
+    # algorithm; output restricted to planted docs for bounded rows.
+    pdocs = spark.sql(
+        """
+        SELECT doc_id,
+               CASE WHEN doc_id % 20 = 3 AND doc_id < 500 THEN
+                 concat('subscribe to our newsletter for updates', '\n\n',
+                        'unique paragraph for document ', doc_id,
+                        CASE WHEN doc_id % 40 = 3
+                             THEN concat('\n\n', 'copyright footer all rights reserved')
+                             ELSE '' END,
+                        CASE WHEN doc_id % 40 = 23
+                             THEN concat('\n\n', 'breaking news ticker repeats',
+                                         '\n\n', 'breaking news ticker repeats')
+                             ELSE '' END)
+               ELSE text END AS text
+        FROM documents
+        """
+    )
+    paradedup = (
+        paragraph_dedup(pdocs)
+        .filter((F.col("doc_id") % 20 == 3) & (F.col("doc_id") < 500))
+        .select(
+            F.lit("paradedup").alias("mode"),
+            F.col("doc_id").alias("a"),
+            F.conv(F.substring(F.md5("text_dedup"), 1, 4), 16, 10)
+            .cast("double")
+            .alias("k1"),
+            F.col("paragraphs_kept").cast("double").alias("k2"),
+        )
+    )
+    return (
+        adjacent.unionByName(contam).unionByName(winnow).unionByName(paradedup)
+    )
 
 
 
@@ -2714,7 +2757,42 @@ def oracle_sql() -> dict[str, str]:
                                           (regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))[i:i+7],
                                           ' '))
                        END)) AS n8
-              FROM documents)
+              FROM documents),
+            pd_docs AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 20 = 3 AND doc_id < 500 THEN
+                       'subscribe to our newsletter for updates'
+                       || chr(10) || chr(10)
+                       || 'unique paragraph for document ' || doc_id
+                       || CASE WHEN doc_id % 40 = 3
+                               THEN chr(10) || chr(10)
+                                    || 'copyright footer all rights reserved'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 40 = 23
+                               THEN chr(10) || chr(10)
+                                    || 'breaking news ticker repeats'
+                                    || chr(10) || chr(10)
+                                    || 'breaking news ticker repeats'
+                               ELSE '' END
+                     ELSE text END AS text
+              FROM documents),
+            pd_inst AS (
+              SELECT doc_id, r.pos AS pos, r.para AS para, md5(r.para) AS ph
+              FROM (SELECT doc_id,
+                           unnest(list_transform(
+                             string_split(text, chr(10) || chr(10)),
+                             (x, i) -> {'pos': i, 'para': x})) AS r
+                    FROM pd_docs)),
+            pd_first AS (
+              SELECT ph, min(doc_id * 1048576 + pos) AS fk
+              FROM pd_inst GROUP BY ph),
+            pd_out AS (
+              SELECT i.doc_id,
+                     string_agg(i.para, chr(10) || chr(10) ORDER BY i.pos) AS text,
+                     count(*) AS kept
+              FROM pd_inst i JOIN pd_first f
+                ON f.ph = i.ph AND i.doc_id * 1048576 + i.pos = f.fk
+              GROUP BY i.doc_id)
             SELECT 'adjacent' AS mode, x.doc_id AS a,
                    round(len(list_intersect(x.sh, y.sh)) * 1.0
                          / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS k1,
@@ -2738,6 +2816,12 @@ def oracle_sql() -> dict[str, str]:
                  = (cast(floor(x.doc_id / 25.0) as int) % 4)
             WHERE x.doc_id % 25 = 0 AND y.doc_id % 25 = 0
               AND x.doc_id < 500 AND y.doc_id < 500
+            UNION ALL
+            SELECT 'paradedup' AS mode, t.doc_id AS a,
+                   (('0x' || substr(md5(t.text), 1, 4))::bigint)::DOUBLE AS k1,
+                   cast(t.kept as double) AS k2
+            FROM pd_out t
+            WHERE t.doc_id % 20 = 3 AND t.doc_id < 500
         """,
         "tpch_semi_anti": _TPCH_SEMI_ANTI_SQL,
         "tpch_q12ish_caseagg": """

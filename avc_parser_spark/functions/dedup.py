@@ -981,3 +981,66 @@ def winnow_jaccard_from_fps(
             ).alias("fp_jaccard"),
         )
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    keep: str = "first",
+) -> DataFrame:
+    """CCNet-style paragraph-level deduplication (reference has no analog;
+    this is the web-corpus curation step between exact and near dedup:
+    Wenzek et al. 2019 dedup CommonCrawl at paragraph granularity before
+    any document-level pass).
+
+    Splits each doc on `sep`, removes duplicated paragraphs corpus-wide,
+    and reassembles the surviving text in original order:
+
+    - keep='first': keep only the globally FIRST instance of each
+      paragraph — ordered by (id, position) — so boilerplate survives
+      exactly once; intra-doc repeats collapse too.
+    - keep='none':  drop every paragraph that appears in >=2 DISTINCT
+      docs (pure boilerplate strip; intra-doc repeats survive).
+
+    A doc whose every paragraph was dropped disappears from the output
+    (it was itself a duplicate — the CCNet behavior).
+
+    100 TB shape: paragraph instances shuffle ONCE on md5(para) into a
+    partial-aggregated min(struct(id,pos)) / count(distinct id) — a
+    groupBy, NOT a window, so a billion-instance boilerplate paragraph
+    map-side combines instead of sorting one hot partition; the join back
+    is on the same key (no extra exchange under AQE); reassembly shuffles
+    once on doc id. md5 (not xxhash64) keys keep the decision re-derivable
+    in any engine for cross-system audits.
+    """
+    inst = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn("ph", F.md5("para"))
+    if keep == "first":
+        firsts = inst.groupBy("ph").agg(
+            F.min(F.struct("_id", "pos")).alias("_first")
+        )
+        kept = inst.join(firsts, "ph").filter(
+            (F.col("_id") == F.col("_first._id"))
+            & (F.col("pos") == F.col("_first.pos"))
+        )
+    elif keep == "none":
+        counts = inst.groupBy("ph").agg(
+            F.count_distinct("_id").alias("_ndocs")
+        )
+        kept = inst.join(counts, "ph").filter(F.col("_ndocs") == 1)
+    else:
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    return kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("paragraphs_kept"),
+    ).withColumnRenamed("_id", id_col)

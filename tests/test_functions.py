@@ -1405,3 +1405,90 @@ def test_winnow_fingerprints_differential_vs_python_reference(spark):
         i for i, t in rows if got[i] != py_winnow(t)
     ]
     assert mismatches == [], f"{len(mismatches)} docs diverge: {mismatches[:5]}"
+
+
+def test_paragraph_dedup_first_and_none(spark):
+    """CCNet paragraph dedup: keep='first' keeps only the globally first
+    (id,pos) instance of each paragraph (intra-doc repeats collapse;
+    fully-deduplicated docs vanish); keep='none' drops any paragraph
+    appearing in >=2 distinct docs but keeps intra-doc repeats."""
+    from avc_parser_spark.functions.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [
+            (3, "aa\n\nbb\n\naa"),   # aa repeated intra-doc
+            (5, "aa"),               # single para, dup of doc 3 -> vanishes
+            (7, "cc\n\nbb"),         # bb dup of doc 3
+            (9, "dd\n\ndd"),         # intra-doc repeat only
+        ],
+        ["doc_id", "text"],
+    )
+    first = {r["doc_id"]: (r["text_dedup"], r["paragraphs_kept"])
+             for r in paragraph_dedup(df).collect()}
+    assert first == {
+        3: ("aa\n\nbb", 2),
+        7: ("cc", 1),
+        9: ("dd", 1),
+    }
+    none = {r["doc_id"]: (r["text_dedup"], r["paragraphs_kept"])
+            for r in paragraph_dedup(df, keep="none").collect()}
+    # aa and bb appear in 2 distinct docs -> stripped everywhere; dd's
+    # intra-doc repeat is NOT cross-doc boilerplate and survives.
+    assert none == {
+        7: ("cc", 1),
+        9: ("dd\n\ndd", 2),
+    }
+    with pytest.raises(ValueError):
+        paragraph_dedup(df, keep="both")
+
+
+def test_paragraph_dedup_matches_duckdb_full_algorithm(spark):
+    """Cross-engine parity on a randomized corpus: the DuckDB twin (split
+    -> min packed (id,pos) -> ordered string_agg) must reproduce the Spark
+    result exactly — the md5 grouping key is engine-portable by design."""
+    import random
+
+    import duckdb
+
+    from avc_parser_spark.functions.dedup import paragraph_dedup
+
+    rng = random.Random(20260817)
+    pool = [f"para {i}" for i in range(12)]
+    rows = [
+        (i, "\n\n".join(rng.choice(pool)
+                        for _ in range(rng.randint(1, 5))))
+        for i in range(60)
+    ]
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["paragraphs_kept"])
+        for r in paragraph_dedup(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    want = {
+        row[0]: (row[1], row[2])
+        for row in con.execute(
+            """
+            WITH inst AS (
+              SELECT doc_id, r.pos AS pos, r.para AS para, md5(r.para) AS ph
+              FROM (SELECT doc_id,
+                           unnest(list_transform(
+                             string_split(text, chr(10) || chr(10)),
+                             (x, i) -> {'pos': i, 'para': x})) AS r
+                    FROM d)),
+            firsts AS (
+              SELECT ph, min(doc_id * 1048576 + pos) AS fk
+              FROM inst GROUP BY ph)
+            SELECT i.doc_id,
+                   string_agg(i.para, chr(10) || chr(10) ORDER BY i.pos),
+                   count(*)
+            FROM inst i JOIN firsts f
+              ON f.ph = i.ph AND i.doc_id * 1048576 + i.pos = f.fk
+            GROUP BY i.doc_id
+            """
+        ).fetchall()
+    }
+    assert got == want

@@ -420,3 +420,37 @@ def test_winnow_candidates_plan_single_corpus_shuffle(spark):
     assert exchanges == ["hashpartitioning", "hashpartitioning"]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+def test_paragraph_dedup_plan_no_window(spark):
+    """Paragraph dedup must resolve the global first instance with a
+    partial-aggregated groupBy, NOT a window sort — a billion-instance
+    boilerplate paragraph map-side combines instead of sorting one hot
+    partition. Exchanges: hash on md5(para) for the agg, the join back
+    (broadcast here, co-partitioned on the same key at scale), and hash
+    on doc id for reassembly."""
+    import re
+
+    from avc_parser_spark.functions.dedup import paragraph_dedup
+
+    docs = (
+        spark.range(0, 500)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "text",
+            F.concat(
+                F.lit("shared header\n\nbody of document "), F.col("doc_id")
+            ),
+        )
+    )
+    plan = (
+        paragraph_dedup(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert exchanges.count("hashpartitioning") <= 3
+    assert "rangepartitioning" not in exchanges  # no global sort
