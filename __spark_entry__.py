@@ -369,10 +369,21 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining pipeline runs after curation; mode='mix' — deterministic
     mixture rebalance (sample_to_mixture: per-lang counts → bigint-exact
     hash-gate cutoffs toward target weights en:2 de:1 fr:1 zh:1, es
-    dropped), one row per KEPT doc so the oracle pins the exact sample.
-    Every value is re-derived in DuckDB (md5 bucket + window prefix sum +
-    the same `div` cutoff arithmetic in SQL)."""
-    from avc_parser_spark.functions.text import pack_sequences, sample_to_mixture
+    dropped), one row per KEPT doc so the oracle pins the exact sample;
+    mode='ppl' — CCNet-style LM perplexity scoring (build_ngram_lm over
+    the doc_id%10<5 reference half, top-k-capped bigram table, stupid
+    backoff): per-bigram log-probs are stored as round(ln*1e6) LONGS so
+    every aggregate is an integer sum — order-independent and bit-exact
+    across engines. Planted doc_id%100==61 texts inject OOV tokens to
+    exercise all three backoff branches. Every value is re-derived in
+    DuckDB (md5 bucket + window prefix sum + the same `div` cutoff
+    arithmetic + the full LM build/score in SQL)."""
+    from avc_parser_spark.functions.text import (
+        build_ngram_lm,
+        lm_score,
+        pack_sequences,
+        sample_to_mixture,
+    )
 
     _views(spark, sf_dir, ["documents"])
     docs = spark.table("documents")
@@ -404,7 +415,29 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mix_cutoff").cast("long").alias("n2"),
         null_n.alias("n3"), null_n.alias("n4"), null_n.alias("n5"),
     )
-    return stats.unionByName(pack).unionByName(mix)
+    # ppl: plant OOV-bearing texts on doc_id%100==61 (a subset of the
+    # scored %50==11 docs, also inside the LM reference half — both
+    # engines apply the plant BEFORE the LM build, so they agree).
+    pdocs = spark.sql(
+        """
+        SELECT doc_id,
+               CASE WHEN doc_id % 100 = 61 THEN
+                 concat('zzqx', doc_id, ' unseenword', doc_id,
+                        ' entirely novel phrasing here')
+               ELSE text END AS text
+        FROM documents
+        """
+    )
+    lm = build_ngram_lm(pdocs.filter(F.col("doc_id") % 10 < 5))
+    ppl = lm_score(pdocs.filter(F.col("doc_id") % 50 == 11), lm).select(
+        F.lit("ppl").alias("mode"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("n_bigrams").cast("long").alias("n1"),
+        F.col("n_oov").alias("n2"),
+        F.col("logp_micro_sum").alias("n3"),
+        null_n.alias("n4"), null_n.alias("n5"),
+    )
+    return stats.unionByName(pack).unionByName(mix).unionByName(ppl)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2449,7 +2482,48 @@ def oracle_sql() -> dict[str, str]:
                      (('0x' || substr(md5(cast(d.doc_id as varchar)), 1, 4))::bigint
                         % 10000) AS bucket,
                      c.cutoff
-              FROM documents d JOIN mixcut c ON d.lang = c.lang)
+              FROM documents d JOIN mixcut c ON d.lang = c.lang),
+            ppl_docs AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 100 = 61 THEN
+                       'zzqx' || doc_id || ' unseenword' || doc_id
+                       || ' entirely novel phrasing here'
+                     ELSE text END AS text
+              FROM documents),
+            ppl_grams AS (
+              SELECT doc_id, u.r.w1 AS w1, u.r.w2 AS w2 FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(t) < 2 THEN [] ELSE
+                         list_transform(generate_series(1, len(t) - 1),
+                                        i -> {'w1': t[i], 'w2': t[i+1]}) END) AS r
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(
+                               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                               ' ') AS t
+                      FROM ppl_docs)) u),
+            ppl_ref AS (SELECT * FROM ppl_grams WHERE doc_id % 10 < 5),
+            ppl_uni AS (SELECT w1 AS w, count(*) AS c FROM ppl_ref GROUP BY w1),
+            ppl_bi AS (
+              SELECT w1, w2,
+                     cast(round(ln(c12 * 1.0 / c) * 1000000) as bigint) AS lp
+              FROM (SELECT w1, w2, count(*) AS c12
+                    FROM ppl_ref GROUP BY w1, w2) b
+              JOIN ppl_uni ON ppl_uni.w = b.w1
+              ORDER BY c12 DESC, w1, w2 LIMIT 50000),
+            ppl_tot AS (SELECT count(*) AS total FROM ppl_ref),
+            ppl_inst AS (
+              SELECT g.doc_id,
+                     CASE WHEN bi.lp IS NULL AND u2.c IS NULL
+                          THEN 1 ELSE 0 END AS oov,
+                     coalesce(bi.lp,
+                              cast(round(ln(0.4 * coalesce(u2.c, 0.5)
+                                            / ppl_tot.total) * 1000000)
+                                   as bigint)) AS lp
+              FROM ppl_grams g
+              LEFT JOIN ppl_bi bi ON bi.w1 = g.w1 AND bi.w2 = g.w2
+              LEFT JOIN ppl_uni u2 ON u2.w = g.w2
+              CROSS JOIN ppl_tot
+              WHERE g.doc_id % 50 = 11)
             SELECT 'stats' AS mode, lang AS k,
                    count(*) AS n1,
                    cast(sum(n_tokens) as bigint) AS n2,
@@ -2469,6 +2543,12 @@ def oracle_sql() -> dict[str, str]:
                    cast(null as bigint), cast(null as bigint),
                    cast(null as bigint)
             FROM mixkeep WHERE bucket < cutoff
+            UNION ALL
+            SELECT 'ppl', cast(doc_id as varchar),
+                   count(*), cast(sum(oov) as bigint),
+                   cast(sum(lp) as bigint),
+                   cast(null as bigint), cast(null as bigint)
+            FROM ppl_inst GROUP BY doc_id
         """,
         "dedup_exact": """
             WITH corpus AS (

@@ -383,3 +383,148 @@ def sample_to_mixture(
         .withColumn("mix_bucket", bucket)
         .filter(F.col("mix_bucket") < F.col("mix_cutoff"))
     )
+
+
+def _word_bigrams(text: Column) -> Column:
+    """Adjacent word-pair structs (w1, w2) over the shared shingle
+    normalization; empty for docs with <2 tokens."""
+    from avc_parser_spark.functions.dedup import normalized_text
+
+    toks = F.split(normalized_text(text), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
+    return F.when(n < 2, F.array()).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        )
+    )
+
+
+def build_ngram_lm(
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50_000,
+) -> dict[str, DataFrame]:
+    """Bigram language model from a reference corpus — the artifact behind
+    CCNet-style perplexity filtering (Wenzek et al. 2019 score CommonCrawl
+    against a Wikipedia-trained KenLM; the reference repo has no analog —
+    this is the corpus-curation step between lang-id and mixture sampling).
+
+    Returns {'bigrams': (w1, w2, logp_micro), 'unigrams': (w, c),
+    'total': one row (total)}. logp_micro = round(ln(c12/c1) * 1e6) stored
+    as a LONG: per-bigram rounding makes every downstream aggregate a sum
+    of integers — order-independent, so scores are bit-stable across
+    partitionings AND re-derivable in any engine (no float-sum drift).
+
+    100 TB shape: two hash-shuffled counts over the reference corpus, then
+    a DISTRIBUTED top-k (orderBy+limit = TakeOrderedAndProject — no global
+    sort partition) caps the bigram table at `top_k` rows with a
+    deterministic tie-break, so the scoring-side broadcast is bounded by
+    construction no matter how big the reference corpus is. Unigrams are
+    vocab-bounded already.
+    """
+    grams = ref_docs.select(
+        F.explode(_word_bigrams(F.col(text_col))).alias("g")
+    ).select("g.w1", "g.w2")
+    uni = grams.groupBy(F.col("w1").alias("w")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # unigram counts over w1 positions: every token but the doc-final one.
+    # Consistent numerator/denominator (c12 sums to c1 over w2) is what
+    # matters for a filtering score, not inclusive last-token counting.
+    bi = (
+        grams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .join(uni, F.col("w1") == F.col("w"))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(F.log(F.col("c12") / F.col("c")) * 1_000_000)
+            .cast("long")
+            .alias("logp_micro"),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(top_k)
+        .drop("c12")
+    )
+    total = grams.groupBy().agg(F.count(F.lit(1)).alias("total"))
+    return {"bigrams": bi, "unigrams": uni, "total": total}
+
+
+def lm_score(
+    docs: DataFrame,
+    lm: dict[str, DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Score docs under the bigram LM with stupid backoff: a bigram in the
+    (top-k capped) LM contributes its stored logp_micro; a missing bigram
+    backs off to round(ln(alpha * c(w2) / total) * 1e6) with c=0.5 for
+    out-of-vocabulary w2. Returns one row per doc with >=1 bigram:
+    (id, n_bigrams, n_oov, logp_micro_sum, ppl) where ppl =
+    exp(-mean logprob) — the CCNet filter threshold quantity.
+
+    100 TB shape: the LM tables are explicitly broadcast (bigrams capped
+    at top_k, unigrams vocab-bounded, total one row), so the train corpus
+    is ONE narrow pass — explode, two broadcast left joins, one partial-
+    aggregated groupBy on doc id. Same shape as the decontamination op.
+    """
+    bi = F.broadcast(
+        lm["bigrams"].withColumnRenamed("logp_micro", "_lp")
+    )
+    uni = F.broadcast(
+        lm["unigrams"].select(
+            F.col("w").alias("w2"), F.col("c").alias("_c2")
+        )
+    )
+    total = F.broadcast(lm["total"])
+    inst = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(_word_bigrams(F.col(text_col))).alias("g"),
+        )
+        .select("_id", "g.w1", "g.w2")
+        .join(bi, ["w1", "w2"], "left")
+        .join(uni, ["w2"], "left")
+        .crossJoin(total)
+        .select(
+            "_id",
+            F.when(F.col("_lp").isNull() & F.col("_c2").isNull(), 1)
+            .otherwise(0)
+            .alias("_oov"),
+            F.coalesce(
+                F.col("_lp"),
+                F.round(
+                    F.log(
+                        F.lit(alpha)
+                        * F.coalesce(F.col("_c2"), F.lit(0.5))
+                        / F.col("total")
+                    )
+                    * 1_000_000
+                ).cast("long"),
+            ).alias("_lp_eff"),
+        )
+    )
+    return (
+        inst.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_oov").cast("long").alias("n_oov"),
+            F.sum("_lp_eff").alias("logp_micro_sum"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_bigrams",
+            "n_oov",
+            "logp_micro_sum",
+            F.round(
+                F.exp(-F.col("logp_micro_sum") / 1e6 / F.col("n_bigrams")), 4
+            ).alias("ppl"),
+        )
+    )

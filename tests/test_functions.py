@@ -1492,3 +1492,58 @@ def test_paragraph_dedup_matches_duckdb_full_algorithm(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_lm_score_backoff_branches(spark):
+    """Stupid-backoff arithmetic, re-derived by hand for all three
+    branches: bigram in LM (ln(c12/c1)), backoff to a seen unigram
+    (ln(0.4*c2/total)), and OOV (ln(0.4*0.5/total), counted in n_oov)."""
+    import math
+
+    from avc_parser_spark.functions.text import build_ngram_lm, lm_score
+
+    ref = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the cat ran"), (2, "the dog sat")],
+        ["doc_id", "text"],
+    )
+    # ref bigrams: (the,cat)x2 (the,dog) (cat,sat) (cat,ran) (dog,sat)
+    # w1 counts: the=3 cat=2 dog=1 ; total=6
+    lm = build_ngram_lm(ref)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["n_oov"], r["logp_micro_sum"])
+        for r in lm_score(
+            spark.createDataFrame(
+                [(10, "the cat"), (11, "sat the"), (12, "qq zz")],
+                ["doc_id", "text"],
+            ),
+            lm,
+        ).collect()
+    }
+    mic = lambda p: int(round(math.log(p) * 1_000_000))
+    assert got[10] == (1, 0, mic(2 / 3))            # in LM
+    # (sat,the): not a ref bigram, 'the' seen as w2? c2 = count of 'the'
+    # as a *w1-position* unigram = 3 -> backoff ln(0.4*3/6)
+    assert got[11] == (1, 0, mic(0.4 * 3 / 6))
+    assert got[12] == (1, 1, mic(0.4 * 0.5 / 6))    # OOV w2
+    # single-token / empty docs produce no bigrams and no row
+    assert lm_score(
+        spark.createDataFrame([(20, "word"), (21, "")], ["doc_id", "text"]),
+        lm,
+    ).count() == 0
+
+
+def test_build_ngram_lm_top_k_cap_deterministic(spark):
+    """The top_k cap keeps the HIGHEST-count bigrams with a deterministic
+    (count desc, w1, w2) tie-break — the broadcast stays bounded no matter
+    the reference corpus size."""
+    from avc_parser_spark.functions.text import build_ngram_lm
+
+    ref = spark.createDataFrame(
+        [(i, "aa bb aa bb cc dd") for i in range(5)], ["doc_id", "text"]
+    )
+    # counts: (aa,bb)=10, (bb,aa)=5, (bb,cc)=5, (cc,dd)=5
+    kept = {
+        (r["w1"], r["w2"])
+        for r in build_ngram_lm(ref, top_k=2)["bigrams"].collect()
+    }
+    assert kept == {("aa", "bb"), ("bb", "aa")}

@@ -454,3 +454,27 @@ def test_paragraph_dedup_plan_no_window(spark):
     exchanges = re.findall(r"Exchange (\w+)", plan)
     assert exchanges.count("hashpartitioning") <= 3
     assert "rangepartitioning" not in exchanges  # no global sort
+
+def test_lm_score_plan_broadcast_one_pass(spark):
+    """Scoring is ONE narrow pass over the corpus: both LM joins are
+    broadcast (no shuffle of the big side on the join keys), the LM build
+    top-k is a distributed TakeOrdered (no global sort partition), and the
+    only corpus-sized exchange is the final per-doc groupBy."""
+    from avc_parser_spark.functions.text import build_ngram_lm, lm_score
+
+    docs = (
+        spark.range(0, 2000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "text",
+            F.concat(F.lit("common words document number "), F.col("doc_id")),
+        )
+    )
+    lm = build_ngram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    plan = (
+        lm_score(docs, lm)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # the top-k LM cap
