@@ -124,6 +124,8 @@ def main() -> None:
         "dedup_resolve",
         "corpus_curation",
         "ann_suite",
+        "ngram_overlap_suite",
+        "token_suite",
     ] if qmap else []:
         try:
             queries[name] = timed(lambda n=name: qmap[n](spark, SF_DIR).count())
