@@ -5,8 +5,9 @@ pipeline over documents instead of a CLI over denials).
 
 canonicalize_url → URL-level exact dedup → MinHash+LSH near-dup candidates →
 n-gram Jaccard verification → connected-component resolution (keep cluster
-keepers) → train/eval n-gram decontamination → deterministic split
-assignment → optional hive-partitioned write of the surviving corpus.
+keepers) → train/eval n-gram decontamination → optional LM perplexity
+filter (CCNet) → deterministic split assignment → optional hive-partitioned
+write of the surviving corpus.
 
 Every stage is individually verified by its own query/pytest; this module
 owns the COMPOSITION. Scale audit of the chain at 100 TB:
@@ -16,6 +17,8 @@ owns the COMPOSITION. Scale audit of the chain at 100 TB:
   (max_bucket cap), verification joins only candidate pairs.
 - Resolution: edges ≤ buckets × C(max_bucket, 2); O(log d) rounds.
 - Decontamination: eval grams BROADCAST; clean-doc grams die map-side.
+- LM filter: the (top-k capped) LM tables BROADCAST; scoring is one
+  narrow pass + one partial-aggregated groupBy on doc id.
 - Split: pure function of doc id, no shuffle.
 - Drops apply as left_anti joins on the (small) drop sets, so the full
   corpus streams through exactly once per stage boundary.
@@ -47,6 +50,8 @@ def curate_corpus(
     jaccard_threshold: float = 0.5,
     pair_filter: Column | None = None,
     contam_n: int = 8,
+    lm: dict[str, DataFrame] | None = None,
+    max_ppl: float | None = None,
     weights: dict[str, float] | None = None,
     split_method: str = "md5",
 ) -> DataFrame:
@@ -59,6 +64,12 @@ def curate_corpus(
 
     `eval_docs` (id + text of the benchmark/eval suite) enables the
     decontamination stage; None skips it.
+
+    `lm` (a build_ngram_lm result) + `max_ppl` enable the CCNet-style
+    perplexity filter: surviving docs scoring ppl > max_ppl under the
+    reference LM are dropped (docs too short to score — <2 tokens — are
+    kept; perplexity is undefined for them, and dropping on missing
+    evidence would silently bias toward long docs).
     """
     # 1. canonical URL + exact URL-level dedup: keeper = min id per canon.
     #    One shuffle (window over canon_url); at warehouse scale the corpus
@@ -107,7 +118,20 @@ def curate_corpus(
         )
         s2 = s2.join(contam.select(id_col), id_col, "left_anti")
 
-    # 4. deterministic split assignment (md5 default: SQL-portable, so any
+    # 4. LM perplexity filter: drop surviving docs the reference LM finds
+    #    implausible (ppl > max_ppl). Drop set is hits-only, applied as a
+    #    left_anti like the other stages.
+    if lm is not None and max_ppl is not None:
+        from avc_parser_spark.functions.text import lm_score
+
+        ppl_drops = (
+            lm_score(s2, lm, text_col=text_col, id_col=id_col)
+            .filter(F.col("ppl") > max_ppl)
+            .select(id_col)
+        )
+        s2 = s2.join(ppl_drops, id_col, "left_anti")
+
+    # 5. deterministic split assignment (md5 default: SQL-portable, so any
     #    engine can re-derive the exact train/val/test membership).
     return split_by_hash(s2, weights, id_col=id_col, method=split_method)
 

@@ -93,3 +93,36 @@ def test_split_by_hash_md5_portable(spark):
         bucket = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 10_000
         want = "train" if bucket < 9000 else ("val" if bucket < 9500 else "test")
         assert out[i] == want, (i, bucket)
+
+
+def test_curate_corpus_lm_perplexity_filter(spark):
+    """lm + max_ppl drop surviving docs the reference LM finds implausible;
+    clean docs and too-short-to-score docs are kept. The LM is trained on
+    the corpus domain (the CCNet pattern: reference LM over in-domain
+    text), so every in-domain doc scores well below the all-OOV backoff
+    ceiling the gibberish doc hits."""
+    from avc_parser_spark.functions.curation import curate_corpus
+    from avc_parser_spark.functions.text import build_ngram_lm, lm_score
+
+    corpus = _corpus(spark).unionByName(
+        spark.createDataFrame(
+            [
+                (20, "https://site.com/junk", "qzx wvb kjh plm ytr qzx nmk"),
+                (21, "https://site.com/tiny", "solo"),
+            ],
+            "doc_id long, url string, text string",
+        )
+    )
+    lm = build_ngram_lm(_corpus(spark))
+    # pick a threshold between the clean docs' max ppl and the junk doc's
+    scored = {
+        r["doc_id"]: r["ppl"]
+        for r in lm_score(corpus, lm).collect()
+    }
+    clean_max = max(p for d, p in scored.items() if d != 20)
+    assert scored[20] > clean_max * 2
+    cutoff = (clean_max + scored[20]) / 2
+    out = curate_corpus(corpus, _evals(spark), lm=lm, max_ppl=cutoff)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # 20 dropped by the LM filter; 21 (<2 tokens, unscoreable) kept
+    assert ids == [0, 2] + list(range(6, 12)) + [21]
