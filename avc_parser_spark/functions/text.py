@@ -6,6 +6,7 @@ stay inside whole-stage codegen; none of these need Python.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -528,3 +529,167 @@ def lm_score(
             ).alias("ppl"),
         )
     )
+
+
+def _bpe_merge_expr(symbols: Column, a: str, b: str) -> Column:
+    """Left-fold one BPE merge over a symbol array natively: append each
+    symbol unless the accumulator's last element is `a` and the incoming
+    symbol is `b`, in which case replace the last element with a||b. A
+    single look-back fold IS leftmost-greedy non-overlapping merging (the
+    Sennrich/GPT-2 rule); the Python differential reference implements
+    the identical fold."""
+    return F.aggregate(
+        symbols,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), x)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 50,
+    min_pair_count: int = 2,
+    end_of_word: str = "</w>",
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Distributed BPE merge learning (Sennrich et al. 2016 / the GPT-2
+    tokenizer-training recipe; no reference-repo analog — this is the
+    vocabulary step a pretraining pipeline runs over the curated corpus).
+
+    100 TB shape: the corpus crosses a shuffle exactly ONCE (normalized
+    word counts). Every merge round then operates on the DISTINCT-word
+    (symbols, count) table — Zipf-bounded vocabulary, orders of magnitude
+    smaller than the corpus: explode adjacent symbol pairs weighted by
+    word count → partial-aggregated groupBy pair → distributed top-1
+    (orderBy+limit(1) = TakeOrderedAndProject) with a deterministic
+    (count desc, a, b) tie-break → collect ONE row → apply the merge with
+    a native fold. Driver state is one pair per round plus the returned
+    merge list — bounded by num_merges. localCheckpoint every
+    `checkpoint_every` rounds truncates the per-round fold lineage (the
+    resolve_clusters planner-growth lesson).
+    """
+    from avc_parser_spark.functions.dedup import normalized_text
+
+    vocab = (
+        docs.select(
+            F.explode(
+                F.split(normalized_text(F.col(text_col)), " ")
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.concat(
+                F.split(F.col("w"), ""), F.array(F.lit(end_of_word))
+            ).alias("s"),
+            "c",
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for r in range(num_merges):
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.when(
+                        F.size("s") < 2, F.expr(
+                            "cast(array() as array<struct<a:string,b:string>>)"
+                        )
+                    ).otherwise(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("s") - 1),
+                            lambda i: F.struct(
+                                F.element_at(F.col("s"), i).alias("a"),
+                                F.element_at(F.col("s"), i + 1).alias("b"),
+                            ),
+                        )
+                    )
+                ).alias("p"),
+                "c",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("c").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not pairs or pairs[0]["n"] < min_pair_count:
+            break
+        a, b = pairs[0]["a"], pairs[0]["b"]
+        merges.append((a, b))
+        vocab = vocab.select(_bpe_merge_expr(F.col("s"), a, b).alias("s"), "c")
+        if (r + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint()
+    return merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Apply a learned merge list: adds `bpe_tokens` (array<string>).
+    Runs as ONE Arrow-batched pass with the merge list carried in the
+    closure (broadcast-sized by construction: num_merges entries) — the
+    per-merge fold is inherently sequential per word, the same sanctioned
+    per-payload class as the media decoders; chaining 50 native fold
+    expressions instead re-inlines into one giant codegen tree (the
+    winnowing lesson)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word) + [end_of_word]
+        while len(syms) > 1:
+            best = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best[0]):
+                    best = (r, i)
+            if best is None:
+                break
+            a, b = merges[best[0]]
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    @pandas_udf(ArrayType(StringType()))
+    def enc(texts: pd.Series) -> pd.Series:
+        import re as _re
+
+        cache: dict[str, list[str]] = {}
+
+        def doc(t):
+            t = _re.sub(r"\s+", " ", (t or "").strip().lower())
+            toks: list[str] = []
+            for w in t.split(" "):
+                if not w:
+                    continue
+                if w not in cache:
+                    cache[w] = encode_word(w)
+                toks.extend(cache[w])
+            return toks
+
+        return texts.map(doc)
+
+    return docs.withColumn("bpe_tokens", enc(F.col(text_col)))

@@ -1547,3 +1547,85 @@ def test_build_ngram_lm_top_k_cap_deterministic(spark):
         for r in build_ngram_lm(ref, top_k=2)["bigrams"].collect()
     }
     assert kept == {("aa", "bb"), ("bb", "aa")}
+
+
+def _bpe_reference_trainer(texts, num_merges=50, min_pair_count=2,
+                           eow="</w>"):
+    """Pure-Python Sennrich-style BPE trainer with EXACTLY train_bpe's
+    semantics: whitespace-normalized lowercase words, (count desc, a, b)
+    tie-break, leftmost-greedy single-look-back fold per merge."""
+    import re
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        t = re.sub(r"\s+", " ", (t or "").strip().lower())
+        for w in t.split(" "):
+            if w:
+                vocab[w] += 1
+    words = {w: list(w) + [eow] for w in vocab}
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += vocab[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        for w, syms in words.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            words[w] = out
+    return merges
+
+
+def test_train_bpe_differential_vs_python_reference(spark):
+    """Distributed BPE training must reproduce the scalar reference
+    trainer merge-for-merge (same counts, same deterministic tie-break)."""
+    from avc_parser_spark.functions.text import train_bpe
+
+    texts = [
+        "low lower lowest newest newest widest",
+        "new new newer newest low low low",
+        "the cat sat on the mat the cat ran",
+        "banana bandana ban banana",
+    ] * 3
+    got = train_bpe(
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        ),
+        num_merges=25,
+    )
+    want = _bpe_reference_trainer(texts, num_merges=25)
+    assert got == want
+    assert len(got) == 25  # corpus is rich enough to fill every round
+
+
+def test_bpe_encode_applies_merges(spark):
+    """bpe_encode applies the learned merges by rank (GPT-2 rule) with
+    word caching; untouched words fall back to chars+end-of-word."""
+    from avc_parser_spark.functions.text import bpe_encode, train_bpe
+
+    docs = spark.createDataFrame(
+        [(0, "low low low lower lowest")], ["doc_id", "text"]
+    )
+    merges = train_bpe(docs, num_merges=10, min_pair_count=2)
+    rows = bpe_encode(
+        spark.createDataFrame([(1, "low lowest zz")], ["doc_id", "text"]),
+        merges,
+    ).collect()
+    toks = rows[0]["bpe_tokens"]
+    # 'low' was the most frequent word -> fully merged to one token
+    assert toks[0] == "low</w>"
+    # unseen word: no merges apply beyond learned ones; chars survive
+    assert toks[-2:] == ["z", "z</w>"] or toks[-1].endswith("</w>")
+    assert "".join(toks).replace("</w>", " ").strip() == "low lowest zz"
