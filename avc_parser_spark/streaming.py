@@ -42,6 +42,40 @@ def stream_events(pages_stream: DataFrame) -> DataFrame:
     return parse_pages(pages_stream)
 
 
+def stream_dedup_exact(
+    pages: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Ingest-time exact dedup: drop pages whose md5(normalized text)
+    digest was already seen within the watermark horizon — Spark's
+    stateful dropDuplicatesWithinWatermark operator, so dedup state is
+    BOUNDED (keys older than the watermark are evicted) instead of
+    growing forever like a naive dropDuplicates on an unbounded stream.
+
+    This is the streaming twin of functions/dedup.py::exact_duplicates:
+    the batch op finds all duplicates after the fact; this one admits
+    only first-seen digests at ingest. Cross-horizon dups are the stored
+    sketch table's job (minhash_delta_candidates) — the two compose into
+    the operational 100 TB ingest pattern: cheap in-horizon exact dedup
+    at the edge, stored-sketch near-dedup per batch behind it.
+
+    State shape at scale: one row per distinct digest inside the
+    watermark window, hash-partitioned by digest across executors; the
+    eviction is event-time driven, so a replayed backfill with old
+    timestamps cannot balloon the state.
+    """
+    from avc_parser_spark.functions.dedup import normalized_text
+
+    return (
+        pages.withColumn("digest", F.md5(normalized_text(F.col(text_col))))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["digest"])
+    )
+
+
+
 def stream_lang_hour_rollup(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -478,3 +478,66 @@ def test_lm_score_plan_broadcast_one_pass(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan  # the top-k LM cap
+
+
+def test_stream_dedup_exact_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark admits the first-seen digest and
+    drops in-horizon repeats across micro-batches; once the watermark
+    passes a key's horizon its state is evicted (at end-of-batch — the
+    engine's cleanup runs after processing, so re-admission lands one
+    batch later) and the digest is admitted again: bounded state, the
+    point of the operator."""
+    import os
+    import time
+    from datetime import datetime
+
+    from avc_parser_spark.streaming import stream_dedup_exact
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    ddl = (
+        "url string, warc_ts timestamp, html binary, text string,"
+        " lang string"
+    )
+    t = lambda h, m: datetime(2025, 1, 1, h, m)  # noqa: E731
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(landing, name))
+        time.sleep(1.1)  # distinct mod-times keep file->batch order stable
+
+    write_batch("b1", [
+        ("u1", t(0, 0), None, "alpha body", "en"),
+        ("u2", t(0, 1), None, "Alpha   BODY", "en"),  # same normalized text
+        ("u3", t(0, 2), None, "beta body", "en"),
+    ])
+    write_batch("b2", [
+        ("u4", t(0, 30), None, "alpha body", "en"),   # in-horizon dup
+        ("u5", t(9, 0), None, "gamma body", "en"),    # advances watermark
+    ])
+    # watermark is 08:00 DURING b3 (alpha expired 01:00) but cleanup runs
+    # at end-of-batch: u6 still sees the stale key, u7 is re-admitted.
+    write_batch("b3", [("u6", t(9, 5), None, "alpha body", "en")])
+    write_batch("b4", [("u7", t(9, 10), None, "alpha body", "en")])
+    # the re-admitted key opens a fresh horizon: u8 is a dup again
+    write_batch("b5", [("u8", t(9, 15), None, "alpha body", "en")])
+
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing + "/*")
+    )
+    q = (
+        stream_dedup_exact(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sdedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    rows = spark.table("sdedup_test").collect()
+    assert sorted(r["url"] for r in rows) == ["u1", "u3", "u5", "u7"]
+    assert all(r["digest"] for r in rows)
