@@ -13,6 +13,8 @@ Every stage is individually verified by its own query/pytest; this module
 owns the COMPOSITION. Scale audit of the chain at 100 TB:
 
 - URL dedup: one shuffle on canon_url (window min), no driver state.
+- Blocklist: broadcast anti-join, dies map-side; cap: one window
+  shuffle on domain (the cap itself bounds what any hot domain emits).
 - Near-dup: sketch is narrow, bucket groupBy is one bounded shuffle
   (max_bucket cap), verification joins only candidate pairs.
 - Resolution: edges ≤ buckets × C(max_bucket, 2); O(log d) rounds.
@@ -50,13 +52,24 @@ def curate_corpus(
     jaccard_threshold: float = 0.5,
     pair_filter: Column | None = None,
     contam_n: int = 8,
+    blocked_domains: list[str] | None = None,
+    max_per_domain: int | None = None,
     lm: dict[str, DataFrame] | None = None,
     max_ppl: float | None = None,
     weights: dict[str, float] | None = None,
     split_method: str = "md5",
 ) -> DataFrame:
     """Run the full curation chain; returns the SURVIVING corpus with
-    `canon_url` and `split` columns added.
+    `canon_url`, `domain` and `split` columns added.
+
+    `blocked_domains` drops every doc whose registered host appears in
+    the (broadcast) blocklist — the C4 badlist pattern; applied FIRST
+    so blocked docs never reach the expensive sketching stages.
+
+    `max_per_domain` caps any one domain's contribution (the C4/Gopher
+    anti-spam rule): the K keepers per domain are the smallest
+    md5(doc_id) values — a deterministic pseudo-random sample any engine
+    can re-derive, not "first K in scan order".
 
     `pair_filter` optionally restricts which verified near-dup pairs feed
     the resolver (e.g. a demo corpus's known dup universe); production runs
@@ -77,6 +90,10 @@ def curate_corpus(
     w = Window.partitionBy("canon_url")
     s1 = (
         docs.withColumn("canon_url", canonicalize_url(F.col(url_col)))
+        .withColumn(
+            "domain",
+            F.regexp_extract(F.col("canon_url"), r"^[a-z]+://([^/:?#]+)", 1),
+        )
         .withColumn("_url_keeper", F.min(id_col).over(w))
         .filter(F.col(id_col) == F.col("_url_keeper"))
         .drop("_url_keeper")
@@ -85,8 +102,28 @@ def curate_corpus(
         # canonicalize+window lineage per stage. MEMORY_AND_DISK spills at
         # scale; a 100 TB deployment would materialize this boundary as a
         # table (write once, read per stage) — same shape.
-        .persist()
     )
+
+    # 1b. domain blocklist (broadcast anti-join — blocked docs die before
+    #     any sketching) and per-domain cap (one window shuffle on domain;
+    #     keepers = smallest md5(id) per domain, deterministic).
+    if blocked_domains:
+        bl = F.broadcast(
+            docs.sparkSession.createDataFrame(
+                [(d,) for d in blocked_domains], ["domain"]
+            )
+        )
+        s1 = s1.join(bl, "domain", "left_anti")
+    if max_per_domain is not None:
+        wd = Window.partitionBy("domain").orderBy(
+            F.md5(F.col(id_col).cast("string")), F.col(id_col)
+        )
+        s1 = (
+            s1.withColumn("_dom_rank", F.row_number().over(wd))
+            .filter(F.col("_dom_rank") <= max_per_domain)
+            .drop("_dom_rank")
+        )
+    s1 = s1.persist()
 
     # 2. text near-dup: candidates → Jaccard verify → connected components →
     #    drop everything but each cluster's keeper (min id). The corpus is

@@ -126,3 +126,39 @@ def test_curate_corpus_lm_perplexity_filter(spark):
     ids = sorted(r["doc_id"] for r in out.collect())
     # 20 dropped by the LM filter; 21 (<2 tokens, unscoreable) kept
     assert ids == [0, 2] + list(range(6, 12)) + [21]
+
+
+def test_curate_corpus_domain_blocklist_and_cap(spark):
+    """blocked_domains drops every doc from listed hosts before any
+    sketching; max_per_domain keeps the K smallest-md5(id) docs per
+    domain — re-derived here, so the selection is pinned, not just
+    counted."""
+    import hashlib
+
+    from avc_parser_spark.functions.curation import curate_corpus
+
+    rows = [
+        (i, f"https://spam.example/p{i}",
+         f"spam farm page number {i} words {i * 13}")
+        for i in range(10)
+    ] + [
+        (100 + i, f"https://ok.example/p{i}",
+         f"good page number {i} body {i * 11}")
+        for i in range(4)
+    ] + [
+        (200, "https://blocked.example/x", "blocked host page body words"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = curate_corpus(
+        corpus,
+        None,
+        blocked_domains=["blocked.example"],
+        max_per_domain=3,
+    )
+    got = sorted(r["doc_id"] for r in out.collect())
+    md5 = lambda i: hashlib.md5(str(i).encode()).hexdigest()  # noqa: E731
+    want_spam = sorted(sorted(range(10), key=lambda i: (md5(i), i))[:3])
+    want_ok = sorted(sorted(range(100, 104), key=lambda i: (md5(i), i))[:3])
+    assert got == want_spam + want_ok
+    doms = {r["doc_id"]: r["domain"] for r in out.collect()}
+    assert all(d in ("spam.example", "ok.example") for d in doms.values())
