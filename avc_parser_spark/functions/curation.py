@@ -181,3 +181,82 @@ def write_curated(
     (same stored-layout contract as the IVF/LSH tables: the partition filter
     must show up in the scan, test-gated in tests/test_curation.py)."""
     curated.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def write_sharded(
+    curated: DataFrame,
+    path: str,
+    target_shard_mb: int = 256,
+    text_col: str = "text",
+    partition_col: str = "split",
+) -> dict[str, int]:
+    """Materialize the corpus hive-partitioned with CONTROLLED shard
+    sizes: per partition value, measure the actual text bytes, derive
+    n_shards = ceil(bytes / target), and repartition that split to
+    exactly n_shards files before writing. Returns {split: n_shards}.
+
+    Why this exists: at 100 TB, `df.write.partitionBy(...)` emits one
+    file per (task × partition-value) — either thousands of tiny files
+    (the small-files problem: naming, listing and open() overhead
+    dominate downstream reads) or multi-GB monsters a single training
+    reader must stream alone. Sizing shards from MEASURED bytes keeps
+    both failure modes out. The per-split byte totals are one partial-
+    aggregated groupBy (a few rows to the driver — bounded by the
+    number of splits); each split then writes independently, so the
+    repartition exchange is sized to that split alone.
+    """
+    import math
+
+    sizes = {
+        r[partition_col]: int(r["_bytes"])
+        for r in curated.groupBy(partition_col)
+        .agg(F.sum(F.octet_length(F.col(text_col))).alias("_bytes"))
+        .collect()
+    }
+    shards: dict[str, int] = {}
+    target = max(1, target_shard_mb) * 1024 * 1024
+    for split_val, nbytes in sorted(sizes.items()):
+        n = max(1, math.ceil(nbytes / target))
+        shards[split_val] = n
+        (
+            curated.filter(F.col(partition_col) == split_val)
+            .repartition(n)
+            .write.mode("overwrite")
+            .parquet(f"{path}/{partition_col}={split_val}")
+        )
+    return shards
+
+
+def corpus_report(
+    curated: DataFrame,
+    text_col: str = "text",
+    partition_col: str = "split",
+    lang_col: str | None = None,
+) -> DataFrame:
+    """Data-card rollup over the curated corpus: per split (× lang when
+    available) doc count, total/mean text bytes, whitespace-token total,
+    and distinct-domain count. One GROUPING SETS pass (split totals and
+    split×lang breakdown share the scan); everything is a partial-
+    aggregated exact count except n_domains (exact count_distinct —
+    acceptable because domains are vocabulary-bounded; swap for
+    approx_count_distinct at extreme cardinalities)."""
+    from avc_parser_spark.functions.text import token_count
+
+    keys = [partition_col] + ([lang_col] if lang_col else [])
+    base = curated.withColumn("_tok", token_count(F.col(text_col)))
+    gb = (
+        base.groupingSets([keys, [partition_col]], *[F.col(k) for k in keys])
+        if lang_col
+        else base.groupBy(partition_col)
+    )
+    return gb.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.octet_length(F.col(text_col))).alias("text_bytes"),
+        F.round(F.avg(F.octet_length(F.col(text_col))), 2).alias("mean_bytes"),
+        F.sum("_tok").alias("tokens"),
+        (
+            F.count_distinct(F.col("domain"))
+            if "domain" in curated.columns
+            else F.lit(None).cast("long")
+        ).alias("n_domains"),
+    )
