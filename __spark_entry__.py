@@ -707,18 +707,27 @@ def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
       exactly 1, same LSH bucket by construction → recall 1), restricted
       to the planted pairs so components stay enumerable ⇒ keeper =
       pair minimum. Proves the resolver is strategy-agnostic where users
-      mix edge sources (text + embedding dedup in one pass).
+      mix edge sources (text + embedding dedup in one pass);
+    - 'semdedup' (round 5): edges from semantic_dedup_pairs (SemDeDup,
+      Abbas et al. 2023 — k-means cluster then within-cluster cosine) over
+      a fully-determined plant: 4 clusters on disjoint 16-dim blocks
+      (block-indicator centroids ⇒ provable assignment), members one-hot
+      on distinct in-block dims (non-dup cosine exactly 0), vec_id%8>=4 a
+      2.5×-scaled copy of vec_id−4 (cosine exactly 1) ⇒ the pair set is
+      exactly the planted copies and keeper = vec_id−4, enumerable in
+      DuckDB.
     Docs with no candidate pair keep themselves (left-join + coalesce), so
     the output is a full keep/drop assignment at every scale factor.
 
-    All three strategies resolve in ONE propagation loop: minhash vertex
-    ids are offset by 2^40 and embedding vertex ids by 2^41 so components
-    can never cross strategies (both offsets vanish mod 2^40 on output),
-    and the iterative fixed costs (2 joins + a scalar count per round) are
-    paid once instead of per strategy."""
+    All four strategies resolve in ONE propagation loop: minhash vertex
+    ids are offset by 2^40, embedding by 2^41, semdedup by 2^42 so
+    components can never cross strategies (every offset vanishes mod 2^40
+    on output), and the iterative fixed costs (2 joins + a scalar count
+    per round) are paid once instead of per strategy."""
     from avc_parser_spark.functions.dedup import (
         embedding_near_dups,
         resolve_clusters,
+        semantic_dedup_pairs,
     )
 
     _views(spark, sf_dir, ["documents", "embeddings"])
@@ -765,14 +774,46 @@ def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("b") == F.col("a") + 1) & (F.col("b") % 10 == 1)
     )
 
+    # semdedup: one-hot block plant (see docstring) over vec_id < 64 —
+    # reuses the IVF block-indicator centroids (same 64-dim, 4-group
+    # geometry), so cluster assignment is provable, not trained.
+    sem_emb = spark.sql(
+        """
+        SELECT vec_id,
+               transform(sequence(0, 63), d ->
+                 case when d = 16 * cast(vec_id % 4 as int)
+                           + cast((cast(floor(vec_id / 4) as int)
+                                   - case when vec_id % 8 >= 4 then 1 else 0 end)
+                                  % 16 as int)
+                      then cast(case when vec_id % 8 >= 4 then 2.5 else 1.0 end
+                                as double)
+                      else cast(0.0 as double) end) AS embedding
+        FROM embeddings WHERE vec_id < 64
+        """
+    )
+    sem_pairs = semantic_dedup_pairs(
+        sem_emb, _ivf_plant_centroids(), threshold=0.9
+    )
+
     emb_off = 1 << 41
-    all_pairs = chain_pairs.unionByName(
-        mh_pairs.select(
-            (F.col("a") + off).alias("a"), (F.col("b") + off).alias("b")
+    sem_off = 1 << 42
+    all_pairs = (
+        chain_pairs.unionByName(
+            mh_pairs.select(
+                (F.col("a") + off).alias("a"), (F.col("b") + off).alias("b")
+            )
         )
-    ).unionByName(
-        emb_pairs.select(
-            (F.col("a") + emb_off).alias("a"), (F.col("b") + emb_off).alias("b")
+        .unionByName(
+            emb_pairs.select(
+                (F.col("a") + emb_off).alias("a"),
+                (F.col("b") + emb_off).alias("b"),
+            )
+        )
+        .unionByName(
+            sem_pairs.select(
+                (F.col("a") + sem_off).alias("a"),
+                (F.col("b") + sem_off).alias("b"),
+            )
         )
     )
     resolved = resolve_clusters(all_pairs)
@@ -788,6 +829,10 @@ def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'embedding' AS strategy, vec_id AS doc_id,
                vec_id + {emb_off} AS vid
         FROM embeddings WHERE vec_id % 10 IN (0, 1)
+        UNION ALL
+        SELECT 'semdedup' AS strategy, vec_id AS doc_id,
+               vec_id + {sem_off} AS vid
+        FROM embeddings WHERE vec_id < 64
         """
     )
     return (
@@ -1375,10 +1420,19 @@ def q_ngram_overlap_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       intra-doc repeats). The oracle runs the COMPLETE algorithm in DuckDB
       (split -> global min-(id,pos) instance -> ordered string_agg), so the
       reassembled text itself is checked: k1 = 16-bit md5 slice of the
-      deduped text, k2 = paragraphs kept."""
+      deduped text, k2 = paragraphs kept;
+    - 'substr': Lee-et-al EXACT-SUBSTRING dedup (substring_dedup, k=8
+      windows): planted docs share a 14-token sentence + a per-doc tail
+      token, so every non-canonical copy loses the shared region wholesale
+      while the globally-first doc survives verbatim. Both engines run the
+      COMPLETE algorithm — global window firsts over every doc, reassembly
+      bounded to the planted set (the same plan Catalyst derives from the
+      doc-id filter): k1 = 16-bit md5 slice of the deduped text,
+      k2 = tokens kept."""
     from avc_parser_spark.functions.dedup import (
         ngram_contamination,
         paragraph_dedup,
+        substring_dedup,
         winnow_candidates_from_fps,
         winnow_fingerprints,
         winnow_jaccard_from_fps,
@@ -1491,8 +1545,37 @@ def q_ngram_overlap_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("paragraphs_kept").cast("double").alias("k2"),
         )
     )
+    # substr: duplicated >=8-token window removal over the full corpus;
+    # the doc-id filter pushes into the hits join's instance side but NOT
+    # into the global firsts aggregate, so "planted docs deduped against
+    # the whole corpus" is the executed plan.
+    sdocs = spark.sql(
+        """
+        SELECT doc_id,
+               CASE WHEN doc_id % 30 = 11 AND doc_id < 500 THEN
+                 concat('the quick brown fox jumps over the lazy dog again',
+                        ' unique tail for document ', doc_id)
+               ELSE text END AS text
+        FROM documents
+        """
+    )
+    substr = (
+        substring_dedup(sdocs, k=8)
+        .filter((F.col("doc_id") % 30 == 11) & (F.col("doc_id") < 500))
+        .select(
+            F.lit("substr").alias("mode"),
+            F.col("doc_id").alias("a"),
+            F.conv(F.substring(F.md5("text_dedup"), 1, 4), 16, 10)
+            .cast("double")
+            .alias("k1"),
+            F.col("tokens_kept").cast("double").alias("k2"),
+        )
+    )
     return (
-        adjacent.unionByName(contam).unionByName(winnow).unionByName(paradedup)
+        adjacent.unionByName(contam)
+        .unionByName(winnow)
+        .unionByName(paradedup)
+        .unionByName(substr)
     )
 
 
@@ -2872,7 +2955,54 @@ def oracle_sql() -> dict[str, str]:
                      count(*) AS kept
               FROM pd_inst i JOIN pd_first f
                 ON f.ph = i.ph AND i.doc_id * 1048576 + i.pos = f.fk
-              GROUP BY i.doc_id)
+              GROUP BY i.doc_id),
+            ss_docs AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 30 = 11 AND doc_id < 500 THEN
+                       'the quick brown fox jumps over the lazy dog again'
+                       || ' unique tail for document ' || doc_id
+                     ELSE text END AS text
+              FROM documents),
+            ss_tok AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                       ' ') AS toks
+              FROM ss_docs),
+            ss_inst AS (
+              SELECT doc_id, r.pos AS pos, r.wh AS wh
+              FROM (SELECT doc_id,
+                           unnest(list_transform(
+                             generate_series(1, greatest(len(toks) - 7, 0)),
+                             j -> {'pos': j - 1,
+                                   'wh': md5(array_to_string(toks[j:j+7], ' '))})) AS r
+                    FROM ss_tok)),
+            ss_first AS (
+              SELECT wh, count(*) AS n_inst,
+                     min(doc_id * 1048576 + pos) AS fk
+              FROM ss_inst GROUP BY wh),
+            ss_marked AS (
+              SELECT i.doc_id, i.pos
+              FROM ss_inst i JOIN ss_first f ON f.wh = i.wh
+              WHERE i.doc_id % 30 = 11 AND i.doc_id < 500
+                AND f.n_inst >= 2 AND i.doc_id * 1048576 + i.pos <> f.fk),
+            ss_tokinst AS (
+              SELECT doc_id, r.pos AS pos, r.tok AS tok
+              FROM (SELECT doc_id,
+                           unnest(list_transform(
+                             generate_series(1, len(toks)),
+                             j -> {'pos': j - 1, 'tok': toks[j]})) AS r
+                    FROM ss_tok
+                    WHERE doc_id % 30 = 11 AND doc_id < 500)),
+            ss_out AS (
+              SELECT t.doc_id,
+                     string_agg(t.tok, ' ' ORDER BY t.pos) AS text,
+                     count(*) AS kept
+              FROM ss_tokinst t
+              WHERE NOT EXISTS (SELECT 1 FROM ss_marked m
+                                WHERE m.doc_id = t.doc_id
+                                  AND m.pos <= t.pos AND t.pos <= m.pos + 7)
+              GROUP BY t.doc_id)
             SELECT 'adjacent' AS mode, x.doc_id AS a,
                    round(len(list_intersect(x.sh, y.sh)) * 1.0
                          / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS k1,
@@ -2902,6 +3032,11 @@ def oracle_sql() -> dict[str, str]:
                    cast(t.kept as double) AS k2
             FROM pd_out t
             WHERE t.doc_id % 20 = 3 AND t.doc_id < 500
+            UNION ALL
+            SELECT 'substr' AS mode, o.doc_id AS a,
+                   (('0x' || substr(md5(o.text), 1, 4))::bigint)::DOUBLE AS k1,
+                   cast(o.kept as double) AS k2
+            FROM ss_out o
         """,
         "tpch_semi_anti": _TPCH_SEMI_ANTI_SQL,
         "tpch_q12ish_caseagg": """
@@ -3133,6 +3268,11 @@ def oracle_sql() -> dict[str, str]:
                    cast(vec_id - (case when vec_id % 10 = 1 then 1 else 0 end)
                         as bigint) AS keeper
             FROM embeddings WHERE vec_id % 10 IN (0, 1)
+            UNION ALL
+            SELECT 'semdedup' AS strategy, vec_id AS doc_id,
+                   cast(vec_id - (case when vec_id % 8 >= 4 then 4 else 0 end)
+                        as bigint) AS keeper
+            FROM embeddings WHERE vec_id < 64
         """,
         # curation survivors enumerated stage by stage from the plants:
         # url-dup drops (doc_id%10==9), planted-cluster non-keepers

@@ -811,6 +811,55 @@ def embedding_near_dups(
     )
 
 
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): partition the embedding
+    space with k-means, then treat within-cluster pairs with cosine >=
+    threshold as semantic duplicates — catches paraphrases and re-renders
+    that no lexical sketch (minhash/simhash/winnowing) can see. Reference
+    repo has no analog; centroids come from train_centroids (or any
+    k-means) and the pairs feed resolve_clusters like every other edge
+    source.
+
+    Scale shape: the CLUSTER id is the equi-join key — one shuffle on
+    cluster, cosine evaluated only within clusters, never an all-pairs
+    cross join (the paper's design premise: k is sized so clusters stay
+    small). `max_cluster` is the skew stop-list: clusters above the cap
+    are dropped from pairing (a mega-cluster means k is too small — at
+    web scale raise k rather than pay its quadratic join).
+
+    Returns (a, b, cosine, cluster) with a < b.
+    """
+    from avc_parser_spark.functions.similarity import cosine_expr, ivf_assign
+
+    assigned = ivf_assign(embeddings, centroids, vec_col).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "cluster"
+    )
+    if max_cluster is not None:
+        sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("_n"))
+        assigned = (
+            assigned.join(sizes, "cluster")
+            .filter(F.col("_n") <= max_cluster)
+            .drop("_n")
+        )
+    a = assigned.select("cluster", F.col("_id").alias("a"), F.col("_v").alias("va"))
+    b = assigned.select("cluster", F.col("_id").alias("b"), F.col("_v").alias("vb"))
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", F.round("cosine", 6).alias("cosine"), "cluster")
+    )
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     text_col: str = "text",
@@ -1044,3 +1093,89 @@ def paragraph_dedup(
         ).alias("text_dedup"),
         F.count(F.lit(1)).alias("paragraphs_kept"),
     ).withColumnRenamed("_id", id_col)
+
+
+def substring_dedup(
+    docs: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-substring removal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": the ExactSubstr pass that
+    strips >=50-token spans repeated anywhere in the corpus; the reference
+    repo has no analog — this is the corpus-curation step between
+    paragraph dedup and near-dup sketching).
+
+    Distributed reformulation of the paper's suffix-array scan: every
+    k-token window is keyed by md5 of its normalized text; a window
+    instance is DROPPED when the same window occurs >=2 times corpus-wide
+    and this instance is not the globally first one (min packed
+    (doc_id, pos) — the kept occurrence, the paper's keep-one semantics).
+    A token is removed when ANY dropped window covers it, so a duplicated
+    region of length L >= k vanishes wholesale from every non-canonical
+    copy while the first copy survives verbatim (windows inside the region
+    all collide; windows straddling its edges don't, so surrounding unique
+    text is untouched).
+
+    100 TB shape: the window stream shuffles ONCE on the window hash into
+    a partial-aggregated (count, min packed-key) groupBy — a
+    billion-instance boilerplate window map-side combines instead of
+    sorting one hot partition; the hits join reuses that hash partitioning
+    under AQE; marked positions shuffle once on doc id; reassembly is a
+    native indexed array filter (no Python anywhere). The k× text blowup
+    of the window explode is the price ngram_contamination already pays
+    and is the honest distributed cost of exact-substring dedup (the
+    paper's suffix array is a single-machine construct). md5 keys keep
+    every drop decision re-derivable in other engines (paragraph_dedup
+    precedent); a doc-id filter ABOVE this operator pushes into the
+    instance side of the hits join but not into the global firsts
+    aggregate, so "dedup these docs against the whole corpus" is the plan
+    Catalyst already produces.
+
+    Returns (id_col, text_dedup, tokens_kept, tokens_total) for EVERY
+    input doc; text_dedup is whitespace-normalized.
+    """
+    if k < 2:
+        raise ValueError(f"window must span >=2 tokens, got k={k}")
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    base = docs.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    n = F.size(F.col("_toks"))
+    windows = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda j: F.md5(F.array_join(F.slice(F.col("_toks"), j + 1, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    inst = base.select("_id", F.posexplode(windows).alias("pos", "wh")).withColumn(
+        "_pk", F.col("_id") * F.lit(1048576) + F.col("pos")
+    )
+    firsts = inst.groupBy("wh").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("_pk").alias("_fk")
+    )
+    marked = (
+        inst.join(firsts, "wh")
+        .filter((F.col("_n") >= 2) & (F.col("_pk") != F.col("_fk")))
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_set("pos")).alias("_mpos"))
+    )
+    out = base.join(marked, "_id", "left").withColumn(
+        "_mpos", F.coalesce(F.col("_mpos"), F.array().cast("array<int>"))
+    )
+
+    def _keep_fn(span: int):
+        def fn(tok, j):
+            return ~F.exists(
+                F.col("_mpos"), lambda p: (p <= j) & (j <= p + F.lit(span - 1))
+            )
+
+        return fn
+
+    kept = F.filter(F.col("_toks"), _keep_fn(k))
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.array_join(kept, " ").alias("text_dedup"),
+        F.size(kept).alias("tokens_kept"),
+        F.size("_toks").alias("tokens_total"),
+    )

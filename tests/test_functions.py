@@ -1494,6 +1494,132 @@ def test_paragraph_dedup_matches_duckdb_full_algorithm(spark):
     assert got == want
 
 
+def test_semantic_dedup_pairs_planted(spark):
+    """SemDeDup: k-means cluster then within-cluster cosine pairs. The
+    planted corpus makes every decision exact: 4 clusters on disjoint
+    16-dim blocks (block-indicator centroids ⇒ provable assignment),
+    members one-hot on distinct in-block dims (non-dup cosine exactly 0),
+    and vec_id%8>=4 a 2.5×-scaled copy of vec_id-4 (cosine exactly 1) —
+    so the detected pairs are exactly the planted copies. max_cluster is
+    the skew stop-list: a cap below the cluster size yields no pairs."""
+    from avc_parser_spark.functions.dedup import semantic_dedup_pairs
+
+    def vec(i):
+        if i % 8 >= 4:
+            return [2.5 * x for x in vec(i - 4)]
+        slot = 16 * (i % 4) + ((i // 4) % 16)
+        return [1.0 if d == slot else 0.0 for d in range(64)]
+
+    rows = [(i, vec(i)) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [
+        [1.0 if 16 * g <= d < 16 * (g + 1) else 0.0 for d in range(64)]
+        for g in range(4)
+    ]
+    got = {
+        (r["a"], r["b"], r["cosine"], r["cluster"])
+        for r in semantic_dedup_pairs(emb, cents, threshold=0.9).collect()
+    }
+    want = {
+        (8 * m + g, 8 * m + g + 4, 1.0, g) for m in range(8) for g in range(4)
+    }
+    assert got == want
+    assert (
+        semantic_dedup_pairs(emb, cents, threshold=0.9, max_cluster=8).count()
+        == 0
+    )
+
+
+def test_substring_dedup_planted(spark):
+    """Lee-et-al exact-substring removal: duplicated >=k-token windows
+    vanish from every non-canonical copy (the globally-first instance
+    survives verbatim); docs shorter than k pass through; intra-doc
+    repeats collapse to the first occurrence; a doc that was ALL
+    duplicate text stays in the output with empty text (contract: every
+    input doc yields a row)."""
+    from avc_parser_spark.functions.dedup import substring_dedup
+
+    df = spark.createDataFrame(
+        [
+            (2, "alpha beta gamma delta epsilon zeta unique two"),
+            (4, "alpha beta gamma delta epsilon zeta unique four"),
+            (6, "short text"),
+            (8, "alpha beta gamma delta epsilon zeta"),
+            (10, "a b c d e a b c d e"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["tokens_kept"], r["tokens_total"])
+        for r in substring_dedup(df, k=5).collect()
+    }
+    assert got == {
+        # canonical copy (min packed (id,pos)) survives verbatim
+        2: ("alpha beta gamma delta epsilon zeta unique two", 8, 8),
+        # windows 0-2 collide with doc 2 -> tokens 0..6 stripped
+        4: ("four", 1, 8),
+        6: ("short text", 2, 2),
+        # pure duplicate region -> everything stripped, row kept
+        8: ("", 0, 6),
+        # intra-doc repeat: second 'a b c d e' window is non-canonical
+        10: ("a b c d e", 5, 10),
+    }
+    with pytest.raises(ValueError):
+        substring_dedup(df, k=1)
+
+
+def test_substring_dedup_matches_python_reference(spark):
+    """Randomized differential: the distributed window-hash formulation
+    must reproduce a direct single-machine implementation of the same
+    keep-first semantics token-for-token."""
+    import random
+    import re
+
+    from avc_parser_spark.functions.dedup import substring_dedup
+
+    k = 3
+    rng = random.Random(20260817)
+    pool = ["red", "blue", "green", "gold", "iron", "clay"]
+    rows = [
+        (i, " ".join(rng.choice(pool) for _ in range(rng.randint(1, 12))))
+        for i in range(80)
+    ]
+
+    docs = {i: re.sub(r"\s+", " ", t.strip().lower()).split(" ") for i, t in rows}
+    firsts: dict[str, tuple[int, int]] = {}
+    inst = []
+    for i in sorted(docs):
+        toks = docs[i]
+        for p in range(max(len(toks) - k + 1, 0)):
+            w = " ".join(toks[p : p + k])
+            pk = i * 1048576 + p
+            inst.append((i, p, w, pk))
+            c, m = firsts.get(w, (0, pk))
+            firsts[w] = (c + 1, min(m, pk))
+    marked: dict[int, set[int]] = {}
+    for i, p, w, pk in inst:
+        c, m = firsts[w]
+        if c >= 2 and pk != m:
+            marked.setdefault(i, set()).add(p)
+    want = {}
+    for i, toks in docs.items():
+        mp = marked.get(i, set())
+        kept = [
+            t
+            for j, t in enumerate(toks)
+            if not any(p <= j <= p + k - 1 for p in mp)
+        ]
+        want[i] = (" ".join(kept), len(kept), len(toks))
+
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["tokens_kept"], r["tokens_total"])
+        for r in substring_dedup(
+            spark.createDataFrame(rows, ["doc_id", "text"]), k=k
+        ).collect()
+    }
+    assert got == want
+
+
 def test_lm_score_backoff_branches(spark):
     """Stupid-backoff arithmetic, re-derived by hand for all three
     branches: bigram in LM (ln(c12/c1)), backoff to a seen unigram
