@@ -375,14 +375,20 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     backoff): per-bigram log-probs are stored as round(ln*1e6) LONGS so
     every aggregate is an integer sum — order-independent and bit-exact
     across engines. Planted doc_id%100==61 texts inject OOV tokens to
-    exercise all three backoff branches. Every value is re-derived in
-    DuckDB (md5 bucket + window prefix sum + the same `div` cutoff
-    arithmetic + the full LM build/score in SQL)."""
+    exercise all three backoff branches; mode='report' — the data-card
+    rollup (corpus_report over split_by_hash(md5) splits, table lang,
+    source as domain): split totals + split×lang breakdown in ONE
+    GROUPING SETS pass — docs, text bytes, whitespace tokens, distinct
+    sources. Every value is re-derived in DuckDB (md5 bucket + window
+    prefix sum + the same `div` cutoff arithmetic + the full LM
+    build/score + the GROUPING SETS rollup in SQL)."""
+    from avc_parser_spark.functions.curation import corpus_report
     from avc_parser_spark.functions.text import (
         build_ngram_lm,
         lm_score,
         pack_sequences,
         sample_to_mixture,
+        split_by_hash,
     )
 
     _views(spark, sf_dir, ["documents"])
@@ -437,7 +443,27 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("logp_micro_sum").alias("n3"),
         null_n.alias("n4"), null_n.alias("n5"),
     )
-    return stats.unionByName(pack).unionByName(mix).unionByName(ppl)
+    rep_base = split_by_hash(
+        docs.select("doc_id", "text", "lang", F.col("source").alias("domain")),
+        method="md5",
+    )
+    report = corpus_report(rep_base, lang_col="lang").select(
+        F.lit("report").alias("mode"),
+        F.concat_ws(
+            "/", F.col("split"), F.coalesce(F.col("lang"), F.lit("ALL"))
+        ).alias("k"),
+        F.col("docs").cast("long").alias("n1"),
+        F.col("text_bytes").cast("long").alias("n2"),
+        F.col("tokens").cast("long").alias("n3"),
+        F.col("n_domains").cast("long").alias("n4"),
+        null_n.alias("n5"),
+    )
+    return (
+        stats.unionByName(pack)
+        .unionByName(mix)
+        .unionByName(ppl)
+        .unionByName(report)
+    )
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2606,7 +2632,24 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN ppl_bi bi ON bi.w1 = g.w1 AND bi.w2 = g.w2
               LEFT JOIN ppl_uni u2 ON u2.w = g.w2
               CROSS JOIN ppl_tot
-              WHERE g.doc_id % 50 = 11)
+              WHERE g.doc_id % 50 = 11),
+            rep AS (
+              SELECT case when (('0x' || substr(md5(cast(doc_id as varchar)), 1, 4))::bigint
+                               % 10000) < 9000 then 'train'
+                          when (('0x' || substr(md5(cast(doc_id as varchar)), 1, 4))::bigint
+                               % 10000) < 9500 then 'val'
+                          else 'test' end AS split,
+                     lang, source AS domain,
+                     strlen(text) AS bytes,
+                     (case when trim(coalesce(text, '')) = '' then 0
+                           else len(regexp_split_to_array(trim(text), '\\s+')) end)
+                       AS ntok
+              FROM documents),
+            rep_out AS (
+              SELECT split, lang, count(*) AS docs,
+                     sum(bytes) AS text_bytes, sum(ntok) AS tokens,
+                     count(DISTINCT domain) AS n_domains
+              FROM rep GROUP BY GROUPING SETS ((split, lang), (split)))
             SELECT 'stats' AS mode, lang AS k,
                    count(*) AS n1,
                    cast(sum(n_tokens) as bigint) AS n2,
@@ -2632,6 +2675,12 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(lp) as bigint),
                    cast(null as bigint), cast(null as bigint)
             FROM ppl_inst GROUP BY doc_id
+            UNION ALL
+            SELECT 'report', split || '/' || coalesce(lang, 'ALL'),
+                   cast(docs as bigint), cast(text_bytes as bigint),
+                   cast(tokens as bigint), cast(n_domains as bigint),
+                   cast(null as bigint)
+            FROM rep_out
         """,
         "dedup_exact": """
             WITH corpus AS (
