@@ -531,6 +531,126 @@ def lm_score(
     )
 
 
+def dsir_weights(
+    docs: DataFrame,
+    target_lm: dict[str, DataFrame],
+    source_lm: dict[str, DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): log w(x) =
+    log p_target(x) − log p_source(x) under two cheap n-gram LMs — the
+    data-selection step that upweights raw-corpus docs resembling a
+    high-quality target (e.g. Wikipedia) relative to the raw distribution.
+    Reference repo has no analog.
+
+    100 TB shape: the raw corpus is ONE narrow pass — bigrams explode
+    ONCE and both (broadcast-bounded) LMs score in the same projection:
+    4 broadcast left joins + 2 one-row cross joins + one partial-
+    aggregated groupBy, instead of two full lm_score passes. Because both
+    per-bigram log-probs are integer micros, logw_micro is an integer sum
+    — order-independent, bit-exact across partitionings and engines, and
+    equal by construction to lm_score(target) − lm_score(source).
+
+    Returns (id_col, n_bigrams, logw_micro) for every doc with >=1 bigram.
+    """
+
+    def _lm_sides(lm: dict[str, DataFrame], tag: str):
+        bi = F.broadcast(
+            lm["bigrams"].withColumnRenamed("logp_micro", f"_{tag}lp")
+        )
+        uni = F.broadcast(
+            lm["unigrams"].select(
+                F.col("w").alias("w2"), F.col("c").alias(f"_{tag}c2")
+            )
+        )
+        tot = F.broadcast(
+            lm["total"].select(F.col("total").alias(f"_{tag}tot"))
+        )
+        return bi, uni, tot
+
+    tbi, tuni, ttot = _lm_sides(target_lm, "t")
+    sbi, suni, stot = _lm_sides(source_lm, "s")
+
+    def _eff(lp: Column, c2: Column, tot: Column) -> Column:
+        # identical stupid-backoff arithmetic to lm_score (kept in lockstep
+        # by the fused==two-pass differential pytest)
+        return F.coalesce(
+            lp,
+            F.round(
+                F.log(F.lit(alpha) * F.coalesce(c2, F.lit(0.5)) / tot)
+                * 1_000_000
+            ).cast("long"),
+        )
+
+    inst = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(_word_bigrams(F.col(text_col))).alias("g"),
+        )
+        .select("_id", "g.w1", "g.w2")
+        .join(tbi, ["w1", "w2"], "left")
+        .join(tuni, ["w2"], "left")
+        .join(sbi, ["w1", "w2"], "left")
+        .join(suni, ["w2"], "left")
+        .crossJoin(ttot)
+        .crossJoin(stot)
+        .select(
+            "_id",
+            (
+                _eff(F.col("_tlp"), F.col("_tc2"), F.col("_ttot"))
+                - _eff(F.col("_slp"), F.col("_sc2"), F.col("_stot"))
+            ).alias("_dw"),
+        )
+    )
+    return (
+        inst.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_dw").alias("logw_micro"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_lm: dict[str, DataFrame],
+    source_lm: dict[str, DataFrame],
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR selection: sample `n` docs without replacement with probability
+    ∝ w(x) via Gumbel-top-k — with DETERMINISTIC noise, u(id) =
+    (md5-bucket(id) + 0.5) / 10000 (the split_by_hash md5 trick), so the
+    selected set is a pure function of (corpus, LMs, n): stable under
+    re-runs, repartitioning, and re-derivable in any engine with md5.
+
+    key = logw + Gumbel(u) = logw − ln(−ln u); top n via orderBy+limit =
+    TakeOrderedAndProject (each partition keeps its local top n, no global
+    sort partition). Ties broken by id for full determinism.
+
+    Returns (id_col, n_bigrams, logw_micro, dsir_key), the selected docs.
+    """
+    w = dsir_weights(docs, target_lm, source_lm, text_col, id_col)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+        ).cast("bigint")
+        % 10_000
+    )
+    u = (bucket + F.lit(0.5)) / F.lit(10_000.0)
+    key = F.col("logw_micro") / 1e6 - F.log(-F.log(u))
+    return (
+        w.withColumn("dsir_key", F.round(key, 6))
+        .orderBy(F.col("dsir_key").desc(), F.col(id_col))
+        .limit(n)
+    )
+
+
 def _bpe_merge_expr(symbols: Column, a: str, b: str) -> Column:
     """Left-fold one BPE merge over a symbol array natively: append each
     symbol unless the accumulator's last element is `a` and the incoming

@@ -1494,6 +1494,95 @@ def test_paragraph_dedup_matches_duckdb_full_algorithm(spark):
     assert got == want
 
 
+def test_dsir_weights_fused_equals_two_pass(spark):
+    """The fused one-pass DSIR scorer must equal the difference of two
+    independent lm_score passes integer-exactly (sum of per-bigram diffs
+    == diff of sums — both are integer micros)."""
+    import random
+
+    from avc_parser_spark.functions.text import (
+        build_ngram_lm,
+        dsir_weights,
+        lm_score,
+    )
+
+    rng = random.Random(20260817)
+    pool = ["acid", "base", "salt", "ion", "bond", "mol", "gas", "heat"]
+    mk = lambda lo, hi: " ".join(
+        rng.choice(pool) for _ in range(rng.randint(lo, hi))
+    )
+    docs = spark.createDataFrame(
+        [(i, mk(2, 12)) for i in range(60)], ["doc_id", "text"]
+    )
+    target = build_ngram_lm(
+        spark.createDataFrame([(i, mk(4, 10)) for i in range(30)],
+                              ["doc_id", "text"])
+    )
+    source = build_ngram_lm(
+        spark.createDataFrame([(i, mk(3, 8)) for i in range(40)],
+                              ["doc_id", "text"])
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["logw_micro"])
+        for r in dsir_weights(docs, target, source).collect()
+    }
+    t = {r["doc_id"]: r for r in lm_score(docs, target).collect()}
+    s = {r["doc_id"]: r for r in lm_score(docs, source).collect()}
+    want = {
+        i: (t[i]["n_bigrams"], t[i]["logp_micro_sum"] - s[i]["logp_micro_sum"])
+        for i in t
+    }
+    assert got == want and len(got) > 0
+
+
+def test_dsir_select_deterministic_and_prefers_target(spark):
+    """Gumbel-top-k selection with hash noise: (a) the selected set is
+    re-derivable in pure Python from the collected weights (md5-bucket
+    uniform + Gumbel key), (b) stable under repartitioning, and (c) docs
+    matching the target style dominate the sample."""
+    import hashlib
+    import math
+
+    from avc_parser_spark.functions.text import (
+        build_ngram_lm,
+        dsir_select,
+        dsir_weights,
+    )
+
+    chem = "acid base reacts with salt in water forming ion bond pairs"
+    news = "markets rally as stocks climb while investors await reports"
+    docs = spark.createDataFrame(
+        [(i, chem if i % 2 == 0 else news) for i in range(40)],
+        ["doc_id", "text"],
+    )
+    target = build_ngram_lm(
+        spark.createDataFrame([(0, chem), (1, chem)], ["doc_id", "text"])
+    )
+    source = build_ngram_lm(docs)
+
+    sel = dsir_select(docs, target, source, n=8)
+    picked = sorted(r["doc_id"] for r in sel.collect())
+    # (c) the chem docs have strictly higher logw; all 8 picks are chem
+    assert all(i % 2 == 0 for i in picked)
+
+    # (a) re-derive the selection from the weights in pure Python
+    w = {
+        r["doc_id"]: r["logw_micro"]
+        for r in dsir_weights(docs, target, source).collect()
+    }
+    keys = {}
+    for i, lw in w.items():
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 10000
+        u = (b + 0.5) / 10000.0
+        keys[i] = lw / 1e6 - math.log(-math.log(u))
+    want = sorted(sorted(keys, key=lambda i: (-keys[i], i))[:8])
+    assert picked == want
+
+    # (b) repartition invariance
+    sel2 = dsir_select(docs.repartition(13), target, source, n=8)
+    assert sorted(r["doc_id"] for r in sel2.collect()) == picked
+
+
 def test_semantic_dedup_pairs_planted(spark):
     """SemDeDup: k-means cluster then within-cluster cosine pairs. The
     planted corpus makes every decision exact: 4 clusters on disjoint

@@ -480,6 +480,36 @@ def test_lm_score_plan_broadcast_one_pass(spark):
     assert "TakeOrderedAndProject" in plan  # the top-k LM cap
 
 
+def test_dsir_select_plan_one_pass_bounded_topk(spark):
+    """DSIR over the raw corpus stays ONE narrow pass: all four LM-table
+    joins broadcast (the corpus is never shuffled on a join key), the two
+    totals are one-row broadcast nested loops (no CartesianProduct over
+    data), and the final top-n is TakeOrderedAndProject — per-partition
+    top-n, no global sort partition."""
+    from avc_parser_spark.functions.text import build_ngram_lm, dsir_select
+
+    docs = (
+        spark.range(0, 2000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "text",
+            F.concat(F.lit("common words document number "), F.col("doc_id")),
+        )
+    )
+    target = build_ngram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    source = build_ngram_lm(docs)
+    plan = (
+        dsir_select(docs, target, source, n=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # the top-n selection
+
+
 def test_stream_dedup_exact_bounded_state(spark, tmp_path):
     """dropDuplicatesWithinWatermark admits the first-seen digest and
     drops in-horizon repeats across micro-batches; once the watermark
