@@ -379,12 +379,19 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup (corpus_report over split_by_hash(md5) splits, table lang,
     source as domain): split totals + split×lang breakdown in ONE
     GROUPING SETS pass — docs, text bytes, whitespace tokens, distinct
-    sources. Every value is re-derived in DuckDB (md5 bucket + window
-    prefix sum + the same `div` cutoff arithmetic + the full LM
-    build/score + the GROUPING SETS rollup in SQL)."""
+    sources; mode='gopher' — Gopher rule-based quality screens (Rae et
+    al. 2021; gopher_quality_flags, min_words=20) aggregated as the
+    failure-bitmask DISTRIBUTION (k=bitmask, n1=docs, n2=token sum) with
+    planted rule-violating docs (doc_id%40==17<500 cycling 4 violator
+    texts); every threshold is an integer cross-multiplication so the
+    bitmask is bit-exact cross-engine. Every value is re-derived in
+    DuckDB (md5 bucket + window prefix sum + the same `div` cutoff
+    arithmetic + the full LM build/score + the GROUPING SETS rollup +
+    all seven Gopher rules in SQL)."""
     from avc_parser_spark.functions.curation import corpus_report
     from avc_parser_spark.functions.text import (
         build_ngram_lm,
+        gopher_quality_flags,
         lm_score,
         pack_sequences,
         sample_to_mixture,
@@ -458,11 +465,39 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_domains").cast("long").alias("n4"),
         null_n.alias("n5"),
     )
+    gdocs = spark.sql(
+        """
+        SELECT doc_id,
+               CASE WHEN doc_id % 40 = 17 AND doc_id < 500 THEN
+                 (CASE cast(floor(doc_id / 40.0) as int) % 4
+                  WHEN 0 THEN 'word'
+                  WHEN 1 THEN '## # ## tag # pound # sign # heavy #'
+                  WHEN 2 THEN concat('- one', '\n', '- two', '\n', '- three')
+                  ELSE concat('first...', '\n', 'second...', '\n', 'third') END)
+               ELSE text END AS text
+        FROM documents
+        """
+    )
+    gopher = (
+        gopher_quality_flags(gdocs, min_words=20)
+        .groupBy("gopher_bitmask")
+        .agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.sum("n_words").cast("long").alias("n2"),
+        )
+        .select(
+            F.lit("gopher").alias("mode"),
+            F.col("gopher_bitmask").cast("string").alias("k"),
+            "n1", "n2", null_n.alias("n3"), null_n.alias("n4"),
+            null_n.alias("n5"),
+        )
+    )
     return (
         stats.unionByName(pack)
         .unionByName(mix)
         .unionByName(ppl)
         .unionByName(report)
+        .unionByName(gopher)
     )
 
 
@@ -2649,7 +2684,63 @@ def oracle_sql() -> dict[str, str]:
               SELECT split, lang, count(*) AS docs,
                      sum(bytes) AS text_bytes, sum(ntok) AS tokens,
                      count(DISTINCT domain) AS n_domains
-              FROM rep GROUP BY GROUPING SETS ((split, lang), (split)))
+              FROM rep GROUP BY GROUPING SETS ((split, lang), (split))),
+            gop AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 40 = 17 AND doc_id < 500 THEN
+                       (CASE cast(floor(doc_id / 40.0) as int) % 4
+                        WHEN 0 THEN 'word'
+                        WHEN 1 THEN '## # ## tag # pound # sign # heavy #'
+                        WHEN 2 THEN '- one' || chr(10) || '- two'
+                                    || chr(10) || '- three'
+                        ELSE 'first...' || chr(10) || 'second...'
+                             || chr(10) || 'third' END)
+                     ELSE text END AS text
+              FROM documents),
+            gtok AS (
+              SELECT doc_id, text,
+                     case when trim(text) = '' then []
+                          else regexp_split_to_array(trim(text), '\\s+') end AS toks,
+                     case when trim(text) = '' then []
+                          else regexp_split_to_array(lower(trim(text)), '\\s+') end AS lo,
+                     string_split(text, chr(10)) AS lines
+              FROM gop),
+            gm AS (
+              SELECT doc_id,
+                     len(toks) AS nw, len(lines) AS nl,
+                     length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace,
+                     length(text) - length(replace(text, '#', '')) AS nhash,
+                     length(text) - length(replace(text, '…', '')) AS nell,
+                     len(list_filter(toks,
+                         x -> regexp_matches(x, '[A-Za-z]'))) AS nalpha,
+                     (case when list_contains(lo, 'the') then 1 else 0 end
+                      + case when list_contains(lo, 'be') then 1 else 0 end
+                      + case when list_contains(lo, 'to') then 1 else 0 end
+                      + case when list_contains(lo, 'of') then 1 else 0 end
+                      + case when list_contains(lo, 'and') then 1 else 0 end
+                      + case when list_contains(lo, 'that') then 1 else 0 end
+                      + case when list_contains(lo, 'have') then 1 else 0 end
+                      + case when list_contains(lo, 'with') then 1 else 0 end)
+                       AS nstop,
+                     len(list_filter(lines,
+                         l -> regexp_matches(l, '^\\s*[-*•]'))) AS nbul,
+                     len(list_filter(lines,
+                         l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS nelll
+              FROM gtok),
+            gbit AS (
+              SELECT doc_id, nw,
+                     (case when nw >= 20 AND nw <= 100000 then 0 else 1 end)
+                   + (case when nw > 0 AND 3 * nw <= nonspace
+                                AND nonspace <= 10 * nw then 0 else 2 end)
+                   + (case when nw > 0 AND 10 * (nhash + nell) <= nw
+                           then 0 else 4 end)
+                   + (case when nw > 0 AND 10 * nalpha >= 8 * nw
+                           then 0 else 8 end)
+                   + (case when nstop >= 2 then 0 else 16 end)
+                   + (case when 10 * nbul <= 9 * nl then 0 else 32 end)
+                   + (case when 10 * nelll <= 3 * nl then 0 else 64 end)
+                       AS bitmask
+              FROM gm)
             SELECT 'stats' AS mode, lang AS k,
                    count(*) AS n1,
                    cast(sum(n_tokens) as bigint) AS n2,
@@ -2681,6 +2772,12 @@ def oracle_sql() -> dict[str, str]:
                    cast(tokens as bigint), cast(n_domains as bigint),
                    cast(null as bigint)
             FROM rep_out
+            UNION ALL
+            SELECT 'gopher', cast(bitmask as varchar),
+                   count(*), cast(sum(nw) as bigint),
+                   cast(null as bigint), cast(null as bigint),
+                   cast(null as bigint)
+            FROM gbit GROUP BY bitmask
         """,
         "dedup_exact": """
             WITH corpus AS (

@@ -531,6 +531,79 @@ def lm_score(
     )
 
 
+def gopher_quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher rule-based quality filters (Rae et al. 2021, Appendix A —
+    the heuristic document screens applied before model-based filtering;
+    reference repo has no analog). Seven rules, each a PASS/FAIL flag plus
+    a failure bitmask (bit i set = rule i failed):
+
+    0 word_count     min_words <= n_words <= max_words
+    1 mean_word_len  mean word length in [3, 10] chars
+    2 symbol_ratio   '#'/'…' symbols <= 0.1 per word
+    3 alpha_words    >= 80% of words contain an alphabetic char
+    4 stopwords      >= 2 distinct common stopwords present
+    5 bullet_lines   <= 90% of lines start with a bullet
+    6 ellipsis_lines <= 30% of lines end with an ellipsis
+
+    Every threshold is evaluated with INTEGER cross-multiplication
+    (10*symbols <= n_words, not float ratios), so decisions are bit-exact
+    across engines and partitionings — the same trick as the integer-micro
+    LM scores. All native expressions (split/filter/length arithmetic);
+    no UDF, no shuffle — a pure per-row projection that runs inside
+    whole-stage codegen over the 100 TB scan.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    trimmed = F.trim(t)
+    toks = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+    lo_toks = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.lower(trimmed), r"\s+")
+    )
+    lines = F.split(t, "\n")
+    n_words = F.size(toks)
+    n_lines = F.size(lines)
+    nonspace = F.length(F.regexp_replace(t, r"\s+", ""))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    stops = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    n_stop = sum(
+        F.when(F.array_contains(lo_toks, s), 1).otherwise(0) for s in stops
+    )
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    n_ellline = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    flags = [
+        ("word_count", (n_words >= min_words) & (n_words <= max_words)),
+        (
+            "mean_word_len",
+            (n_words > 0)
+            & (3 * n_words <= nonspace)
+            & (nonspace <= 10 * n_words),
+        ),
+        ("symbol_ratio", (n_words > 0) & (10 * (n_hash + n_ell) <= n_words)),
+        ("alpha_words", (n_words > 0) & (10 * n_alpha >= 8 * n_words)),
+        ("stopwords", n_stop >= 2),
+        ("bullet_lines", 10 * n_bullet <= 9 * n_lines),
+        ("ellipsis_lines", 10 * n_ellline <= 3 * n_lines),
+    ]
+    out = docs.withColumn("n_words", n_words)
+    bitmask = F.lit(0)
+    for i, (name, cond) in enumerate(flags):
+        out = out.withColumn(f"pass_{name}", cond)
+        bitmask = bitmask + F.when(cond, 0).otherwise(1 << i)
+    return out.withColumn("gopher_bitmask", bitmask).withColumn(
+        "gopher_pass", bitmask == 0
+    )
+
+
 def dsir_weights(
     docs: DataFrame,
     target_lm: dict[str, DataFrame],

@@ -1494,6 +1494,50 @@ def test_paragraph_dedup_matches_duckdb_full_algorithm(spark):
     assert got == want
 
 
+def test_gopher_quality_flags_rules(spark):
+    """Each Gopher rule trips on its crafted violator and the bitmask
+    records exactly the failed rules (bit i = rule i); a clean doc passes
+    everything. Thresholds are integer cross-multiplications, so the
+    boundaries are exact."""
+    from avc_parser_spark.functions.text import gopher_quality_flags
+
+    clean = (
+        "the quick brown fox and the lazy dog have gone to the market "
+        "with plenty of time that remains for everyone to be happy today"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, clean),
+            (1, "word"),                                # too few words
+            (2, "a b c d e f g h i j"),                 # mean word len < 3
+            (3, "## # ## tag # pound # sign # heavy #"),  # symbols
+            (4, "12 34 56 78 90 11 22 33 44 55"),       # no alpha words
+            (5, "zebra quokka lemur wombat gecko heron"),  # no stopwords
+            (6, "- one\n- two\n- three\n- four\n- five"),  # all bullets
+            (7, "first...\nsecond...\nthird\nplain here"),  # 50% ellipsis
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["gopher_bitmask"]
+        for r in gopher_quality_flags(docs, min_words=5).collect()
+    }
+    assert got[0] == 0
+    assert got[1] & 1                       # word_count failed
+    assert got[2] & 2                       # mean_word_len failed
+    assert got[3] & 4                       # symbol_ratio failed
+    assert got[4] & 8                       # alpha_words failed
+    assert got[5] & 16                      # stopwords failed
+    assert got[6] & 32                      # bullet_lines failed
+    assert got[7] & 64                      # ellipsis_lines failed
+    rows = {r["doc_id"]: r for r in gopher_quality_flags(docs, min_words=5).collect()}
+    assert rows[0]["gopher_pass"] is True
+    assert rows[6]["pass_bullet_lines"] is False
+    # 2 of 4 lines end with ellipsis -> 10*2 > 3*4 fails; exactly 1 of 4
+    # would pass (10*1 <= 12): boundary is integer-exact
+    assert rows[7]["pass_ellipsis_lines"] is False
+
+
 def test_dsir_weights_fused_equals_two_pass(spark):
     """The fused one-pass DSIR scorer must equal the difference of two
     independent lm_score passes integer-exactly (sum of per-bigram diffs
