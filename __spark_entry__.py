@@ -384,13 +384,20 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     failure-bitmask DISTRIBUTION (k=bitmask, n1=docs, n2=token sum) with
     planted rule-violating docs (doc_id%40==17<500 cycling 4 violator
     texts); every threshold is an integer cross-multiplication so the
-    bitmask is bit-exact cross-engine. Every value is re-derived in
-    DuckDB (md5 bucket + window prefix sum + the same `div` cutoff
-    arithmetic + the full LM build/score + the GROUPING SETS rollup +
-    all seven Gopher rules in SQL)."""
+    bitmask is bit-exact cross-engine; mode='c4' — C4 line-level
+    cleaning (Raffel et al. 2020; c4_line_filter): terminal-punctuation/
+    min-words/javascript line screens + brace/lorem/bad-word/too-short
+    doc screens, aggregated as the doc-bitmask distribution (k=bitmask,
+    n1=docs, n2=surviving-line sum, n3=reassembled-text char sum) with
+    planted violators (doc_id%40==23<500 cycling 4 texts). Every value
+    is re-derived in DuckDB (md5 bucket + window prefix sum + the same
+    `div` cutoff arithmetic + the full LM build/score + the GROUPING
+    SETS rollup + all seven Gopher rules + the full C4 line filter in
+    SQL)."""
     from avc_parser_spark.functions.curation import corpus_report
     from avc_parser_spark.functions.text import (
         build_ngram_lm,
+        c4_line_filter,
         gopher_quality_flags,
         lm_score,
         pack_sequences,
@@ -492,12 +499,48 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             null_n.alias("n5"),
         )
     )
+    cdocs = spark.sql(
+        """
+        SELECT doc_id,
+               CASE WHEN doc_id % 40 = 23 AND doc_id < 500 THEN
+                 (CASE cast(floor(doc_id / 40.0) as int) % 4
+                  WHEN 0 THEN 'function f() { return one; }'
+                  WHEN 1 THEN 'Lorem ipsum dolor sit amet consectetur adipiscing elit.'
+                  WHEN 2 THEN concat(
+                    'This planted page has a clean long sentence right here.',
+                    '\n', 'tiny line.', '\n',
+                    'Unfinished line without terminal punctuation')
+                  ELSE concat(
+                    'This planted page has a clean long sentence right here.',
+                    '\n', 'Enable javascript to view this content now.', '\n',
+                    'Another fine sentence is present right here in the doc.',
+                    '\n', 'A third full sentence rounds out the page nicely.')
+                  END)
+               ELSE text END AS text
+        FROM documents
+        """
+    )
+    c4 = (
+        c4_line_filter(cdocs)
+        .groupBy("c4_bitmask")
+        .agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.sum("n_kept_lines").cast("long").alias("n2"),
+            F.sum(F.length("c4_kept_text")).cast("long").alias("n3"),
+        )
+        .select(
+            F.lit("c4").alias("mode"),
+            F.col("c4_bitmask").cast("string").alias("k"),
+            "n1", "n2", "n3", null_n.alias("n4"), null_n.alias("n5"),
+        )
+    )
     return (
         stats.unionByName(pack)
         .unionByName(mix)
         .unionByName(ppl)
         .unionByName(report)
         .unionByName(gopher)
+        .unionByName(c4)
     )
 
 
@@ -2740,7 +2783,41 @@ def oracle_sql() -> dict[str, str]:
                    + (case when 10 * nbul <= 9 * nl then 0 else 32 end)
                    + (case when 10 * nelll <= 3 * nl then 0 else 64 end)
                        AS bitmask
-              FROM gm)
+              FROM gm),
+            c4doc AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 40 = 23 AND doc_id < 500 THEN
+                       (CASE cast(floor(doc_id / 40.0) as int) % 4
+                        WHEN 0 THEN 'function f() { return one; }'
+                        WHEN 1 THEN 'Lorem ipsum dolor sit amet consectetur adipiscing elit.'
+                        WHEN 2 THEN 'This planted page has a clean long sentence right here.'
+                                    || chr(10) || 'tiny line.' || chr(10)
+                                    || 'Unfinished line without terminal punctuation'
+                        ELSE 'This planted page has a clean long sentence right here.'
+                             || chr(10) || 'Enable javascript to view this content now.'
+                             || chr(10) || 'Another fine sentence is present right here in the doc.'
+                             || chr(10) || 'A third full sentence rounds out the page nicely.'
+                        END)
+                     ELSE text END AS text
+              FROM documents),
+            c4k AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, chr(10)),
+                       l -> regexp_matches(trim(l), '[.!?"”]$')
+                            AND len(regexp_split_to_array(trim(l), '\\s+')) >= 5
+                            AND NOT contains(lower(l), 'javascript')) AS kept
+              FROM c4doc),
+            c4bit AS (
+              SELECT doc_id, len(kept) AS nkept,
+                     length(coalesce(array_to_string(kept, chr(10)), ''))
+                       AS klen,
+                     (case when contains(text, '{') then 1 else 0 end)
+                   + (case when contains(lower(text), 'lorem ipsum')
+                           then 2 else 0 end)
+                   + (case when regexp_matches(lower(text),
+                           '\\b(porn|xxx)\\b') then 4 else 0 end)
+                   + (case when len(kept) < 3 then 8 else 0 end) AS bitmask
+              FROM c4k)
             SELECT 'stats' AS mode, lang AS k,
                    count(*) AS n1,
                    cast(sum(n_tokens) as bigint) AS n2,
@@ -2778,6 +2855,12 @@ def oracle_sql() -> dict[str, str]:
                    cast(null as bigint), cast(null as bigint),
                    cast(null as bigint)
             FROM gbit GROUP BY bitmask
+            UNION ALL
+            SELECT 'c4', cast(bitmask as varchar),
+                   count(*), cast(sum(nkept) as bigint),
+                   cast(sum(klen) as bigint), cast(null as bigint),
+                   cast(null as bigint)
+            FROM c4bit GROUP BY bitmask
         """,
         "dedup_exact": """
             WITH corpus AS (

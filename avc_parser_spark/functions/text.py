@@ -604,6 +604,78 @@ def gopher_quality_flags(
     )
 
 
+#: C4's default bad-word screen is a long external list; we ship a tiny
+#: built-in stand-in (callers pass their own list for production runs).
+_C4_BAD_WORDS = ("porn", "xxx")
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+    bad_words: tuple = _C4_BAD_WORDS,
+) -> DataFrame:
+    """C4 line-level cleaning heuristics (Raffel et al. 2020, §2.2 —
+    the webtext pass applied to Common Crawl before training T5;
+    reference repo has no analog). Line rules (a line SURVIVES iff all
+    hold):
+
+    - ends in a terminal punctuation mark (``.`` ``!`` ``?`` ``"`` ``”``
+      after trailing-space trim),
+    - has at least ``min_words_per_line`` whitespace words,
+    - does not mention "javascript" (case-insensitive).
+
+    Document rules (bit i of ``c4_bitmask`` set = rule i violated):
+
+    0 ``{`` anywhere (code page),
+    1 "lorem ipsum" (placeholder page),
+    2 a bad word (word-boundary match over the lowercased text),
+    3 fewer than ``min_lines`` SURVIVING lines (C4 drops pages with
+      < 3 sentences; surviving-line count is our sentence proxy).
+
+    ``c4_keep`` = bitmask 0; ``c4_kept_text`` = the surviving lines
+    rejoined with ``\\n``. Everything is native expressions (split /
+    filter / rlike / array_join) — a pure per-row projection inside
+    whole-stage codegen, no UDF, no shuffle, so the pass streams over a
+    100 TB scan at input bandwidth. NOTE: Spark's ``trim`` strips ONLY
+    U+0020 — the DuckDB oracle mirrors that exactly (both engines'
+    default ``trim`` is space-only).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, "\n")
+
+    def _line_ok(l):  # noqa: E741 - single-param HOF lambda (arity trap)
+        l2 = F.trim(l)
+        return (
+            l2.rlike('[.!?"”]$')
+            & (F.size(F.split(l2, r"\s+")) >= min_words_per_line)
+            & ~F.lower(l).contains("javascript")
+        )
+
+    kept = F.filter(lines, _line_ok)
+    lo = F.lower(t)
+    bad_re = r"\b(" + "|".join(bad_words) + r")\b"
+    flags = [
+        ("brace", t.contains("{")),
+        ("lorem", lo.contains("lorem ipsum")),
+        ("badword", lo.rlike(bad_re)),
+        ("short", F.size(kept) < min_lines),
+    ]
+    out = (
+        docs.withColumn("n_lines", F.size(lines))
+        .withColumn("n_kept_lines", F.size(kept))
+        .withColumn("c4_kept_text", F.array_join(kept, "\n"))
+    )
+    bitmask = F.lit(0)
+    for i, (name, cond) in enumerate(flags):
+        out = out.withColumn(f"c4_flag_{name}", cond)
+        bitmask = bitmask + F.when(cond, 1 << i).otherwise(0)
+    return out.withColumn("c4_bitmask", bitmask).withColumn(
+        "c4_keep", bitmask == 0
+    )
+
+
 def dsir_weights(
     docs: DataFrame,
     target_lm: dict[str, DataFrame],

@@ -1538,6 +1538,47 @@ def test_gopher_quality_flags_rules(spark):
     assert rows[7]["pass_ellipsis_lines"] is False
 
 
+def test_c4_line_filter_rules(spark):
+    """Each C4 doc rule trips on its crafted violator; line filtering
+    keeps exactly the terminal-punctuated, long-enough, non-javascript
+    lines and reassembles them in order."""
+    from avc_parser_spark.functions.text import c4_line_filter
+
+    good1 = "This is a proper sentence with plenty of words in it."
+    good2 = "Another fine sentence is present right here in this doc."
+    good3 = "A third full sentence rounds out the page quite nicely."
+    docs = spark.createDataFrame(
+        [
+            (0, "\n".join([good1, good2, good3])),
+            (1, "\n".join([good1, "short line.", good2, good3])),
+            (2, "\n".join([good1, "No terminal punctuation on this line", good2, good3])),
+            (3, "\n".join([good1, "He wrote some Javascript code for the site today.", good2, good3])),
+            (4, "\n".join([good1, "if (x) { return y; }", good2, good3])),
+            (5, "\n".join([good1, "Lorem ipsum dolor sit amet consectetur adipiscing elit.", good2, good3])),
+            (6, "\n".join([good1, "This page has porn somewhere in the middle of it.", good2, good3])),
+            (7, "\n".join([good1, good2])),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in c4_line_filter(docs).collect()}
+    assert rows[0]["c4_bitmask"] == 0 and rows[0]["c4_keep"] is True
+    assert rows[0]["c4_kept_text"] == "\n".join([good1, good2, good3])
+    # line rules drop the offending line but the doc survives
+    for d in (1, 2, 3):
+        assert rows[d]["n_kept_lines"] == 3 and rows[d]["c4_bitmask"] == 0
+        assert rows[d]["c4_kept_text"] == "\n".join([good1, good2, good3])
+    assert rows[4]["c4_bitmask"] & 1      # brace
+    assert rows[5]["c4_bitmask"] & 2      # lorem ipsum
+    assert rows[6]["c4_bitmask"] & 4      # bad word
+    assert rows[7]["c4_bitmask"] & 8      # too few surviving lines
+    # 'transporting' must NOT trip the word-boundary bad-word screen
+    extra = spark.createDataFrame(
+        [(0, "They were transporting xxxl crates to the docks today.")],
+        ["doc_id", "text"],
+    )
+    assert c4_line_filter(extra).collect()[0]["c4_bitmask"] & 4 == 0
+
+
 def test_dsir_weights_fused_equals_two_pass(spark):
     """The fused one-pass DSIR scorer must equal the difference of two
     independent lm_score passes integer-exactly (sum of per-bigram diffs
