@@ -389,16 +389,23 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-words/javascript line screens + brace/lorem/bad-word/too-short
     doc screens, aggregated as the doc-bitmask distribution (k=bitmask,
     n1=docs, n2=surviving-line sum, n3=reassembled-text char sum) with
-    planted violators (doc_id%40==23<500 cycling 4 texts). Every value
-    is re-derived in DuckDB (md5 bucket + window prefix sum + the same
-    `div` cutoff arithmetic + the full LM build/score + the GROUPING
-    SETS rollup + all seven Gopher rules + the full C4 line filter in
-    SQL)."""
+    planted violators (doc_id%40==23<500 cycling 4 texts); mode='rep' —
+    Gopher repetition screens (gopher_repetition_flags): duplicate-line
+    fraction/chars + top 2/3/4-gram char coverage (count>=2 only, struct
+    tie-break to the lexicographically largest gram), aggregated as the
+    rep-bitmask distribution (k=bitmask, n1=docs, n2=dup-line-char sum,
+    n3=top-gram coverage sum) with planted violators (doc_id%40==31<500
+    cycling 4 texts). Every value is re-derived in DuckDB (md5 bucket +
+    window prefix sum + the same `div` cutoff arithmetic + the full LM
+    build/score + the GROUPING SETS rollup + all seven Gopher rules +
+    the full C4 line filter + the complete repetition battery incl. the
+    top-gram argmax in SQL)."""
     from avc_parser_spark.functions.curation import corpus_report
     from avc_parser_spark.functions.text import (
         build_ngram_lm,
         c4_line_filter,
         gopher_quality_flags,
+        gopher_repetition_flags,
         lm_score,
         pack_sequences,
         sample_to_mixture,
@@ -534,6 +541,39 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n1", "n2", "n3", null_n.alias("n4"), null_n.alias("n5"),
         )
     )
+    rdocs = spark.sql(
+        """
+        SELECT doc_id,
+               CASE WHEN doc_id % 40 = 31 AND doc_id < 500 THEN
+                 (CASE cast(floor(doc_id / 40.0) as int) % 4
+                  WHEN 0 THEN concat('echo line repeats.', '\n',
+                                     'echo line repeats.', '\n',
+                                     'echo line repeats.', '\n',
+                                     'a closing unique line.')
+                  WHEN 1 THEN 'spam ham spam ham spam ham spam ham eventually something else'
+                  WHEN 2 THEN 'a wholly varied sentence keeps every window unique across this planted document today.'
+                  ELSE 'alpha beta gamma delta alpha beta gamma delta closing words here now'
+                  END)
+               ELSE text END AS text
+        FROM documents
+        """
+    )
+    rep = (
+        gopher_repetition_flags(rdocs)
+        .groupBy("rep_bitmask")
+        .agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.sum("dup_line_chars").cast("long").alias("n2"),
+            F.sum(
+                F.col("top2_chars") + F.col("top3_chars") + F.col("top4_chars")
+            ).cast("long").alias("n3"),
+        )
+        .select(
+            F.lit("rep").alias("mode"),
+            F.col("rep_bitmask").cast("string").alias("k"),
+            "n1", "n2", "n3", null_n.alias("n4"), null_n.alias("n5"),
+        )
+    )
     return (
         stats.unionByName(pack)
         .unionByName(mix)
@@ -541,6 +581,7 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(report)
         .unionByName(gopher)
         .unionByName(c4)
+        .unionByName(rep)
     )
 
 
@@ -2817,7 +2858,78 @@ def oracle_sql() -> dict[str, str]:
                    + (case when regexp_matches(lower(text),
                            '\\b(porn|xxx)\\b') then 4 else 0 end)
                    + (case when len(kept) < 3 then 8 else 0 end) AS bitmask
-              FROM c4k)
+              FROM c4k),
+            repdoc AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 40 = 31 AND doc_id < 500 THEN
+                       (CASE cast(floor(doc_id / 40.0) as int) % 4
+                        WHEN 0 THEN 'echo line repeats.' || chr(10)
+                                    || 'echo line repeats.' || chr(10)
+                                    || 'echo line repeats.' || chr(10)
+                                    || 'a closing unique line.'
+                        WHEN 1 THEN 'spam ham spam ham spam ham spam ham eventually something else'
+                        WHEN 2 THEN 'a wholly varied sentence keeps every window unique across this planted document today.'
+                        ELSE 'alpha beta gamma delta alpha beta gamma delta closing words here now'
+                        END)
+                     ELSE text END AS text
+              FROM documents),
+            rsplit AS (
+              SELECT doc_id,
+                     coalesce(text, '') AS t,
+                     string_split(coalesce(text, ''), chr(10)) AS lines,
+                     case when trim(coalesce(text, '')) = '' then []
+                          else regexp_split_to_array(trim(text), '\\s+') end AS w
+              FROM repdoc),
+            rln AS (
+              SELECT doc_id, w,
+                     len(lines) AS n_lines,
+                     len(list_filter(lines, l ->
+                         len(list_filter(lines, m -> m = l)) >= 2)) AS dup_lines,
+                     coalesce(list_sum(list_transform(lines,
+                         l -> length(l))), 0) AS line_chars,
+                     coalesce(list_sum(list_transform(
+                         list_filter(lines, l ->
+                             len(list_filter(lines, m -> m = l)) >= 2),
+                         l -> length(l))), 0) AS dup_line_chars,
+                     length(t) AS total_chars
+              FROM rsplit),
+            rgram AS (
+              SELECT doc_id, k, gram, count(*) AS c FROM (
+                SELECT r.doc_id, kk.k AS k,
+                       unnest(case when len(r.w) >= kk.k then
+                         list_transform(
+                           generate_series(1, len(r.w) - kk.k + 1),
+                           i -> array_to_string(r.w[i:i+kk.k-1], ' '))
+                         else [] end) AS gram
+                FROM rln r, (VALUES (2), (3), (4)) kk(k))
+              GROUP BY doc_id, k, gram),
+            rtop AS (
+              SELECT doc_id, k, max({'c': c, 'gram': gram}) AS m
+              FROM rgram GROUP BY doc_id, k),
+            rcov AS (
+              SELECT doc_id,
+                     sum(case when k = 2 AND m.c >= 2
+                              then m.c * length(m.gram) else 0 end) AS top2,
+                     sum(case when k = 3 AND m.c >= 2
+                              then m.c * length(m.gram) else 0 end) AS top3,
+                     sum(case when k = 4 AND m.c >= 2
+                              then m.c * length(m.gram) else 0 end) AS top4
+              FROM rtop GROUP BY doc_id),
+            rbit AS (
+              SELECT l.doc_id, l.dup_line_chars,
+                     coalesce(c.top2, 0) + coalesce(c.top3, 0)
+                       + coalesce(c.top4, 0) AS topcov,
+                     (case when 10 * l.dup_lines > 3 * l.n_lines
+                           then 1 else 0 end)
+                   + (case when 5 * l.dup_line_chars > l.line_chars
+                           then 2 else 0 end)
+                   + (case when 5 * coalesce(c.top2, 0) > l.total_chars
+                           then 4 else 0 end)
+                   + (case when 50 * coalesce(c.top3, 0) > 9 * l.total_chars
+                           then 8 else 0 end)
+                   + (case when 25 * coalesce(c.top4, 0) > 4 * l.total_chars
+                           then 16 else 0 end) AS bitmask
+              FROM rln l LEFT JOIN rcov c ON l.doc_id = c.doc_id)
             SELECT 'stats' AS mode, lang AS k,
                    count(*) AS n1,
                    cast(sum(n_tokens) as bigint) AS n2,
@@ -2861,6 +2973,12 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(klen) as bigint), cast(null as bigint),
                    cast(null as bigint)
             FROM c4bit GROUP BY bitmask
+            UNION ALL
+            SELECT 'rep', cast(bitmask as varchar),
+                   count(*), cast(sum(dup_line_chars) as bigint),
+                   cast(sum(topcov) as bigint), cast(null as bigint),
+                   cast(null as bigint)
+            FROM rbit GROUP BY bitmask
         """,
         "dedup_exact": """
             WITH corpus AS (

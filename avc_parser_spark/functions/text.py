@@ -604,6 +604,124 @@ def gopher_quality_flags(
     )
 
 
+def gopher_repetition_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher repetition screens (Rae et al. 2021, Table A1 — the
+    duplicate-text half of the quality battery; reference repo has no
+    analog). Per doc (bit i of ``rep_bitmask`` set = rule i failed):
+
+    0 dup_line_frac   lines whose exact text occurs >= 2x  <= 30%
+    1 dup_line_chars  chars inside such duplicated lines   <= 20%
+    2 top2gram_chars  chars covered by the most frequent word 2-gram
+                      (count x gram length) <= 20% of text chars
+    3 top3gram_chars  same, 3-gram, <= 18%
+    4 top4gram_chars  same, 4-gram, <= 16%
+
+    Most-frequent gram ties break to the lexicographically LARGEST gram
+    (both engines compare (count, gram) structs field-by-field), and
+    every threshold is an integer cross-multiplication — bit-exact
+    across engines and partitionings. Deviation from the paper: a gram
+    occurring ONCE contributes 0 coverage (a single occurrence is not
+    repetition — without this, every short doc trips the 4-gram rule
+    because any 4-gram exceeds 16% of a tweet-length text; Gopher never
+    hits this because its word-count floor runs first).
+
+    Scale shape: line stats are a pure per-row projection (lines lists
+    are short; the O(L^2) duplicate probe stays inside codegen). Gram
+    stats are ONE tagged explode -> groupBy(id,k,gram) count ->
+    groupBy(id,k) max(struct) -> pivot — two partial-aggregated
+    shuffles and a narrow hash join back on the id, NO window, so a
+    billion-doc corpus never sorts one hot partition. Returns one row
+    per doc: id + metrics + ``rep_bitmask``/``rep_pass``.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, "\n")
+    dup_lines_arr = F.filter(
+        lines, lambda l: F.size(F.filter(lines, lambda m: m == l)) >= 2
+    )
+    trimmed = F.trim(t)
+    words = F.when(
+        trimmed == "", F.array().cast("array<string>")
+    ).otherwise(F.split(trimmed, r"\s+"))
+    base = docs.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(dup_lines_arr).alias("dup_lines"),
+        F.aggregate(
+            lines, F.lit(0), lambda acc, x: acc + F.length(x)
+        ).alias("line_chars"),
+        F.aggregate(
+            dup_lines_arr, F.lit(0), lambda acc, x: acc + F.length(x)
+        ).alias("dup_line_chars"),
+        F.length(t).alias("total_chars"),
+        words.alias("w"),
+    )
+
+    def _grams(k: int):
+        n = F.size(F.col("w"))
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.struct(
+                    F.lit(k).alias("k"),
+                    F.array_join(F.slice(F.col("w"), i, k), " ").alias(
+                        "gram"
+                    ),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<k:int,gram:string>>"))
+
+    tagged = base.select(
+        id_col,
+        F.explode(
+            F.concat(_grams(2), _grams(3), _grams(4))
+        ).alias("kg"),
+    )
+    top = (
+        tagged.groupBy(id_col, "kg.k", "kg.gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col, "k")
+        .agg(F.max(F.struct("c", "gram")).alias("m"))
+        .groupBy(id_col)
+        .pivot("k", [2, 3, 4])
+        .agg(
+            F.first(
+                F.when(
+                    F.col("m.c") >= 2, F.col("m.c") * F.length("m.gram")
+                ).otherwise(0)
+            )
+        )
+        .select(
+            id_col,
+            F.col("2").alias("top2_chars"),
+            F.col("3").alias("top3_chars"),
+            F.col("4").alias("top4_chars"),
+        )
+    )
+    out = (
+        base.drop("w")
+        .join(top, on=id_col, how="left")
+        .na.fill({"top2_chars": 0, "top3_chars": 0, "top4_chars": 0})
+    )
+    flags = [
+        10 * F.col("dup_lines") > 3 * F.col("n_lines"),
+        5 * F.col("dup_line_chars") > F.col("line_chars"),
+        5 * F.col("top2_chars") > F.col("total_chars"),
+        50 * F.col("top3_chars") > 9 * F.col("total_chars"),
+        25 * F.col("top4_chars") > 4 * F.col("total_chars"),
+    ]
+    bitmask = F.lit(0)
+    for i, cond in enumerate(flags):
+        bitmask = bitmask + F.when(cond, 1 << i).otherwise(0)
+    return out.withColumn("rep_bitmask", bitmask).withColumn(
+        "rep_pass", bitmask == 0
+    )
+
+
 #: C4's default bad-word screen is a long external list; we ship a tiny
 #: built-in stand-in (callers pass their own list for production runs).
 _C4_BAD_WORDS = ("porn", "xxx")

@@ -1538,6 +1538,44 @@ def test_gopher_quality_flags_rules(spark):
     assert rows[7]["pass_ellipsis_lines"] is False
 
 
+def test_gopher_repetition_flags(spark):
+    """Hand-derived repetition metrics: duplicated lines, duplicated-line
+    chars, and the top 2/3/4-gram coverage (with the struct tie-break)
+    must match exact arithmetic."""
+    from avc_parser_spark.functions.text import gopher_repetition_flags
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the same line here.\nthe same line here.\nanother distinct line."),
+            (1, "spam ham spam ham spam ham unique words"),
+            (2, "a wholly varied sentence with no repeated parts at all today."),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in gopher_repetition_flags(docs).collect()}
+    r0 = rows[0]
+    assert r0["n_lines"] == 3 and r0["dup_lines"] == 2
+    assert r0["dup_line_chars"] == 2 * len("the same line here.")
+    assert r0["rep_bitmask"] & 1 and r0["rep_bitmask"] & 2
+    r1 = rows[1]
+    # 'spam ham' occurs 3x (overlapping windows), len 8 -> 24 chars of 39
+    assert r1["top2_chars"] == 3 * len("spam ham")
+    assert r1["top3_chars"] == 2 * len("spam ham spam")
+    assert r1["top4_chars"] == 2 * len("spam ham spam ham")
+    assert r1["rep_bitmask"] & 4 and r1["rep_bitmask"] & 8 and r1["rep_bitmask"] & 16
+    assert rows[2]["rep_bitmask"] == 0 and rows[2]["rep_pass"] is True
+    # tie-break: equal counts -> lexicographically largest gram wins;
+    # single-occurrence grams contribute 0 coverage
+    tie = spark.createDataFrame(
+        [(0, "aa xx aa xx aa"), (1, "bb aa bb cc")], ["doc_id", "text"]
+    )
+    t = {r["doc_id"]: r for r in gopher_repetition_flags(tie).collect()}
+    # 2-grams of doc 0: 'aa xx' x2, 'xx aa' x2 -> tie -> 'xx aa' wins
+    assert t[0]["top2_chars"] == 2 * len("xx aa")
+    # all 2-grams of doc 1 occur once -> no repetition coverage
+    assert t[1]["top2_chars"] == 0
+
+
 def test_c4_line_filter_rules(spark):
     """Each C4 doc rule trips on its crafted violator; line filtering
     keeps exactly the terminal-punctuated, long-enough, non-javascript
