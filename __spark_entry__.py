@@ -360,6 +360,30 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HTML decoration for token_suite mode='html' — ONE dialect-shared CASE
+# (plain-string concatenated, never inside an f-string: the style literal
+# carries braces). doc_id%40==29 (<500) cycles four decoration shapes that
+# exercise every strip stage: head/style/script drop, comments, lists,
+# entities, self-closing/uppercase tags, trailing boilerplate; every other
+# doc gets the plain <html><body><p>text</p></body></html> wrap.
+_HTML_DECOR_CASE = """
+    CASE WHEN doc_id % 40 = 29 AND doc_id < 500 THEN
+      (CASE cast(floor(doc_id / 40.0) as int) % 4
+       WHEN 0 THEN concat('<html><head><title>T</title><style>p{color:red}',
+         '</style></head><body><script type="text/javascript">var x=1;',
+         '</script><p>', text,
+         '</p><div>footer &amp; nav &lt;links&gt;</div></body></html>')
+       WHEN 1 THEN concat('<html><body><!-- hidden --><ul><li>one</li>',
+         '<li>two</li></ul><p>', text, '</p></body></html>')
+       WHEN 2 THEN concat('<p>A &quot;quoted&quot; start&#39;s here</p>',
+         '<br><BR/>', text)
+       ELSE concat('<DIV CLASS="x">', text,
+         '</DIV><table><tr><td>c1</td><td>c2</td></tr></table>')
+       END)
+    ELSE concat('<html><body><p>', text, '</p></body></html>') END
+"""
+
+
 def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token accounting, mode-tagged (established suite pattern):
     mode='stats' — per-lang doc/whitespace-token/BPE-ish-subtoken totals
@@ -395,7 +419,14 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break to the lexicographically largest gram), aggregated as the
     rep-bitmask distribution (k=bitmask, n1=docs, n2=dup-line-char sum,
     n3=top-gram coverage sum) with planted violators (doc_id%40==31<500
-    cycling 4 texts). Every value is re-derived in DuckDB (md5 bucket +
+    cycling 4 texts); mode='html' — HTML→text boilerplate extraction
+    (extract_html_text: comments/script/style/head drop, block tags →
+    newlines, tag strip, entity decode, whitespace normalize — one native
+    regexp_replace chain) over dialect-shared decorated pages
+    (doc_id%40==29<500 cycles 4 decoration shapes), pinned BYTE-EXACT:
+    k=doc_id, n1=extracted length, n2=first-14-hex of md5(extracted) as a
+    bigint, n3=raw html length; the oracle rebuilds the identical chain
+    via html_extract_sql. Every value is re-derived in DuckDB (md5 bucket +
     window prefix sum + the same `div` cutoff arithmetic + the full LM
     build/score + the GROUPING SETS rollup + all seven Gopher rules +
     the full C4 line filter + the complete repetition battery incl. the
@@ -574,6 +605,24 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n1", "n2", "n3", null_n.alias("n4"), null_n.alias("n5"),
         )
     )
+    from avc_parser_spark.functions.text import extract_html_text
+
+    hdocs = spark.sql(
+        "SELECT doc_id, " + _HTML_DECOR_CASE + " AS html FROM documents"
+    )
+    hext = hdocs.select(
+        "doc_id",
+        F.length("html").alias("hl"),
+        extract_html_text(F.col("html")).alias("x"),
+    )
+    html = hext.select(
+        F.lit("html").alias("mode"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.length("x").cast("long").alias("n1"),
+        F.expr("cast(conv(substr(md5(x), 1, 14), 16, 10) as bigint)").alias("n2"),
+        F.col("hl").cast("long").alias("n3"),
+        null_n.alias("n4"), null_n.alias("n5"),
+    )
     return (
         stats.unionByName(pack)
         .unionByName(mix)
@@ -582,6 +631,7 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(gopher)
         .unionByName(c4)
         .unionByName(rep)
+        .unionByName(html)
     )
 
 
@@ -2522,6 +2572,28 @@ def _ann_lsh_oracle() -> str:
 _ANN_LSH_ORACLE = _ann_lsh_oracle()
 
 
+def _token_suite_html_branch() -> str:
+    """token_suite mode='html': the DuckDB twin runs the SAME extraction
+    chain (html_extract_sql is generated from the identical step lists the
+    Spark Column chain uses) over the SAME decoration CASE, and pins the
+    extracted text byte-exactly via a 14-hex md5 prefix as bigint. Built by
+    plain-string concatenation — the decoration literal contains braces."""
+    from avc_parser_spark.functions.text import html_extract_sql
+
+    return ("""
+            UNION ALL
+            SELECT 'html', cast(doc_id as varchar),
+                   cast(length(x) as bigint),
+                   ('0x' || substr(md5(x), 1, 14))::bigint,
+                   cast(hl as bigint),
+                   cast(null as bigint), cast(null as bigint)
+            FROM (SELECT doc_id, """ + html_extract_sql("html") + """ AS x,
+                         length(html) AS hl
+                  FROM (SELECT doc_id, """ + _HTML_DECOR_CASE + """ AS html
+                        FROM documents) hdec) hext
+        """)
+
+
 def oracle_sql() -> dict[str, str]:
     f = ORACLE_FIELDS
     return {
@@ -2979,7 +3051,7 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(topcov) as bigint), cast(null as bigint),
                    cast(null as bigint)
             FROM rbit GROUP BY bitmask
-        """,
+        """ + _token_suite_html_branch(),
         "dedup_exact": """
             WITH corpus AS (
               SELECT doc_id,

@@ -229,6 +229,73 @@ def redact_pii(text: Column) -> Column:
     return out
 
 
+# HTML → text extraction (trafilatura/jusText-lite boilerplate strip) as an
+# ORDERED step list shared between Spark and DuckDB, so the oracle runs the
+# byte-identical chain. Patterns use the RE2-safe subset only (no backrefs,
+# no lookaround — DuckDB is RE2; Spark is java.util.regex — both accept
+# these). NOTE: never use \v here — Java \v is the vertical-WHITESPACE
+# class (includes \n) while RE2 \v is the single vertical-tab char; \x0B
+# is spelled explicitly instead.
+_HTML_REGEX_STEPS: list[tuple[str, str]] = [
+    (r"(?s)<!--.*?-->", " "),                         # comments
+    (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),    # script incl. body
+    (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),      # style incl. body
+    (r"(?is)<head\b[^>]*>.*?</head\s*>", " "),        # head boilerplate
+    # block-level tags become line breaks so paragraph structure survives
+    (r"(?is)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|blockquote"
+     r"|section|article|header|footer|nav|pre)\b[^>]*>", "\n"),
+    (r"(?s)<[^>]*>", " "),                            # any remaining tag
+]
+# Entities decode AFTER tag strip (decoding first would turn &lt;script&gt;
+# into a live tag — the classic double-decode hole). &amp; must come last.
+_HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&#x27;", "'"), ("&amp;", "&"),
+]
+_HTML_WS_STEPS: list[tuple[str, str]] = [
+    (r"[\t\r\f\x0B]", " "),     # non-newline whitespace → space
+    (r" {2,}", " "),            # collapse space runs
+    (r" ?\n[ \n]*", "\n"),      # collapse blank lines + flanking spaces
+    (r"^[ \n]+", ""),           # leading
+    (r"[ \n]+$", ""),           # trailing
+]
+
+
+def extract_html_text(html: Column) -> Column:
+    """Visible-text extraction from raw HTML (the first stage of every
+    Common-Crawl-style pipeline: html:binary → text): drop comments/script/
+    style/head, turn block tags into newlines, strip remaining tags, decode
+    the common entities, normalize whitespace. One chained native
+    regexp_replace/replace expression — whole-stage codegen, no UDF, and the
+    scan that feeds it prunes to just the html column. Accepts binary or
+    string input (binary is UTF-8 decoded by the cast)."""
+    out = F.coalesce(html.cast("string"), F.lit(""))
+    for pat, rep in _HTML_REGEX_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    for ent, ch in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    for pat, rep in _HTML_WS_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def html_extract_sql(col_sql: str) -> str:
+    """DuckDB twin of extract_html_text built from the SAME step lists —
+    the oracle literally runs the identical chain ('g' flag spelled out;
+    inline (?is) flags ride inside the patterns)."""
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = f"coalesce({col_sql}, '')"
+    for pat, rep in _HTML_REGEX_STEPS:
+        expr = f"regexp_replace({expr}, '{q(pat)}', '{q(rep)}', 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        expr = f"replace({expr}, '{q(ent)}', '{q(ch)}')"
+    for pat, rep in _HTML_WS_STEPS:
+        expr = f"regexp_replace({expr}, '{q(pat)}', '{q(rep)}', 'g')"
+    return expr
+
+
 def fingerprint64(text: Column) -> Column:
     """Rolling-hash-style 64-bit document fingerprint: xxhash64 over the
     whitespace-normalized, lowercased text (stable across formatting noise)."""

@@ -1967,3 +1967,83 @@ def test_bpe_encode_applies_merges(spark):
     # unseen word: no merges apply beyond learned ones; chars survive
     assert toks[-2:] == ["z", "z</w>"] or toks[-1].endswith("</w>")
     assert "".join(toks).replace("</w>", " ").strip() == "low lowest zz"
+
+
+def test_extract_html_text_behavior(spark):
+    """HTML→text extraction: script/style/head/comments dropped, block tags
+    become newlines, entities decode AFTER tag strip (no double-decode),
+    whitespace normalized. Exact expected strings."""
+    from avc_parser_spark.functions.text import extract_html_text
+
+    cases = [
+        ('<html><head><title>T</title><style>p{color:red}</style></head>'
+         '<body><script type="text/javascript">var x=1;</script>'
+         '<p>hello  world</p><div>footer &amp; nav &lt;links&gt;</div>'
+         '</body></html>',
+         'hello world\nfooter & nav <links>'),
+        ('<p>A &quot;quoted&quot; start&#39;s here</p><br><BR/>tail  text',
+         'A "quoted" start\'s here\ntail text'),
+        # entity-encoded script must NOT come back to life as a tag
+        ('<p>&lt;script&gt;alert(1)&lt;/script&gt;</p>',
+         '<script>alert(1)</script>'),
+        # no closing '>' → not a tag; dangling markup survives verbatim
+        ('broken <tag never closes', 'broken <tag never closes'),
+        ('', ''),
+        (None, ''),
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, (c, _) in enumerate(cases)], ["i", "h"]
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r["i"]: r["x"]
+        for r in df.select("i", extract_html_text(F.col("h")).alias("x")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_extract_html_text_duckdb_differential(spark):
+    """Seeded fuzz: 300 adversarial HTML-ish strings (nested/broken/cased
+    tags, comments, entities, CJK, control whitespace) must extract
+    BYTE-IDENTICALLY through the Spark Column chain and the generated
+    DuckDB twin (html_extract_sql) — the oracle-parity contract."""
+    import random
+
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from avc_parser_spark.functions.text import extract_html_text, html_extract_sql
+
+    rng = random.Random(20260817)
+    frags = [
+        "plain words ", "zwölf öl ", "中文片段", "a&amp;b", "&lt;x&gt;",
+        "&nbsp;&quot;&#39;", "<p>", "</p>", "<P CLASS='x'>", "<br/>",
+        "<div id=\"d\">", "</div>", "<script>var a='<p>';</script>",
+        "<style>h1{font: 12px}</style>", "<!-- c -->", "<!--", "-->",
+        "<head><meta x></head>", "<li>item</li>", "< notatag",
+        "tag never closes <em", ">", "\t", "\r\n", "\n\n", "  ",
+        "<table><tr><td>z</td></tr></table>", "<h2>H</h2>", "text.",
+        "<SCRIPT>while(1){}</SCRIPT>", "<pre>a\n b</pre>", "\x0b",
+    ]
+    cases = [
+        "".join(rng.choice(frags) for _ in range(rng.randint(0, 20)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], ["i", "h"]
+    )
+    got = {
+        r["i"]: r["x"]
+        for r in df.select("i", extract_html_text(F.col("h")).alias("x")).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "t", pd.DataFrame({"i": range(len(cases)),
+                           "h": pd.array(cases, dtype="string")})
+    )
+    oracle = dict(con.execute(f"select i, {html_extract_sql('h')} from t").fetchall())
+    bad = [i for i in range(len(cases)) if got[i] != oracle[i]]
+    assert not bad, (bad[:5], [(got[i], oracle[i]) for i in bad[:2]])
