@@ -210,3 +210,120 @@ def test_run_audit_routed_stream(spark, tmp_path):
         for r in batch.groupBy("route").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == exp and got.get("parse_ok") == 1
+
+
+def test_read_warc_roundtrip_pages(spark, tmp_path):
+    """WARC roundtrip parity: datagen pages rendered into an uncompressed
+    WARC/1.0 file (full HTTP response payloads, leading warcinfo record)
+    read back with the delimiter-split reader must reproduce the exact
+    (url, whole-second warc_ts, html bytes) multiset, and read_warc_pages
+    must chain extract_html_text byte-identically."""
+    import datetime as dt
+
+    from avc_parser_spark.datagen import build_pages_df
+    from avc_parser_spark.functions.text import extract_html_text
+    from avc_parser_spark.sources import build_warc_bytes, read_warc, read_warc_pages
+
+    pages = build_pages_df(spark, 300).collect()
+    recs = [
+        {"url": r["url"],
+         "ts": r["warc_ts"].replace(microsecond=0) if r["warc_ts"] else None,
+         "html": bytes(r["html"])}
+        for r in pages
+    ]
+    p = tmp_path / "sample.warc"
+    p.write_bytes(build_warc_bytes(recs))
+
+    got = read_warc(spark, str(p)).collect()
+    assert sorted((r["url"], r["warc_ts"], bytes(r["html"])) for r in got) \
+        == sorted((r["url"], r["ts"], r["html"]) for r in recs)
+    assert all(r["http_status"] == 200 for r in got)
+
+    # pages front door: text == extract_html_text(html), lang populated
+    pg = read_warc_pages(spark, str(p))
+    expect = {
+        r["url"]: r["x"]
+        for r in spark.createDataFrame(
+            [(r["url"], r["html"].decode()) for r in recs], ["url", "h"]
+        ).select("url", extract_html_text(F.col("h")).alias("x")).collect()
+    }
+    for r in pg.collect():
+        assert r["text"] == expect[r["url"]]
+        assert r["lang"] is not None
+
+
+def test_read_warc_filters_non_response_records(spark, tmp_path):
+    """warcinfo/request/metadata records are dropped; a response without a
+    WARC-Date parses with a null warc_ts; HTTP status/content-type come
+    from the payload's own headers; a CRLF inside the body survives."""
+    from avc_parser_spark.sources import build_warc_bytes, read_warc
+
+    body = "<p>first</p>\r\nsecond line"
+    raw = build_warc_bytes(
+        [{"url": "http://x.example/a", "ts": None, "html": body,
+          "status": 301, "ctype": "text/html"}],
+        warcinfo=True,
+    )
+    # splice in a request record (never a page) between warcinfo and response
+    req = (
+        b"WARC/1.0\r\nWARC-Type: request\r\n"
+        b"WARC-Target-URI: http://x.example/a\r\n"
+        b"Content-Type: application/http; msgtype=request\r\n"
+        b"Content-Length: 18\r\n\r\nGET /a HTTP/1.1\r\n\r\n\r\n\r\n"
+    )
+    parts = raw.split(b"WARC/1.0\r\nWARC-Type: response", 1)
+    p = tmp_path / "mixed.warc"
+    p.write_bytes(parts[0] + req + b"WARC/1.0\r\nWARC-Type: response" + parts[1])
+
+    rows = read_warc(spark, str(p)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["url"] == "http://x.example/a"
+    assert r["warc_ts"] is None
+    assert r["http_status"] == 301
+    assert r["content_type"] == "text/html"
+    assert bytes(r["html"]).decode() == body
+
+
+def test_stream_warc_matches_batch(spark, tmp_path):
+    """Streaming twin: an availableNow stream over a landing dir of .warc
+    files yields the same (url, html) multiset as the batch reader, and a
+    file dropped after the first drain arrives incrementally."""
+    from avc_parser_spark.sources import build_warc_bytes, read_warc, stream_warc
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def mk(name, urls):
+        (landing / name).write_bytes(build_warc_bytes(
+            [{"url": u, "ts": None, "html": f"<p>{u}</p>"} for u in urls]
+        ))
+
+    mk("a.warc", ["http://s.example/1", "http://s.example/2"])
+    mk("b.warc", ["http://s.example/3"])
+
+    out = str(tmp_path / "out")
+    stream = stream_warc(spark, str(landing)).drop("src_file")
+
+    def drain():
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    got = drain()
+    batch = read_warc(spark, str(landing))
+    key = lambda df: sorted(
+        (r["url"], bytes(r["html"])) for r in df.collect()
+    )
+    assert key(got) == key(batch)
+
+    mk("c.warc", ["http://s.example/4"])
+    urls = sorted(r["url"] for r in drain().collect())
+    assert urls == [f"http://s.example/{i}" for i in (1, 2, 3, 4)]
