@@ -1623,7 +1623,15 @@ def q_ngram_overlap_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       COMPLETE algorithm — global window firsts over every doc, reassembly
       bounded to the planted set (the same plan Catalyst derives from the
       doc-id filter): k1 = 16-bit md5 slice of the deduped text,
-      k2 = tokens kept."""
+      k2 = tokens kept;
+    - 'bloomdelta': INCREMENTAL exact dedup via the Bloom delta gate
+      (exact_delta_dups): odd doc_ids arrive as the delta, even doc_ids
+      are the stored corpus; the distributed Bloom bitmap (bit_or partial
+      agg, ≤m/64 rows) gates the delta through k broadcast joins — no
+      false negatives — then the semi-join verify kills false positives,
+      so the confirmed set is EXACT digest membership and the oracle
+      enumerates the intersection directly (planted shared texts on
+      doc_id%40∈{0,21}; k1 = 1, k2 = 48-bit digest prefix)."""
     from avc_parser_spark.functions.dedup import (
         ngram_contamination,
         paragraph_dedup,
@@ -1766,11 +1774,38 @@ def q_ngram_overlap_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tokens_kept").cast("double").alias("k2"),
         )
     )
+    # bloomdelta: incremental exact dedup — odd doc_ids are the arriving
+    # delta, even doc_ids the stored corpus; doc_id%40 ∈ {0, 21} share 3
+    # canonical planted texts so confirmed cross-batch dups exist at every
+    # SF. The Bloom gate is a pure pre-filter with no false negatives, so
+    # the confirmed set is EXACT membership — the oracle enumerates the
+    # digest intersection directly (k1=1, k2=48-bit digest prefix).
+    from avc_parser_spark.functions.dedup import exact_delta_dups
+
+    bdocs = spark.sql(
+        """
+        SELECT doc_id,
+               CASE WHEN doc_id % 40 IN (0, 21)
+                    THEN 'bloom planted page ' || (doc_id % 3)
+                    ELSE text END AS text
+        FROM documents
+        """
+    )
+    bloomdelta = exact_delta_dups(
+        bdocs.filter(F.col("doc_id") % 2 == 1),
+        bdocs.filter(F.col("doc_id") % 2 == 0),
+    ).select(
+        F.lit("bloomdelta").alias("mode"),
+        F.col("doc_id").alias("a"),
+        F.lit(1.0).alias("k1"),
+        F.conv(F.substring("digest", 1, 12), 16, 10).cast("double").alias("k2"),
+    )
     return (
         adjacent.unionByName(contam)
         .unionByName(winnow)
         .unionByName(paradedup)
         .unionByName(substr)
+        .unionByName(bloomdelta)
     )
 
 
@@ -3456,6 +3491,25 @@ def oracle_sql() -> dict[str, str]:
                    (('0x' || substr(md5(o.text), 1, 4))::bigint)::DOUBLE AS k1,
                    cast(o.kept as double) AS k2
             FROM ss_out o
+            UNION ALL
+            SELECT 'bloomdelta' AS mode, d.doc_id AS a,
+                   1.0 AS k1,
+                   (('0x' || substr(d.digest, 1, 12))::bigint)::DOUBLE AS k2
+            FROM (SELECT doc_id,
+                         md5(regexp_replace(lower(trim(
+                           CASE WHEN doc_id % 40 IN (0, 21)
+                                THEN 'bloom planted page ' || (doc_id % 3)
+                                ELSE text END)), '\\s+', ' ', 'g')) AS digest
+                  FROM documents) d
+            WHERE d.doc_id % 2 = 1
+              AND EXISTS (SELECT 1 FROM
+                    (SELECT doc_id,
+                            md5(regexp_replace(lower(trim(
+                              CASE WHEN doc_id % 40 IN (0, 21)
+                                   THEN 'bloom planted page ' || (doc_id % 3)
+                                   ELSE text END)), '\\s+', ' ', 'g')) AS digest
+                     FROM documents) s
+                    WHERE s.doc_id % 2 = 0 AND s.digest = d.digest)
         """,
         "tpch_semi_anti": _TPCH_SEMI_ANTI_SQL,
         "tpch_q12ish_caseagg": """

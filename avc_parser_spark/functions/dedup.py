@@ -53,6 +53,122 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+# --- Bloom-filter delta gate (operational incremental exact dedup) -------
+#
+# The 100 TB ingest problem: a small delta arrives and must be exact-deduped
+# against a huge stored corpus. A digest semi-join shuffles the whole stored
+# digest set every batch. A Bloom filter over the stored digests is tiny
+# (m/8 bytes regardless of corpus size), has NO false negatives, and lets
+# the delta drop its definitely-new rows in a NARROW pass — only the maybe
+# fraction (true dups + fpp) reaches the verify join. Both halves stay
+# fully native:
+#   build: k probe positions per digest (xxhash64 salted by probe index)
+#          → word_idx = pos >> 6, bit = 1 << (pos & 63)
+#          → groupBy(word_idx).agg(bit_or(bit)) — partial aggregation
+#          means map-side combine everywhere and the result is bounded by
+#          m/64 rows (131072 at the default m = 2^23) INDEPENDENT of
+#          corpus size: a broadcastable bitmap-as-table.
+#   probe: k broadcast hash joins on word_idx + a shiftrightunsigned bit
+#          test per probe — no shuffle of the delta at all.
+
+BLOOM_M_BITS = 1 << 23
+BLOOM_K = 5
+
+
+def _bloom_positions(col: Column, m_bits: int, k: int) -> list[Column]:
+    return [
+        F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits)) for i in range(k)
+    ]
+
+
+def bloom_words(
+    stored: DataFrame,
+    col: str = "digest",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Distributed Bloom bitmap over `stored[col]` as a (word_idx, word)
+    table — ≤ m/64 rows however large the corpus. One partial-aggregated
+    shuffle; never collected."""
+    pos = F.explode(F.array(*_bloom_positions(F.col(col), m_bits, k)))
+    return (
+        stored.select(pos.alias("pos"))
+        .select(
+            # pyspark's shiftleft/shiftrightunsigned wrappers take a
+            # Python-int bit count — dynamic shifts go through F.expr
+            F.expr("shiftrightunsigned(pos, 6)").alias("word_idx"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(pos % 64 as int))"
+            ).alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
+def bloom_gate(
+    delta: DataFrame,
+    words: DataFrame,
+    col: str = "digest",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Keep only delta rows the Bloom filter says MIGHT be in the stored
+    corpus (no false negatives — a true duplicate always survives). k
+    broadcast joins on word_idx, bit tests native; a word_idx absent from
+    the bitmap table coalesces to 0 = definitely new."""
+    out = delta
+    probes = _bloom_positions(F.col(col), m_bits, k)
+    for i, pos in enumerate(probes):
+        w = words.select(
+            F.col("word_idx").alias(f"_bw_idx_{i}"),
+            F.col("word").alias(f"_bw_word_{i}"),
+        )
+        out = out.withColumn(f"_bw_pos_{i}", pos).join(
+            F.broadcast(w),
+            F.expr(f"shiftrightunsigned(_bw_pos_{i}, 6)")
+            == F.col(f"_bw_idx_{i}"),
+            "left",
+        )
+    cond = None
+    for i in range(k):
+        # & 1, never % 2: a zero shift leaves the word possibly NEGATIVE
+        # (bit 63 set) and negative-odd % 2 is -1 in Spark SQL
+        hit = F.expr(
+            f"(shiftrightunsigned(coalesce(_bw_word_{i}, cast(0 as bigint)),"
+            f" cast(_bw_pos_{i} % 64 as int)) & 1) = 1"
+        )
+        cond = hit if cond is None else (cond & hit)
+    drop = [c for i in range(k)
+            for c in (f"_bw_pos_{i}", f"_bw_idx_{i}", f"_bw_word_{i}")]
+    return out.filter(cond).drop(*drop)
+
+
+def exact_delta_dups(
+    delta: DataFrame,
+    stored: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Incremental exact dedup: which delta docs already exist (by
+    normalized-text digest) in the stored corpus? Bloom gate first (narrow,
+    no delta shuffle), then a semi-join verify of the surviving maybe-set
+    against the stored digests — false positives die here, so the result
+    is EXACT set membership while the expensive join only ever sees the
+    maybe fraction. Returns (id_col, digest) per confirmed-duplicate
+    delta doc."""
+    dig = F.md5(normalized_text(F.col(text_col)))
+    d = delta.select(F.col(id_col), dig.alias("digest"))
+    s = stored.select(dig.alias("digest"))
+    gated = bloom_gate(d, bloom_words(s, "digest", m_bits, k),
+                       "digest", m_bits, k)
+    return gated.join(s.distinct(), "digest", "left_semi").select(
+        id_col, "digest"
+    )
+
+
 def word_shingles(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
     """k-word shingles as an array<string> (empty-safe)."""
     toks = F.split(normalized_text(text), " ")

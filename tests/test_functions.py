@@ -2047,3 +2047,58 @@ def test_extract_html_text_duckdb_differential(spark):
     oracle = dict(con.execute(f"select i, {html_extract_sql('h')} from t").fetchall())
     bad = [i for i in range(len(cases)) if got[i] != oracle[i]]
     assert not bad, (bad[:5], [(got[i], oracle[i]) for i in bad[:2]])
+
+
+def test_bloom_delta_gate_exactness(spark):
+    """Bloom delta gate: (a) NO false negatives — every true cross-batch
+    duplicate survives the gate and lands in the confirmed set, even with
+    a deliberately undersized bitmap that forces heavy false positives;
+    (b) the verify semi-join kills every false positive, so the result is
+    exact set membership; (c) at the default sizing the maybe-set stays
+    close to the true-dup set (the narrow-pass 100 TB claim)."""
+    from pyspark.sql import functions as F
+
+    from avc_parser_spark.functions.dedup import (
+        bloom_gate,
+        bloom_words,
+        exact_delta_dups,
+        normalized_text,
+    )
+
+    stored = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("stored text "), F.col("id")).alias("text"),
+    )
+    delta = spark.range(0, 1000).select(
+        (F.col("id") + 100000).alias("doc_id"),
+        F.when(F.col("id") < 150,
+               F.concat(F.lit("stored text "), F.col("id") * 7))
+        .otherwise(F.concat(F.lit("new text "), F.col("id"))).alias("text"),
+    )
+    expect = set(range(100000, 100150))
+
+    # undersized bloom (2^10 bits, k=2): most non-members collide, but the
+    # confirmed set must still be exactly the true duplicates
+    tiny = exact_delta_dups(delta, stored, m_bits=1 << 10, k=2)
+    assert {r["doc_id"] for r in tiny.collect()} == expect
+
+    dig = F.md5(normalized_text(F.col("text")))
+    d = delta.select("doc_id", dig.alias("digest"))
+    s = stored.select(dig.alias("digest"))
+
+    # undersized gate: full recall regardless of fpp
+    gated_tiny = bloom_gate(d, bloom_words(s, m_bits=1 << 10, k=2),
+                            m_bits=1 << 10, k=2)
+    assert expect <= {r["doc_id"] for r in gated_tiny.collect()}
+
+    # default sizing: maybe-set ≈ true dups (fpp under 5% of non-members)
+    gated = bloom_gate(d, bloom_words(s))
+    n = gated.count()
+    assert n >= 150 and (n - 150) / 850 < 0.05
+
+    # plan shape: probe is broadcast-only (no shuffle of the delta), and
+    # the bitmap table is bounded by m/64 rows whatever the corpus size
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert bloom_words(s).count() <= (1 << 23) // 64
