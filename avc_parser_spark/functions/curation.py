@@ -3,7 +3,9 @@ actually ships (reference analog: the full run lifecycle that chains parse →
 dedup → group → emit in parse_avc.py:3584-4117, re-expressed as a data
 pipeline over documents instead of a CLI over denials).
 
-canonicalize_url → URL-level exact dedup → MinHash+LSH near-dup candidates →
+canonicalize_url → URL-level exact dedup → optional domain blocklist/cap →
+optional heuristic quality battery (C4 line cleaning, Gopher doc +
+repetition screens — the FineWeb order) → MinHash+LSH near-dup candidates →
 n-gram Jaccard verification → connected-component resolution (keep cluster
 keepers) → train/eval n-gram decontamination → optional LM perplexity
 filter (CCNet) → deterministic split assignment → optional hive-partitioned
@@ -54,6 +56,9 @@ def curate_corpus(
     contam_n: int = 8,
     blocked_domains: list[str] | None = None,
     max_per_domain: int | None = None,
+    c4_clean: bool = False,
+    gopher: bool = False,
+    gopher_min_words: int = 50,
     lm: dict[str, DataFrame] | None = None,
     max_ppl: float | None = None,
     weights: dict[str, float] | None = None,
@@ -70,6 +75,15 @@ def curate_corpus(
     anti-spam rule): the K keepers per domain are the smallest
     md5(doc_id) values — a deterministic pseudo-random sample any engine
     can re-derive, not "first K in scan order".
+
+    `c4_clean` / `gopher` switch on the heuristic quality battery in the
+    FineWeb order — C4 line-level cleaning FIRST (it rewrites the text:
+    surviving lines only, doc-screen violators dropped), then the Gopher
+    doc screens and repetition screens over the CLEANED text — all before
+    any sketching, so junk never reaches the expensive stages. The C4 and
+    Gopher doc screens are pure per-row projections (no shuffle); the
+    repetition screen costs one doc-keyed gram aggregation, with its drop
+    set applied as a hits-only left_anti like every other stage.
 
     `pair_filter` optionally restricts which verified near-dup pairs feed
     the resolver (e.g. a demo corpus's known dup universe); production runs
@@ -123,6 +137,40 @@ def curate_corpus(
             .filter(F.col("_dom_rank") <= max_per_domain)
             .drop("_dom_rank")
         )
+    # 1c. heuristic quality battery (opt-in): C4 line cleaning rewrites
+    #     text and drops doc-screen violators; Gopher quality screens the
+    #     cleaned text; repetition screens drop via hits-only left_anti.
+    if c4_clean:
+        from avc_parser_spark.functions.text import c4_line_filter
+
+        before = set(s1.columns)
+        flagged = c4_line_filter(s1, text_col=text_col)
+        extra = [c for c in flagged.columns if c not in before]
+        s1 = (
+            flagged.filter(F.col("c4_bitmask") == 0)
+            .withColumn(text_col, F.col("c4_kept_text"))
+            .drop(*extra)
+        )
+    if gopher:
+        from avc_parser_spark.functions.text import (
+            gopher_quality_flags,
+            gopher_repetition_flags,
+        )
+
+        before = set(s1.columns)
+        flagged = gopher_quality_flags(
+            s1, text_col=text_col, min_words=gopher_min_words
+        )
+        extra = [c for c in flagged.columns if c not in before]
+        s1 = flagged.filter(F.col("gopher_bitmask") == 0).drop(*extra)
+        rep_drops = (
+            gopher_repetition_flags(
+                s1.select(id_col, text_col), text_col=text_col, id_col=id_col
+            )
+            .filter(F.col("rep_bitmask") != 0)
+            .select(id_col)
+        )
+        s1 = s1.join(rep_drops, id_col, "left_anti")
     s1 = s1.persist()
 
     # 2. text near-dup: candidates → Jaccard verify → connected components →

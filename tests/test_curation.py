@@ -221,3 +221,49 @@ def test_corpus_report_rollup(spark):
     # without lang: plain per-split rollup
     plain = {r["split"]: r for r in corpus_report(df).collect()}
     assert plain["train"]["docs"] == 2 and plain["val"]["n_domains"] == 1
+
+
+def test_curate_corpus_quality_battery(spark):
+    """c4_clean + gopher stages (FineWeb order): the C4 doc screens drop
+    code/lorem pages, a javascript line is REWRITTEN away while its doc
+    survives, the Gopher screens drop a too-short page and the repetition
+    screen drops a looping page — all before sketching; clean docs flow
+    through to splits unchanged."""
+    from avc_parser_spark.functions.curation import curate_corpus
+
+    good = (
+        "This is a perfectly ordinary opening line with enough words in it.\n"
+        "Another complete thought follows and the vocabulary stays varied.\n"
+        "Different phrasing closes out the paragraph quite nicely today."
+    )
+    js_doc = (
+        "A first clean opener that is long enough to survive the filter.\n"
+        "Please enable javascript to view this page now folks.\n"
+        "Some second remark that also has plenty of words within it.\n"
+        "One final varied statement rounds out this document rather well."
+    )
+    rep = ("spam ham " * 40).strip() + "."
+    rows = [
+        (0, "https://q.com/good", good),
+        (1, "https://q.com/js", js_doc),
+        (2, "https://q.com/code", "function f() { return 1; } " + good),
+        (3, "https://q.com/lorem", "Lorem ipsum dolor sit amet. " + good),
+        (4, "https://q.com/short", "tiny."),
+        (5, "https://q.com/rep", rep),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = curate_corpus(
+        docs, None, c4_clean=True, gopher=True, gopher_min_words=10
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert sorted(got) == [0, 1]
+    # the js line is gone, every other line of doc 1 survives in order
+    assert got[1] == "\n".join(
+        line for line in js_doc.split("\n") if "javascript" not in line
+    )
+    assert got[0] == good
+    # default-off: the battery never runs unless asked — the code/lorem/
+    # short/rep pages survive it; 2 and 3 still near-dup-cluster with 0
+    # (they share the `good` body), so only those drop, via dedup not C4
+    base = curate_corpus(docs, None)
+    assert sorted(r["doc_id"] for r in base.collect()) == [0, 1, 4, 5]
