@@ -143,36 +143,39 @@ def run_with_checkpoints(
     }
 
 
-def run_audit_logs_with_checkpoints(
+def _run_files_with_checkpoints(
     spark: SparkSession,
-    logs_path: str,
+    input_path: str,
     out_path: str,
+    reader,
+    suffix: str,
+    part_prefix: str,
     force: bool = False,
 ) -> dict:
-    """Per-FILE resumable ingest of raw ausearch-export logs (the
-    reference CLI's native input, via sources.read_audit_logs).
-
-    Each source file is one checkpoint unit — the operational shape for a
-    directory receiving daily log drops: re-running skips files whose
-    size+mtime fingerprint is unchanged, new drops process incrementally.
-    Events land under events/warc_date=log-<file>/ so read_events and the
-    report path work identically to the pages-warehouse mode."""
+    """Per-FILE resumable ingest shared by every raw-file front door: each
+    source file is one checkpoint unit — the operational shape for a
+    directory receiving daily drops. Re-running skips files whose
+    size+mtime fingerprint is unchanged; new drops process incrementally.
+    `reader(spark, path)` must return the pages-shaped frame parse_pages
+    consumes. Events land under events/warc_date=<prefix>-<file>/ so
+    read_events and the report path work identically to the
+    pages-warehouse mode."""
     import glob as _glob
     import re as _re
 
-    from avc_parser_spark.sources import read_audit_logs
-
-    if os.path.isdir(logs_path):
-        files = sorted(_glob.glob(os.path.join(logs_path, "*.log")))
+    if os.path.isdir(input_path):
+        files = sorted(_glob.glob(os.path.join(input_path, f"*{suffix}")))
     else:
-        files = sorted(_glob.glob(logs_path)) or [logs_path]
+        files = sorted(_glob.glob(input_path)) or [input_path]
 
     os.makedirs(os.path.join(out_path, MANIFEST_DIR), exist_ok=True)
     manifest = {} if force else read_manifest(out_path)
 
     processed, skipped = [], []
     for path in files:
-        part = "log-" + _re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.basename(path))
+        part = part_prefix + "-" + _re.sub(
+            r"[^A-Za-z0-9_.-]", "_", os.path.basename(path)
+        )
         st = os.stat(path)
         fp = f"{st.st_size}:{int(st.st_mtime)}"
         prior = manifest.get(part)
@@ -181,7 +184,7 @@ def run_audit_logs_with_checkpoints(
             continue
 
         t0 = time.time()
-        blocks = read_audit_logs(spark, path)
+        blocks = reader(spark, path)
         input_rows = blocks.count()
         events = signature_exprs(parse_pages(blocks))
         events.write.mode("overwrite").parquet(
@@ -218,6 +221,39 @@ def run_audit_logs_with_checkpoints(
         "skipped": skipped,
         "manifest": read_manifest(out_path),
     }
+
+
+def run_audit_logs_with_checkpoints(
+    spark: SparkSession,
+    logs_path: str,
+    out_path: str,
+    force: bool = False,
+) -> dict:
+    """Per-file resumable ingest of raw ausearch-export logs (the
+    reference CLI's native input, via sources.read_audit_logs)."""
+    from avc_parser_spark.sources import read_audit_logs
+
+    return _run_files_with_checkpoints(
+        spark, logs_path, out_path, read_audit_logs, ".log", "log", force
+    )
+
+
+def run_warc_with_checkpoints(
+    spark: SparkSession,
+    warc_path: str,
+    out_path: str,
+    force: bool = False,
+) -> dict:
+    """Per-file resumable ingest of uncompressed WARC crawl files: each
+    .warc becomes pages via read_warc_pages (response records →
+    extract_html_text → trigram lang-id) and flows through the same
+    parse→route→aggregate events write — the Common-Crawl front door with
+    the same manifest/lineage/skip semantics as every other source."""
+    from avc_parser_spark.sources import read_warc_pages
+
+    return _run_files_with_checkpoints(
+        spark, warc_path, out_path, read_warc_pages, ".warc", "warc", force
+    )
 
 
 def read_events(spark: SparkSession, out_path: str) -> DataFrame:

@@ -42,6 +42,12 @@ def main() -> None:
         help="raw ausearch-export file/dir/glob (the reference CLI's input; "
         "per-file resumable ingest)",
     )
+    src.add_argument(
+        "--warc",
+        help="uncompressed WARC crawl file/dir/glob (Common-Crawl front "
+        "door: response records → HTML text extraction → lang-id → the "
+        "same parse→route pipeline; per-file resumable ingest)",
+    )
     ap.add_argument("--out", required=True, help="output path")
     ap.add_argument("--force", action="store_true", help="reprocess everything")
     ap.add_argument("--report", action="store_true", help="write JSON report")
@@ -54,6 +60,7 @@ def main() -> None:
     from avc_parser_spark.checkpoint import (
         read_events,
         run_audit_logs_with_checkpoints,
+        run_warc_with_checkpoints,
         run_with_checkpoints,
     )
     from avc_parser_spark.pipeline import denial_groups
@@ -65,6 +72,10 @@ def main() -> None:
     if args.audit_logs:
         result = run_audit_logs_with_checkpoints(
             spark, args.audit_logs, args.out, force=args.force
+        )
+    elif args.warc:
+        result = run_warc_with_checkpoints(
+            spark, args.warc, args.out, force=args.force
         )
     else:
         result = run_with_checkpoints(spark, args.pages, args.out, force=args.force)

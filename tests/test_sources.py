@@ -327,3 +327,47 @@ def test_stream_warc_matches_batch(spark, tmp_path):
     mk("c.warc", ["http://s.example/4"])
     urls = sorted(r["url"] for r in drain().collect())
     assert urls == [f"http://s.example/{i}" for i in (1, 2, 3, 4)]
+
+
+def test_run_warc_with_checkpoints_resume(spark, tmp_path):
+    """Per-file resumable WARC ingest: first run processes both crawl
+    files; an unchanged re-run skips everything; a new drop processes
+    incrementally; events land partitioned per source file with routed
+    row counts in the manifest."""
+    from avc_parser_spark.checkpoint import read_events, run_warc_with_checkpoints
+    from avc_parser_spark.datagen import build_pages_df
+    from avc_parser_spark.sources import build_warc_bytes
+
+    pages = build_pages_df(spark, 120).collect()
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+
+    def mk(name, rows):
+        (crawl / name).write_bytes(build_warc_bytes(
+            [{"url": r["url"], "ts": r["warc_ts"], "html": bytes(r["html"])}
+             for r in rows]
+        ))
+
+    mk("a.warc", pages[:50])
+    mk("b.warc", pages[50:100])
+    out = str(tmp_path / "out")
+
+    r1 = run_warc_with_checkpoints(spark, str(crawl), out)
+    assert sorted(r1["processed"]) == ["warc-a.warc", "warc-b.warc"]
+    assert r1["skipped"] == []
+    assert all(
+        e["routed_rows"] and e["input_rows"] == 50
+        for e in r1["manifest"].values()
+    )
+
+    r2 = run_warc_with_checkpoints(spark, str(crawl), out)
+    assert r2["processed"] == []
+    assert sorted(r2["skipped"]) == ["warc-a.warc", "warc-b.warc"]
+
+    mk("c.warc", pages[100:])
+    r3 = run_warc_with_checkpoints(spark, str(crawl), out)
+    assert r3["processed"] == ["warc-c.warc"]
+    assert sorted(r3["skipped"]) == ["warc-a.warc", "warc-b.warc"]
+
+    ev = read_events(spark, out)
+    assert ev.select("url").distinct().count() == 120
