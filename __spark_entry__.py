@@ -426,7 +426,13 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id%40==29<500 cycles 4 decoration shapes), pinned BYTE-EXACT:
     k=doc_id, n1=extracted length, n2=first-14-hex of md5(extracted) as a
     bigint, n3=raw html length; the oracle rebuilds the identical chain
-    via html_extract_sql. Every value is re-derived in DuckDB (md5 bucket +
+    via html_extract_sql; mode='bm25' — BM25 keyword retrieval
+    (bm25_topk, query 'spark vector window', k=20): rational constants
+    k1=6/5 b=3/4 multiply the tf factor out to an integer ratio and the
+    per-term IDF ln() is quantized to a micro-long, so every contribution
+    is an int64 floor-division and scores are integer sums — bit-exact
+    cross-engine (k=doc_id, n1=score_micro, n2=terms_matched, n3=rank).
+    Every value is re-derived in DuckDB (md5 bucket +
     window prefix sum + the same `div` cutoff arithmetic + the full LM
     build/score + the GROUPING SETS rollup + all seven Gopher rules +
     the full C4 line filter + the complete repetition battery incl. the
@@ -623,6 +629,18 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hl").cast("long").alias("n3"),
         null_n.alias("n4"), null_n.alias("n5"),
     )
+    from avc_parser_spark.functions.retrieval import bm25_topk
+
+    bm25 = bm25_topk(
+        docs.select("doc_id", "text"), ["spark", "vector", "window"], k=20
+    ).select(
+        F.lit("bm25").alias("mode"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("score_micro").alias("n1"),
+        F.col("terms_matched").cast("long").alias("n2"),
+        F.col("rank").cast("long").alias("n3"),
+        null_n.alias("n4"), null_n.alias("n5"),
+    )
     return (
         stats.unionByName(pack)
         .unionByName(mix)
@@ -632,6 +650,7 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(c4)
         .unionByName(rep)
         .unionByName(html)
+        .unionByName(bm25)
     )
 
 
@@ -2629,6 +2648,22 @@ def _token_suite_html_branch() -> str:
         """)
 
 
+def _token_suite_bm25_branch() -> str:
+    """token_suite mode='bm25': the DuckDB twin (bm25_sql) is generated
+    from the SAME rational constants and tokenizer semantics; integer
+    micro scores make the ranking comparison bit-stable."""
+    from avc_parser_spark.functions.retrieval import bm25_sql
+
+    return ("""
+            UNION ALL
+            SELECT 'bm25', cast(doc_id as varchar),
+                   score_micro, terms_matched,
+                   cast(rank as bigint),
+                   cast(null as bigint), cast(null as bigint)
+            FROM (""" + bm25_sql(["spark", "vector", "window"], k=20) + """) b
+        """)
+
+
 def oracle_sql() -> dict[str, str]:
     f = ORACLE_FIELDS
     return {
@@ -3086,7 +3121,7 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(topcov) as bigint), cast(null as bigint),
                    cast(null as bigint)
             FROM rbit GROUP BY bitmask
-        """ + _token_suite_html_branch(),
+        """ + _token_suite_html_branch() + _token_suite_bm25_branch(),
         "dedup_exact": """
             WITH corpus AS (
               SELECT doc_id,

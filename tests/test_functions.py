@@ -2102,3 +2102,68 @@ def test_bloom_delta_gate_exactness(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 5
     assert bloom_words(s).count() <= (1 << 23) // 64
+
+
+def test_bm25_topk_ranking_semantics(spark):
+    """BM25 hand-check: a doc with more query-term hits outranks; among
+    equal-tf docs the shorter one wins (length normalization); docs
+    without any query term never appear; terms_matched counts distinct
+    matched terms; the plan is TakeOrderedAndProject (no global sort)."""
+    from avc_parser_spark.functions.retrieval import bm25_topk
+
+    rows = [
+        (1, "spark vector spark vector filler filler filler"),
+        (2, "spark filler filler filler filler filler filler"),
+        (3, "spark filler"),                      # same tf as 2, shorter
+        (4, "nothing relevant here at all"),
+        (5, "vector vector vector filler filler"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25_topk(docs, ["spark", "vector"], k=10).collect()
+    ids = [r["doc_id"] for r in got]
+    assert 4 not in ids
+    assert ids[0] == 1                       # both terms, tf 2 each
+    assert ids.index(3) < ids.index(2)       # shorter doc wins at equal tf
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[1]["terms_matched"] == 2
+    assert by_id[2]["terms_matched"] == 1
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+    plan = (
+        bm25_topk(docs, ["spark", "vector"], k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_duckdb_differential(spark):
+    """Seeded random word-soup corpus: bm25_topk must reproduce the
+    generated DuckDB twin EXACTLY (ids, integer micro scores, ranks) —
+    the integer-arithmetic cross-engine contract, on a fresh corpus and
+    a different query than the driver mode uses."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from avc_parser_spark.functions.retrieval import bm25_sql, bm25_topk
+
+    rng = random.Random(20260818)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "lam", "mu"]
+    pdf = pd.DataFrame({
+        "doc_id": range(400),
+        "text": [" ".join(rng.choice(vocab)
+                          for _ in range(rng.randint(1, 60)))
+                 for _ in range(400)],
+    })
+    docs = spark.createDataFrame(pdf)
+    query = ["gamma", "kappa", "mu", "absentterm"]
+    got = [
+        (r["doc_id"], r["score_micro"], r["terms_matched"], r["rank"])
+        for r in bm25_topk(docs, query, k=25).collect()
+    ]
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = [tuple(x) for x in con.execute(bm25_sql(query, k=25)).fetchall()]
+    assert got == want
