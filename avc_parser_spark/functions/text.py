@@ -296,6 +296,66 @@ def html_extract_sql(col_sql: str) -> str:
     return expr
 
 
+def _mojibake_table() -> list[tuple[str, str]]:
+    """(mojibake, fixed) pairs for the classic web-crawl double-encoding:
+    UTF-8 bytes mis-decoded as cp1252 and re-encoded. Generated from the
+    character list (not hand-typed), longest sequences first so 3-byte
+    artifacts ('â€™') repair before any 2-byte prefix could. Characters
+    whose UTF-8 bytes hit cp1252's unmapped holes are skipped — their
+    mojibake form never round-trips through real pipelines intact."""
+    chars = (
+        "àáâãäåæçèéêëìíîïñòóôõöøùúûüýÿ"
+        "ÀÁÂÃÄÅÆÇÈÉÊËÌÍÎÏÑÒÓÔÕÖØÙÚÛÜ"
+        "ßœŒ€™©®°±µ·"
+        "“”‘’–—… "
+    )
+    def cp1252_lenient(bs: bytes) -> str:
+        # real decoders pass cp1252's five hole bytes (81 8D 8F 90 9D)
+        # through as their latin-1 control chars — mirror that so e.g.
+        # '”' (E2 80 9D) still gets a repair entry
+        out = []
+        for b in bs:
+            try:
+                out.append(bytes([b]).decode("cp1252"))
+            except UnicodeDecodeError:
+                out.append(chr(b))
+        return "".join(out)
+
+    out = []
+    for ch in chars:
+        moji = cp1252_lenient(ch.encode("utf-8"))
+        if moji != ch:
+            out.append((moji, ch))
+    out.sort(key=lambda p: (-len(p[0]), p[0]))
+    return out
+
+
+_MOJIBAKE_TABLE = _mojibake_table()
+
+
+def fix_mojibake(text: Column) -> Column:
+    """Repair the classic UTF-8-as-cp1252 double-encoding artifacts
+    ('Ã©'→'é', 'â€™'→'’', 'â€”'→'—', …) — the ftfy-style cleanup pass a
+    web-crawl pipeline runs before quality scoring. One chained native
+    replace expression over a generated table (longest artifacts first);
+    text without artifacts streams through untouched."""
+    out = F.coalesce(text, F.lit(""))
+    for moji, ch in _MOJIBAKE_TABLE:
+        out = F.replace(out, F.lit(moji), F.lit(ch))
+    return out
+
+
+def fix_mojibake_sql(col_sql: str) -> str:
+    """DuckDB twin of fix_mojibake from the SAME generated table."""
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = f"coalesce({col_sql}, '')"
+    for moji, ch in _MOJIBAKE_TABLE:
+        expr = f"replace({expr}, '{q(moji)}', '{q(ch)}')"
+    return expr
+
+
 def fingerprint64(text: Column) -> Column:
     """Rolling-hash-style 64-bit document fingerprint: xxhash64 over the
     whitespace-normalized, lowercased text (stable across formatting noise)."""

@@ -2167,3 +2167,51 @@ def test_bm25_duckdb_differential(spark):
     con.register("documents", pdf)
     want = [tuple(x) for x in con.execute(bm25_sql(query, k=25)).fetchall()]
     assert got == want
+
+
+def test_fix_mojibake_roundtrip_and_duckdb_twin(spark):
+    """fix_mojibake repairs programmatically-generated double-encoding:
+    clean → utf-8 bytes → lenient cp1252 (holes pass through latin-1) →
+    repaired must equal clean, for accented Latin, punctuation and symbol
+    cases; clean ASCII streams through untouched; the generated DuckDB
+    twin produces byte-identical output."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from avc_parser_spark.functions.text import fix_mojibake, fix_mojibake_sql
+
+    def lenient(bs):
+        out = []
+        for b in bs:
+            try:
+                out.append(bytes([b]).decode("cp1252"))
+            except UnicodeDecodeError:
+                out.append(chr(b))
+        return "".join(out)
+
+    cleans = [
+        "naïve café crème brûlée",
+        "it’s “quoted” — and more…",
+        "€100 ±50° à la carte",
+        "plain ascii stays plain ascii",
+        "Gödel Escäper Øresund œuvre",
+        "",
+    ]
+    rows = []
+    for i, c in enumerate(cleans):
+        rows.append((2 * i, lenient(c.encode("utf-8")), c))
+        rows.append((2 * i + 1, c, c))  # already-clean text is untouched
+    df = spark.createDataFrame(rows, "i long, raw string, want string")
+    got = {r["i"]: (r["x"], r["want"])
+           for r in df.select("i", fix_mojibake(F.col("raw")).alias("x"),
+                              "want").collect()}
+    for i, (x, want) in got.items():
+        assert x == want, (i, x, want)
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["i", "raw", "want"]))
+    oracle = dict(con.execute(
+        f"select i, {fix_mojibake_sql('raw')} from t").fetchall())
+    for i, (x, _) in got.items():
+        assert oracle[i] == x, (i, oracle[i], x)
