@@ -167,3 +167,60 @@ def bm25_sql(
         ORDER BY score_micro DESC, {id_col} ASC
         LIMIT {k}
     """
+
+
+def top_terms_per_doc(
+    docs: DataFrame,
+    k: int = 5,
+    min_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TF-IDF keyword extraction: the k most salient terms per document
+    (corpus summarization / tagging). Scale shape: ONE (id, term) partial-
+    aggregated shuffle for term frequencies; document frequencies are a
+    vocabulary-bounded aggregate broadcast back; per-doc top-k is a
+    sort_array(collect_list) slice inside the SAME groupBy as the tf
+    aggregation's reduction — no window over the corpus, no second
+    shuffle. Scores are integer micro TF-IDF (tf × round(ln(N/df)·1e6)),
+    bit-exact cross-engine; score ties break to the lexicographically
+    LARGER term (descending (score, term) struct order) — deterministic
+    across engines and partitionings.
+
+    Returns (id_col, terms: array<struct<term, score_micro>>).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda x: x != "",
+    )
+    tfd = (
+        docs.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tfd.groupBy("term").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") >= min_df
+    )
+    totals = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tfd.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "score_micro",
+            F.expr("tf * cast(round(ln(n_docs / df) * 1e6) as bigint)"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.slice(
+                F.reverse(
+                    F.array_sort(
+                        F.collect_list(F.struct("score_micro", "term"))
+                    )
+                ),
+                1,
+                k,
+            ).alias("terms")
+        )
+    )

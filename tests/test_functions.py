@@ -2215,3 +2215,44 @@ def test_fix_mojibake_roundtrip_and_duckdb_twin(spark):
         f"select i, {fix_mojibake_sql('raw')} from t").fetchall())
     for i, (x, _) in got.items():
         assert oracle[i] == x, (i, oracle[i], x)
+
+
+def test_top_terms_per_doc(spark):
+    """TF-IDF keyword extraction: corpus-wide common terms score 0 (df=N
+    → ln 1), rare terms dominate, tf scales within a doc, min_df prunes
+    hapaxes, score ties break to the lexicographically larger term, and
+    the integer micro scores match a pure-Python re-derivation."""
+    import math
+
+    from avc_parser_spark.functions.retrieval import top_terms_per_doc
+
+    rows = [
+        (1, "common common zebra zebra zebra quartz"),
+        (2, "common quartz quartz"),
+        (3, "common onlyonce"),
+        (4, "common"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: [(t["term"], t["score_micro"]) for t in r["terms"]]
+        for r in top_terms_per_doc(docs, k=3, min_df=2).collect()
+    }
+
+    idf = lambda df_: int(round(math.log(4 / df_) * 1e6))
+    # doc 1: zebra tf=3 df=1 -> pruned by min_df=2? no - zebra df=1 < 2 pruned;
+    # quartz df=2, common df=4 (idf 0)
+    assert got[1] == [("quartz", idf(2)), ("common", 0)]
+    assert got[2] == [("quartz", 2 * idf(2)), ("common", 0)]
+    # doc 3: onlyonce is a hapax (df=1) -> pruned; common survives at 0
+    assert got[3] == [("common", 0)]
+    assert got[4] == [("common", 0)]
+
+    # tie-break: equal scores order by term descending
+    tie = spark.createDataFrame(
+        [(1, "aaa bbb"), (2, "aaa bbb")], "doc_id long, text string"
+    )
+    t = {
+        r["doc_id"]: [x["term"] for x in r["terms"]]
+        for r in top_terms_per_doc(tie, k=2).collect()
+    }
+    assert t[1] == ["bbb", "aaa"] and t[2] == ["bbb", "aaa"]
