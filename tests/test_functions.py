@@ -2256,3 +2256,61 @@ def test_top_terms_per_doc(spark):
         for r in top_terms_per_doc(tie, k=2).collect()
     }
     assert t[1] == ["bbb", "aaa"] and t[2] == ["bbb", "aaa"]
+
+
+def test_int8_embedding_quantization(spark):
+    """Scalar int8 quantization: roundtrip error bounded by half a code
+    step per component, constant vectors reconstruct exactly, and
+    brute-force top-k over quantized codes recalls >=8/10 of the exact
+    float top-k on a clustered corpus (4x smaller storage, same plan
+    shape)."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from avc_parser_spark.functions.similarity import (
+        brute_force_topk,
+        dequantize_embedding_expr,
+        quantize_embedding_expr,
+        quantized_topk,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+    rows = []
+    for i in range(200):
+        if i % 4 == 0:  # cluster near the query direction
+            v = [1.0 + rng.uniform(-0.05, 0.05) * (j % 3) for j in range(dim)]
+        else:
+            v = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append((i, [float(x) for x in v]))
+    rows.append((900, [2.5] * dim))  # constant vector (degenerate range)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    q = emb.select(
+        "vec_id", "embedding",
+        quantize_embedding_expr(F.col("embedding")).alias("q"),
+    ).select(
+        "vec_id", "embedding",
+        F.col("q").alias("q"),
+        dequantize_embedding_expr(F.col("q")).alias("back"),
+    )
+    for r in q.collect():
+        orig, back = r["embedding"], r["back"]
+        lo, hi = min(orig), max(orig)
+        step = (hi - lo) / 255.0 if hi > lo else 0.0
+        for a, b in zip(orig, back):
+            assert abs(a - b) <= step / 2 + 1e-5, (r["vec_id"], a, b, step)
+        codes = r["q"]["codes"]
+        assert all(0 <= c <= 255 for c in codes)
+    const = {r["vec_id"]: r["back"] for r in q.collect()}[900]
+    assert all(abs(x - 2.5) < 1e-6 for x in const)
+
+    query = [1.0] * dim
+    exact = [r["vec_id"] for r in brute_force_topk(emb, query, k=10).collect()]
+    qtab = emb.select(
+        "vec_id", quantize_embedding_expr(F.col("embedding")).alias("q")
+    )
+    approx = [r["vec_id"] for r in quantized_topk(qtab, query, k=10).collect()]
+    assert len(set(exact) & set(approx)) >= 8, (exact, approx)
