@@ -308,3 +308,152 @@ def corpus_report(
             else F.lit(None).cast("long")
         ).alias("n_domains"),
     )
+
+
+def curate_delta(
+    spark,
+    delta: DataFrame,
+    corpus_path: str,
+    sketch_path: str,
+    eval_docs: DataFrame | None = None,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    contam_n: int = 8,
+    weights: dict[str, float] | None = None,
+    split_method: str = "md5",
+) -> DataFrame:
+    """INCREMENTAL curation: clean a newly-arrived delta batch against the
+    STORED curated corpus without reprocessing it — the daily-ingest shape
+    of the curate_corpus capstone. The corpus is read narrowly (pruned
+    columns only), never re-sketched, never shuffled:
+
+    1. URL dedup: canonicalize the delta, keep min-id per canon_url WITHIN
+       the batch, then drop deltas whose canon_url already exists in the
+       store — Bloom gate (bit_or bitmap over stored canon digests, one
+       narrow corpus pass with a bounded m/64-row result; a production
+       deployment maintains this bitmap table incrementally) + a verify
+       semi-join where the small gated maybe-set BROADCASTS against the
+       store, so the store is never shuffled.
+    2. Exact text dedup vs the store: exact_delta_dups (same gate+verify).
+    3. Near-dup: minhash_delta_candidates probes the delta's band keys
+       against the STORED sketch table (sig column never read, plan-gated
+       elsewhere) — a verified cross pair always drops the DELTA side (the
+       stored doc is already canonical); within-delta pairs resolve via
+       the usual connected-components keeper rule.
+    4. Decontamination + split assignment exactly as the batch chain —
+       split_by_hash is a pure id-hash function, so delta splits are
+       consistent with the store's by construction.
+
+    Returns the SURVIVING delta (with canon_url/domain/split) ready for
+    commit_delta. Every verify join keys on the (small) delta side.
+    """
+    from avc_parser_spark.functions.dedup import (
+        bloom_gate,
+        bloom_words,
+        jaccard_from_hashes,
+        minhash_candidates_from_hashes,
+        minhash_delta_candidates,
+        normalized_text,
+        resolve_clusters,
+    )
+
+    corpus = spark.read.parquet(corpus_path)
+
+    # 1. URL-level: within-batch keeper, then store-membership drop
+    w = Window.partitionBy("canon_url")
+    d1 = (
+        delta.withColumn("canon_url", canonicalize_url(F.col(url_col)))
+        .withColumn(
+            "domain",
+            F.regexp_extract(F.col("canon_url"), r"^[a-z]+://([^/:?#]+)", 1),
+        )
+        .withColumn("_k", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_k"))
+        .drop("_k")
+    )
+    url_dig = F.md5(F.col("canon_url"))
+    stored_urls = corpus.select(url_dig.alias("digest"))
+    maybe = bloom_gate(
+        d1.select(F.col(id_col), url_dig.alias("digest")),
+        bloom_words(stored_urls),
+    )
+    url_hits = stored_urls.join(
+        F.broadcast(maybe.select("digest").distinct()), "digest", "left_semi"
+    )
+    url_drops = maybe.join(F.broadcast(url_hits.distinct()), "digest",
+                           "left_semi").select(id_col)
+    d1 = d1.join(url_drops, id_col, "left_anti")
+
+    # 2. exact text dedup against the store (bloom gate + verify)
+    from avc_parser_spark.functions.dedup import exact_delta_dups
+
+    text_dups = exact_delta_dups(d1, corpus, text_col=text_col, id_col=id_col)
+    d2 = d1.join(text_dups.select(id_col), id_col, "left_anti").persist()
+
+    # 3. near-dup: vs stored sketches AND within the batch
+    cross = minhash_delta_candidates(spark, sketch_path, d2,
+                                     text_col=text_col, id_col=id_col)
+    from avc_parser_spark.functions.dedup import base_shingle_hashes, word_shingles
+
+    cross_a = cross.select(F.col("a").alias(id_col)).distinct()
+    stored_texts = corpus.join(F.broadcast(cross_a), id_col, "left_semi")
+    hashed = (
+        d2.select(F.col(id_col), F.col(text_col))
+        .unionByName(stored_texts.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col).alias("_id"),
+            base_shingle_hashes(word_shingles(F.col(text_col))).alias("h"),
+        )
+        .persist()
+    )
+    cross_verified = jaccard_from_hashes(hashed, cross).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+    # stored doc always wins a cross pair → drop the delta member (b)
+    cross_drops = cross_verified.select(F.col("b").alias(id_col)).distinct()
+    delta_hashed = hashed.join(
+        F.broadcast(cross_a.select(F.col(id_col).alias("_id"))),
+        "_id", "left_anti",
+    )
+    within = minhash_candidates_from_hashes(delta_hashed)
+    within_verified = jaccard_from_hashes(hashed, within).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+    resolved = resolve_clusters(within_verified)
+    within_drops = resolved.filter(F.col("doc_id") != F.col("keeper")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    d3 = (
+        d2.join(cross_drops, id_col, "left_anti")
+        .join(within_drops, id_col, "left_anti")
+    )
+    hashed.unpersist()
+
+    # 4. decontamination (broadcast eval grams) + split
+    if eval_docs is not None:
+        contam = contaminated_train_docs(
+            d3, eval_docs, n=contam_n, text_col=text_col, id_col=id_col
+        )
+        d3 = d3.join(contam.select(id_col), id_col, "left_anti")
+    return split_by_hash(d3, weights, id_col=id_col, method=split_method)
+
+
+def commit_delta(
+    survivors: DataFrame,
+    corpus_path: str,
+    sketch_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append the surviving delta to the curated store: corpus rows land
+    hive-partitioned by split next to the existing data; their sketches
+    append to the sketch table so FUTURE deltas dedup against them — each
+    document is sketched exactly once in its lifetime."""
+    from avc_parser_spark.functions.dedup import write_sketch_table
+
+    survivors.write.mode("append").partitionBy("split").parquet(corpus_path)
+    write_sketch_table(
+        survivors, sketch_path, mode="append", text_col=text_col, id_col=id_col
+    )

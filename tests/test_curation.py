@@ -267,3 +267,69 @@ def test_curate_corpus_quality_battery(spark):
     # (they share the `good` body), so only those drop, via dedup not C4
     base = curate_corpus(docs, None)
     assert sorted(r["doc_id"] for r in base.collect()) == [0, 1, 4, 5]
+
+
+def test_curate_delta_incremental(spark, tmp_path):
+    """Incremental ingest: a delta batch dedups against the STORED curated
+    corpus without reprocessing it — url-level, exact-text, cross-batch
+    near-dup, within-batch near-dup and contamination drops each planted
+    once; commit_delta appends survivors + sketches so the NEXT delta
+    dedups against them too."""
+    from avc_parser_spark.functions.curation import (
+        commit_delta,
+        curate_corpus,
+        curate_delta,
+        write_curated,
+    )
+    from avc_parser_spark.functions.dedup import write_sketch_table
+
+    base_rows = [
+        (i, f"https://base.com/p{i}",
+         f"stored document number {i} keeps twelve distinct words in every "
+         f"single line body {i * 13}")
+        for i in range(10)
+    ]
+    base = spark.createDataFrame(base_rows, "doc_id long, url string, text string")
+    corpus_path = str(tmp_path / "corpus")
+    sketch_path = str(tmp_path / "sketches")
+    curated = curate_corpus(base, None)
+    write_curated(curated, corpus_path)
+    write_sketch_table(curated, sketch_path, mode="overwrite")
+
+    eval_text = ("held out benchmark sentence with many overlapping tokens "
+                 "for the contamination check stage")
+    evals = spark.createDataFrame([(900, eval_text)], "eval_id long, text string")
+    near = base_rows[3][2] + " extra"     # high-jaccard, different digest
+    delta_rows = [
+        (100, "https://base.com/p4?utm_source=x",  # canon_url == stored p4
+         "entirely novel text that only shares the url with stored page four"),
+        (101, "https://d.com/a", base_rows[5][2]),          # exact text copy
+        (102, "https://d.com/b", near),                     # cross near-dup
+        (103, "https://d.com/c", "within batch twin text that repeats "
+                                 "across two fresh delta documents today"),
+        (104, "https://d.com/d", "within batch twin text that repeats "
+                                 "across two fresh delta documents today"),
+        (105, "https://d.com/e", eval_text),                # contaminated
+        (106, "https://d.com/f", "a genuinely fresh clean delta document "
+                                 "with its own vocabulary and nothing shared"),
+    ]
+    delta = spark.createDataFrame(delta_rows, "doc_id long, url string, text string")
+
+    out = curate_delta(spark, delta, corpus_path, sketch_path, eval_docs=evals)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert sorted(got) == [103, 106]
+    assert all(r["split"] in ("train", "val", "test") for r in got.values())
+
+    # commit, then a second delta copying survivor 106 must now drop
+    commit_delta(out.select(*curated.columns), corpus_path, sketch_path)
+    delta2 = spark.createDataFrame(
+        [(200, "https://d2.com/x", delta_rows[-1][2]),      # copy of 106
+         (201, "https://d2.com/y", "second wave document standing alone "
+                                   "with completely independent words")],
+        "doc_id long, url string, text string",
+    )
+    out2 = curate_delta(spark, delta2, corpus_path, sketch_path)
+    assert sorted(r["doc_id"] for r in out2.collect()) == [201]
+    # the store now holds base survivors + both committed deltas
+    stored = spark.read.parquet(corpus_path)
+    assert stored.count() == curated.count() + 2
