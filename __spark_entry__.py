@@ -383,6 +383,23 @@ _HTML_DECOR_CASE = """
     ELSE concat('<html><body><p>', text, '</p></body></html>') END
 """
 
+# NFC plant for token_suite mode='nfc': a suffix of canonically DECOMPOSED
+# sequences (combining acute/ring/tilde, Hangul jamo pair, Angstrom sign)
+# appended to doc_id%40==37 (<500). Built from ONE codepoint list so the
+# Spark literal (F.lit of the Python string) and the DuckDB literal
+# (chr()-composition in SQL) are byte-identical by construction; NFC
+# composes every sequence, so planted docs shrink and their md5 changes —
+# cross-engine unicodedata↔utf8proc agreement is pinned by pytest.
+_NFC_CODEPOINTS = [
+    0x20, 0x63, 0x61, 0x66, 0x65, 0x301,        # ' cafe' + combining acute
+    0x20, 0x41, 0x30A,                           # ' A' + combining ring
+    0x20, 0x76, 0x75, 0x303,                     # ' vu' + combining tilde
+    0x20, 0x1100, 0x1161,                        # ' ' + Hangul jamo -> 가
+    0x20, 0x212B,                                # ' ' + Angstrom -> U+00C5
+]
+_NFC_SUFFIX = "".join(chr(c) for c in _NFC_CODEPOINTS)
+_NFC_SUFFIX_SQL = " || ".join(f"chr({c})" for c in _NFC_CODEPOINTS)
+
 
 def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token accounting, mode-tagged (established suite pattern):
@@ -431,7 +448,18 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     k1=6/5 b=3/4 multiply the tf factor out to an integer ratio and the
     per-term IDF ln() is quantized to a micro-long, so every contribution
     is an int64 floor-division and scores are integer sums — bit-exact
-    cross-engine (k=doc_id, n1=score_micro, n2=terms_matched, n3=rank).
+    cross-engine (k=doc_id, n1=score_micro, n2=terms_matched, n3=rank);
+    mode='chunk' — overlapping token-window chunking (chunk_documents,
+    size=32 overlap=8: RAG/context-window prep), a native map-only
+    Generate with no shuffle; every chunk pinned byte-exact via a 14-hex
+    md5 prefix (k=doc_id/chunk_idx, n1=chunk tokens, n2=md5 prefix,
+    n3=tok_start, n4=chunk_idx) with the DuckDB twin generated by
+    chunk_sql from the same arithmetic; mode='nfc' — Unicode NFC
+    normalization (normalize_nfc: Arrow-batched unicodedata vs DuckDB
+    utf8proc) over planted DECOMPOSED suffixes (doc_id%40==37<500, one
+    shared codepoint list builds both engines' literals): k=doc_id,
+    n1=len before, n2=len after (planted docs shrink), n3=md5 prefix of
+    the normalized text.
     Every value is re-derived in DuckDB (md5 bucket +
     window prefix sum + the same `div` cutoff arithmetic + the full LM
     build/score + the GROUPING SETS rollup + all seven Gopher rules +
@@ -641,6 +669,39 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("n3"),
         null_n.alias("n4"), null_n.alias("n5"),
     )
+    from avc_parser_spark.functions.text import chunk_documents, normalize_nfc
+
+    chunk = chunk_documents(docs, size=32, overlap=8).select(
+        F.lit("chunk").alias("mode"),
+        F.concat_ws(
+            "/", F.col("doc_id").cast("string"),
+            F.col("chunk_idx").cast("string"),
+        ).alias("k"),
+        F.col("n_chunk_tokens").cast("long").alias("n1"),
+        F.expr(
+            "cast(conv(substr(md5(chunk_text), 1, 14), 16, 10) as bigint)"
+        ).alias("n2"),
+        F.col("tok_start").alias("n3"),
+        F.col("chunk_idx").cast("long").alias("n4"),
+        null_n.alias("n5"),
+    )
+    ndocs = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 40 == 37) & (F.col("doc_id") < 500),
+            F.concat(F.col("text"), F.lit(_NFC_SUFFIX)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    nfc = normalize_nfc(ndocs).select(
+        F.lit("nfc").alias("mode"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.length("text").cast("long").alias("n1"),
+        F.length("text_nfc").cast("long").alias("n2"),
+        F.expr(
+            "cast(conv(substr(md5(text_nfc), 1, 14), 16, 10) as bigint)"
+        ).alias("n3"),
+        null_n.alias("n4"), null_n.alias("n5"),
+    )
     return (
         stats.unionByName(pack)
         .unionByName(mix)
@@ -651,6 +712,8 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rep)
         .unionByName(html)
         .unionByName(bm25)
+        .unionByName(chunk)
+        .unionByName(nfc)
     )
 
 
@@ -2664,6 +2727,43 @@ def _token_suite_bm25_branch() -> str:
         """)
 
 
+def _token_suite_chunk_branch() -> str:
+    """token_suite mode='chunk': the DuckDB twin (chunk_sql) shares the
+    split regex, the `div`/`//` chunk-count arithmetic, and the 1-based
+    clamped slice semantics; chunk text is pinned byte-exactly via a
+    14-hex md5 prefix."""
+    from avc_parser_spark.functions.text import chunk_sql
+
+    return ("""
+            UNION ALL
+            SELECT 'chunk',
+                   cast(doc_id as varchar) || '/' || cast(chunk_idx as varchar),
+                   cast(n_chunk_tokens as bigint),
+                   ('0x' || substr(md5(chunk_text), 1, 14))::bigint,
+                   tok_start, cast(chunk_idx as bigint), cast(null as bigint)
+            FROM (""" + chunk_sql("documents", size=32, overlap=8) + """) ck
+        """)
+
+
+def _token_suite_nfc_branch() -> str:
+    """token_suite mode='nfc': plant the decomposed suffix via the SAME
+    codepoint list (chr() composition) and normalize with DuckDB's
+    nfc_normalize (utf8proc) against Spark's unicodedata pass."""
+    return ("""
+            UNION ALL
+            SELECT 'nfc', cast(doc_id as varchar),
+                   cast(length(t) as bigint),
+                   cast(length(nfc_normalize(t)) as bigint),
+                   ('0x' || substr(md5(nfc_normalize(t)), 1, 14))::bigint,
+                   cast(null as bigint), cast(null as bigint)
+            FROM (SELECT doc_id,
+                         CASE WHEN doc_id % 40 = 37 AND doc_id < 500
+                              THEN text || """ + _NFC_SUFFIX_SQL + """
+                              ELSE text END AS t
+                  FROM documents) nfcd
+        """)
+
+
 def oracle_sql() -> dict[str, str]:
     f = ORACLE_FIELDS
     return {
@@ -3121,7 +3221,8 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(topcov) as bigint), cast(null as bigint),
                    cast(null as bigint)
             FROM rbit GROUP BY bitmask
-        """ + _token_suite_html_branch() + _token_suite_bm25_branch(),
+        """ + _token_suite_html_branch() + _token_suite_bm25_branch()
+            + _token_suite_chunk_branch() + _token_suite_nfc_branch(),
         "dedup_exact": """
             WITH corpus AS (
               SELECT doc_id,

@@ -1203,3 +1203,136 @@ def bpe_encode(
         return texts.map(doc)
 
     return docs.withColumn("bpe_tokens", enc(F.col(text_col)))
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking (RAG indexing / long-context eval
+    prep; mirrors the retrieval-side analog of the reference's block split,
+    parse_avc.py ausearch block walk): each document becomes windows of
+    `size` whitespace tokens advancing by stride = size - overlap, so
+    consecutive chunks share `overlap` tokens of context. The last chunk is
+    short rather than padded; a non-empty doc shorter than `size` yields
+    exactly ONE chunk; empty/null docs yield none.
+
+    Scale shape: fully native split → sequence → explode → slice →
+    array_join. The fan-out is a Generate (no shuffle, no Python), so at
+    100 TB this is a map-only pass that chains onto the scan — chunk counts
+    are bounded per doc by construction, never by a collect.
+
+    Returns (id, chunk_idx, tok_start, n_chunk_tokens, chunk_text)."""
+    stride = size - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than size")
+    trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    base = docs.select(
+        F.col(id_col),
+        F.when(trimmed == "", F.array().cast("array<string>"))
+        .otherwise(F.split(trimmed, r"\s+"))
+        .alias("_toks"),
+    )
+    n_tok = F.size(F.col("_toks"))
+    # integer-exact chunk count: 1 + ceil((n - size) / stride) for n > size,
+    # via `div` so the arithmetic is bigint-exact in both engines
+    n_chunks = F.when(n_tok <= size, F.lit(1)).otherwise(
+        F.lit(1) + F.expr(
+            f"(size(_toks) - {size} + {stride - 1}) div {stride}"
+        )
+    )
+    out = (
+        base.filter(n_tok > 0)
+        .select(
+            F.col(id_col),
+            F.col("_toks"),
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            (F.col("chunk_idx").cast("long") * stride).alias("tok_start"),
+            F.slice(
+                F.col("_toks"), F.col("chunk_idx") * stride + F.lit(1), F.lit(size)
+            ).alias("_chunk"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_idx",
+            "tok_start",
+            F.size("_chunk").alias("n_chunk_tokens"),
+            F.array_join("_chunk", " ").alias("chunk_text"),
+        )
+    )
+    return out
+
+
+def chunk_sql(
+    table: str,
+    size: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of chunk_documents over `table` — same split, same
+    integer chunk-count arithmetic (`//` vs Spark `div`), same 1-based
+    inclusive list slice semantics (list_slice clamps the end exactly like
+    Spark's slice clamps the length)."""
+    stride = size - overlap
+    return f"""
+        WITH toks AS (
+          SELECT {id_col},
+                 (CASE WHEN trim(coalesce({text_col}, '')) = ''
+                       THEN []::varchar[]
+                       ELSE regexp_split_to_array(trim({text_col}), '\\s+')
+                  END) AS arr
+          FROM {table}),
+        sized AS (
+          SELECT {id_col}, arr, len(arr) AS n,
+                 (CASE WHEN len(arr) <= {size} THEN 1
+                       ELSE 1 + ((len(arr) - {size} + {stride - 1}) // {stride})
+                  END) AS n_chunks
+          FROM toks WHERE len(arr) > 0),
+        chunks AS (
+          SELECT {id_col},
+                 unnest(generate_series(0, n_chunks - 1)) AS chunk_idx,
+                 arr
+          FROM sized)
+        SELECT {id_col}, chunk_idx,
+               (chunk_idx * {stride})::bigint AS tok_start,
+               len(list_slice(arr, chunk_idx * {stride} + 1,
+                              chunk_idx * {stride} + {size})) AS n_chunk_tokens,
+               array_to_string(list_slice(arr, chunk_idx * {stride} + 1,
+                                          chunk_idx * {stride} + {size}),
+                               ' ') AS chunk_text
+        FROM chunks
+    """
+
+
+def normalize_nfc(
+    docs: DataFrame, text_col: str = "text", out_col: str = "text_nfc"
+) -> DataFrame:
+    """Unicode NFC normalization — the canonical-composition pass a
+    web-crawl pipeline runs before hashing/dedup so that 'café' composed
+    and 'café' decomposed (e + U+0301) dedup to the same key. Spark has no
+    native normalizer, so this is an Arrow-batched pandas pass over
+    stdlib unicodedata (sanctioned per-payload Python, same class as the
+    decode loop); the DuckDB twin is nfc_normalize() (utf8proc) —
+    cross-engine agreement is pinned by a pytest battery over Latin
+    combining marks, Hangul jamo, and the Angstrom sign."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata as _ud
+
+        return s.map(
+            lambda t: _ud.normalize("NFC", t) if t is not None else None
+        )
+
+    return docs.withColumn(out_col, _nfc(F.col(text_col)))

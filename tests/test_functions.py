@@ -2314,3 +2314,132 @@ def test_int8_embedding_quantization(spark):
     )
     approx = [r["vec_id"] for r in quantized_topk(qtab, query, k=10).collect()]
     assert len(set(exact) & set(approx)) >= 8, (exact, approx)
+
+
+def test_chunk_documents_invariants(spark):
+    """Structural invariants of overlapping token-window chunking:
+    full coverage (chunk tokens reassemble the doc), overlap equality
+    between consecutive chunks, exactly one chunk for short docs, zero
+    chunks for empty/null docs, and last-chunk-short (never padded)."""
+    from pyspark.sql import functions as F
+
+    from avc_parser_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"t{i}" for i in range(100))),  # multi-chunk
+            (1, " ".join(f"t{i}" for i in range(32))),   # exactly size
+            (2, "one two three"),                        # single short chunk
+            (3, ""),                                     # empty -> none
+            (4, None),                                   # null -> none
+            (5, " ".join(f"t{i}" for i in range(33))),   # size+1 -> 2 chunks
+        ],
+        ["doc_id", "text"],
+    )
+    size, overlap, stride = 32, 8, 24
+    rows = (
+        chunk_documents(docs, size=size, overlap=overlap)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {0, 1, 2, 5}
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["n_chunk_tokens"] == 32
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "one two three"
+    assert len(by_doc[5]) == 2
+    # ceil((100-32)/24) = 3 extra chunks after the first
+    assert len(by_doc[0]) == 4
+    for chunks in by_doc.values():
+        for i, c in enumerate(chunks):
+            assert c["chunk_idx"] == i
+            assert c["tok_start"] == i * stride
+            toks = c["chunk_text"].split(" ")
+            assert len(toks) == c["n_chunk_tokens"] <= size
+            if i > 0:
+                prev = chunks[i - 1]["chunk_text"].split(" ")
+                # consecutive chunks share exactly `overlap` tokens
+                assert prev[stride:] == toks[: len(prev) - stride]
+    # coverage: stitching non-overlapping parts reassembles the doc
+    doc0 = " ".join(f"t{i}" for i in range(100)).split(" ")
+    stitched = by_doc[0][0]["chunk_text"].split(" ")
+    for c in by_doc[0][1:]:
+        stitched.extend(c["chunk_text"].split(" ")[overlap:])
+    assert stitched == doc0
+
+
+def test_chunk_documents_duckdb_differential(spark):
+    """chunk_documents ≡ chunk_sql (the oracle twin) row-for-row over the
+    sf0.001 documents table plus adversarial whitespace edge cases, at two
+    (size, overlap) settings."""
+    import duckdb
+    import pandas as pd
+
+    from avc_parser_spark.functions.text import chunk_documents, chunk_sql
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    extra = spark.createDataFrame(
+        [
+            (100001, "  leading and   multiple   spaces\ttabs\nnewlines  "),
+            (100002, "solo"),
+            (100003, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    docs = base.select("doc_id", "text").unionByName(extra)
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    for size, overlap in ((32, 8), (16, 15)):
+        got = sorted(
+            tuple(r)
+            for r in chunk_documents(docs, size=size, overlap=overlap).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                chunk_sql("documents", size=size, overlap=overlap)
+            ).fetchall()
+        )
+        assert got == want, (size, overlap, got[:2], want[:2])
+
+
+def test_normalize_nfc_duckdb_battery(spark):
+    """Cross-engine NFC agreement: Python unicodedata (the Spark pass) must
+    match DuckDB nfc_normalize (utf8proc) over a battery of decomposed
+    Latin marks, Hangul jamo, the Angstrom sign, multi-mark reordering,
+    ligatures (NFC-invariant), and already-composed text (idempotence) —
+    plus the planted suffix used by token_suite mode='nfc'."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from avc_parser_spark.functions.text import normalize_nfc
+
+    import __spark_entry__ as em
+
+    cases = [
+        "café", "Å", "vũ", "가", "Å",
+        "Á̖", "ﬁle", "already composed café",
+        "", "mixed é̀ stack", "x" + em._NFC_SUFFIX,
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], ["i", "text"]
+    )
+    got = {
+        r["i"]: r["text_nfc"]
+        for r in normalize_nfc(df).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "t",
+        pd.DataFrame({"i": range(len(cases)),
+                      "s": pd.array(cases, dtype="string")}),
+    )
+    want = dict(con.execute("select i, nfc_normalize(s) from t").fetchall())
+    assert got == want
+    # planted suffix really is non-trivial: NFC must shrink it
+    assert len(want[10]) < len(cases[10])
+    # null passthrough
+    ndf = spark.createDataFrame([(0, None)], "i: int, text: string")
+    assert normalize_nfc(ndf).collect()[0]["text_nfc"] is None
