@@ -61,6 +61,8 @@ def curate_corpus(
     gopher_min_words: int = 50,
     lm: dict[str, DataFrame] | None = None,
     max_ppl: float | None = None,
+    clf_w_micro: list[int] | None = None,
+    clf_threshold_micro: int = 0,
     weights: dict[str, float] | None = None,
     split_method: str = "md5",
 ) -> DataFrame:
@@ -97,6 +99,14 @@ def curate_corpus(
     reference LM are dropped (docs too short to score — <2 tokens — are
     kept; perplexity is undefined for them, and dropping on missing
     evidence would silently bias toward long docs).
+
+    `clf_w_micro` (quantized weights from classify.train_quality_classifier
+    via quantize_classifier) + `clf_threshold_micro` enable the trained
+    model-based filter: docs whose int64 micro-logit fails the threshold
+    are dropped. The logit is a native integer projection, so unlike the
+    join-based stages this one is a plain filter pushed into the scan of
+    the surviving set — and, being integer-exact, any SQL engine can
+    re-derive the exact kept set (classifier_logit_sql).
     """
     # 1. canonical URL + exact URL-level dedup: keeper = min id per canon.
     #    One shuffle (window over canon_url); at warehouse scale the corpus
@@ -215,6 +225,17 @@ def curate_corpus(
             .select(id_col)
         )
         s2 = s2.join(ppl_drops, id_col, "left_anti")
+
+    # 4b. trained quality classifier (model-based filter, LLaMA-style):
+    #     the quantized int64 logit is a pure projection, so the gate is a
+    #     native filter — no join needed, nothing but surviving rows move.
+    if clf_w_micro is not None:
+        from avc_parser_spark.functions.classify import classifier_logit_micro
+
+        s2 = s2.filter(
+            classifier_logit_micro(F.col(text_col), clf_w_micro)
+            > F.lit(int(clf_threshold_micro))
+        )
 
     # 5. deterministic split assignment (md5 default: SQL-portable, so any
     #    engine can re-derive the exact train/val/test membership).
