@@ -897,6 +897,48 @@ def _ivf_plant_centroids() -> list[list[float]]:
     ]
 
 
+# --- planted lossless corpus for the PQ (product-quantization) mode -------
+# m=8 subspaces × d=8 dims, k=16 codewords per subspace. Codeword j-th dim:
+# C[s][c][j] = 0.1*(((s*131 + c*17 + j*7) % 23) - 11) — for a fixed s the 16
+# codewords are distinct cyclic shifts, so the native L2-argmin encoder must
+# recover the planted pick code(vec_id,s) = (vec_id*7 + vec_id%13 + s*3)%16
+# exactly (distance 0 vs ||c−c'||² > 0), and quantization is LOSSLESS: the
+# ADC score Σ_s lut[s][code_s] equals the true dot product, so the ADC
+# top-10 provably equals the exact dot-product top-10 that DuckDB enumerates
+# from the same closed form. Encoding itself is differentially pinned vs
+# numpy in tests/test_functions.py::test_pq_encode_matches_numpy.
+_PQ_M, _PQ_D, _PQ_K = 8, 8, 16
+
+_PQ_PLANT_SPARK_SQL = f"""
+    SELECT vec_id,
+           transform(sequence(0, {_PQ_M * _PQ_D - 1}), d ->
+             cast(((d div {_PQ_D}) * 131
+                   + ((vec_id * 7 + vec_id % 13 + (d div {_PQ_D}) * 3) % {_PQ_K}) * 17
+                   + (d % {_PQ_D}) * 7) % 23 - 11 as double) * 0.1) AS embedding
+    FROM embeddings
+"""
+
+
+def _pq_plant_codebooks() -> list[list[list[float]]]:
+    """The planted codebooks (same closed form as the SQL plants)."""
+    return [
+        [
+            [0.1 * (((s * 131 + c * 17 + j * 7) % 23) - 11) for j in range(_PQ_D)]
+            for c in range(_PQ_K)
+        ]
+        for s in range(_PQ_M)
+    ]
+
+
+def _pq_plant_query_vec() -> list[float]:
+    """The planted vec_id=0 vector: code(0, s) = (s*3) % 16."""
+    return [
+        0.1 * (((s * 131 + ((s * 3) % _PQ_K) * 17 + j * 7) % 23) - 11)
+        for s in range(_PQ_M)
+        for j in range(_PQ_D)
+    ]
+
+
 def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN modes in one mode-tagged union (merged per the 50-entry window):
     - 'brute': exact cosine top-10 (TakeOrderedAndProject, no shuffle);
@@ -904,8 +946,16 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       n_probe = all clusters (exact by construction — hash-checks the
       k-means training and assignment against the brute-force oracle);
     - 'ivf_pruned': the recall-bearing n_probe=1 path over the planted
-      separable corpus where pruned == exact provably (see plant above)."""
-    from avc_parser_spark.functions.similarity import ivf_topk, train_centroids
+      separable corpus where pruned == exact provably (see plant above);
+    - 'pq': product-quantization encode→ADC top-10 over the planted
+      lossless corpus where ADC == exact dot provably (see plant above;
+      the score column carries the rounded ADC dot product)."""
+    from avc_parser_spark.functions.similarity import (
+        ivf_topk,
+        pq_adc_expr,
+        pq_encode,
+        train_centroids,
+    )
 
     _views(spark, sf_dir, ["embeddings"])
     emb = spark.table("embeddings")
@@ -932,7 +982,24 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "ivf_pruned",
     )
-    return brute.unionByName(exact).unionByName(pruned)
+    books = _pq_plant_codebooks()
+    pq_planted = spark.sql(_PQ_PLANT_SPARK_SQL)
+    codes = pq_encode(pq_planted, books).select("vec_id", "pq_codes")
+    # rank by the ROUNDED score: planted dots are 0.01·integer, and the
+    # code pattern repeats every lcm(16,13)=208 vec_ids, so mathematically
+    # tied scores are guaranteed — ranking the raw sum would let 1e-15
+    # summation noise pick among ties differently than DuckDB's
+    # round-then-vec_id ordering. Rounding first makes both engines rank
+    # by the identical (score, vec_id) key.
+    adc = F.round(pq_adc_expr(books, _pq_plant_query_vec()), 6)
+    pq = (
+        codes.select(
+            F.lit("pq").alias("mode"), "vec_id", adc.alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    return brute.unionByName(exact).unionByName(pruned).unionByName(pq)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3237,8 +3304,25 @@ def oracle_sql() -> dict[str, str]:
         # the brute-force cosine top-10; ivf_pruned runs over the planted
         # separable corpus where n_probe=1 provably equals exact (disjoint
         # block supports → cross-group cosine 0; see _IVF_PLANT_SPARK_SQL).
+        # the pq mode's oracle needs no quantization at all: the plants make
+        # quantization lossless (every subvector IS a codeword), so the ADC
+        # top-10 must equal the exact dot-product top-10 over the enumerated
+        # closed-form vectors (see _PQ_PLANT_SPARK_SQL).
         "ann_suite": f"""
-            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            WITH pqe AS (
+              SELECT vec_id,
+                     list_transform(range(0, {_PQ_M * _PQ_D}), d ->
+                       0.1 * ((((d // {_PQ_D}) * 131
+                                + ((vec_id * 7 + vec_id % 13 + (d // {_PQ_D}) * 3) % {_PQ_K}) * 17
+                                + (d % {_PQ_D}) * 7) % 23) - 11)) AS v
+              FROM embeddings),
+            pqq AS (SELECT v AS qv FROM pqe WHERE vec_id = 0),
+            pqtop AS (
+              SELECT vec_id,
+                     (round(list_dot_product(v, (SELECT qv FROM pqq)), 6))::DOUBLE AS cosine
+              FROM pqe
+              ORDER BY cosine DESC, vec_id ASC LIMIT 10),
+            q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
             ex AS (
               SELECT vec_id,
                      unnest(embedding)::DOUBLE AS x,
@@ -3270,6 +3354,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ivf_exact' AS mode, vec_id, cosine FROM exact
             UNION ALL
             SELECT 'ivf_pruned' AS mode, vec_id, cosine FROM pruned
+            UNION ALL
+            SELECT 'pq' AS mode, vec_id, cosine FROM pqtop
         """,
         "pipeline_mls_case": f"""
             SELECT doc_id,

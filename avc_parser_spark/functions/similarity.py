@@ -373,3 +373,177 @@ def quantized_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the classic ANN compression path (Jégou et al.,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011). A 64-dim
+# float32 vector (256 B) becomes m uint8 codes (m bytes) — 32× smaller at
+# m=8 — and query scoring needs only the codes table plus an m×k lookup
+# table built from the query on the driver. At 10^12 vectors the codes
+# table is the only thing scanned: no shuffle, no Python, one
+# TakeOrderedAndProject (plan-gated in tests).
+# ---------------------------------------------------------------------------
+
+
+def _l2_argmin_expr(subvec: Column, codebook: list[list[float]]) -> Column:
+    """Argmin over ||sub - c||² for a small codebook — expanded to
+    ||c||² - 2·<sub,c> (the ||sub||² term is constant across codewords);
+    native expressions only. Shape is a FLAT k-wide score array +
+    array_position(array_min) — a nested when-ladder embeds every prior
+    score in each rung, and the doubled tree overflows the JVM
+    expression-converter stack at m=8,k=16 (hard-won). array_position
+    returns the FIRST match ⇒ deterministic lowest-index tie-break, and
+    both sides compare the same computed double so equality is exact."""
+    scores = F.array(*[
+        F.lit(sum(x * x for x in c)) - 2.0 * dot_expr(
+            subvec, F.array(*[F.lit(float(x)) for x in c])
+        )
+        for c in codebook
+    ])
+    return (F.array_position(scores, F.array_min(scores)) - 1).cast("int")
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 4,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train m per-subspace codebooks (k codewords each) with L2 Lloyd
+    steps, ALL subspaces in one job per iteration: the corpus is exploded
+    once into (sub, subvec) rows and persisted; each iteration is one
+    assignment projection + ONE groupBy shuffle on (sub, cluster, dim),
+    collecting only m·k·(dim/m) = k·dim doubles to the driver — the same
+    bounded-loop contract as train_centroids/train_quality_classifier."""
+    import numpy as np
+
+    first = embeddings.select(vec_col).first()
+    if first is None:
+        raise ValueError("no vectors to train on")
+    dim = len(first[vec_col])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+
+    sub = embeddings.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice(F.col(vec_col), s * d + 1, d).alias("subvec"),
+                )
+                for s in range(m)
+            ])
+        ).alias("e")
+    ).select("e.sub", "e.subvec").persist()
+    try:
+        # deterministic seeded init per subspace from one bounded sample
+        sample = sub.limit(512 * m).collect()
+        by_sub: dict[int, list[list[float]]] = {}
+        for r in sample:
+            by_sub.setdefault(r["sub"], []).append(list(r["subvec"]))
+        rng = np.random.RandomState(seed)
+        books = []
+        for s in range(m):
+            pool = np.array(by_sub[s], dtype="float64")
+            idx = rng.choice(len(pool), size=k, replace=False)
+            books.append(pool[idx])
+
+        for _ in range(iters):
+            assign = F.lit(0)
+            for s in range(m):
+                assign = F.when(
+                    F.col("sub") == s,
+                    _l2_argmin_expr(F.col("subvec"), books[s].tolist()),
+                ).otherwise(assign)
+            means = (
+                sub.withColumn("cluster", assign)
+                .select("sub", "cluster", F.posexplode("subvec").alias("dim", "x"))
+                .groupBy("sub", "cluster", "dim")
+                .agg(F.avg("x").alias("mu"))
+                .collect()
+            )
+            new = [b.copy() for b in books]
+            for r in means:
+                new[r["sub"]][r["cluster"]][r["dim"]] = r["mu"]
+            books = new
+        return [b.tolist() for b in books]
+    finally:
+        sub.unpersist()
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Vector → array of m codebook indices, one native L2-argmin per
+    subspace (pure projection: at scale this chains onto the scan and the
+    codes table is what you persist — m bytes per vector)."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    codes = F.array(*[
+        _l2_argmin_expr(F.slice(F.col(vec_col), s * d + 1, d), codebooks[s])
+        for s in range(m)
+    ])
+    return embeddings.withColumn(out_col, codes)
+
+
+def pq_adc_expr(
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    codes_col: str = "pq_codes",
+) -> Column:
+    """The ADC score column: the query is cut into m subvectors and dotted
+    with every codeword ON THE DRIVER (m·k multiplications — constant),
+    producing a lookup table shipped as a literal; per row the score is
+    Σ_s lut[s][code_s], a zip_with/aggregate over the m-byte code array.
+    Exposed separately from pq_topk so callers that need a cross-engine
+    deterministic ranking (the driver oracle) can round BEFORE ranking."""
+    import numpy as np
+
+    if query_vec is None:
+        raise ValueError("query_vec is required")
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    q = np.asarray(query_vec, dtype="float64")
+    if len(q) != m * d:
+        raise ValueError(f"query dim {len(q)} != {m * d}")
+    lut = [
+        [float(np.dot(q[s * d:(s + 1) * d], np.asarray(c))) for c in codebooks[s]]
+        for s in range(m)
+    ]
+    lut_lit = F.array(*[
+        F.array(*[F.lit(v) for v in row]) for row in lut
+    ])
+    return F.aggregate(
+        F.zip_with(
+            F.col(codes_col), lut_lit,
+            lambda c, l: F.element_at(l, c.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k by inner product over the codes
+    table. No shuffle, no join, no Python:
+    scan → project → TakeOrderedAndProject (plan-gated)."""
+    score = pq_adc_expr(codebooks, query_vec, codes_col)
+    return (
+        codes_df.select(F.col(id_col), score.alias("adc_score"))
+        .orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1336,3 +1336,37 @@ def normalize_nfc(
         )
 
     return docs.withColumn(out_col, _nfc(F.col(text_col)))
+
+
+def compression_ratio_micro(
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str = "zratio_micro",
+    level: int = 6,
+) -> DataFrame:
+    """Compressibility quality signal (the RefinedWeb/Gopher-adjacent
+    screen): zlib-compressed size over raw UTF-8 size, as an integer
+    micro-ratio (compressed*1e6 // raw). Highly templated or repetitive
+    pages compress far below fluent prose, so a low ratio flags machine-
+    generated boilerplate that n-gram screens can miss; a ratio near (or
+    above) 1e6 flags already-compressed or random bytes masquerading as
+    text. Per-payload stdlib zlib in an Arrow-batched pass (the sanctioned
+    decode-loop class — compression is inherently per-payload); the ratio
+    is deterministic for a fixed zlib version and level, which the pytest
+    pins. Empty/null text → null ratio (no evidence ≠ bad evidence, same
+    policy as the perplexity filter's short-doc rule)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _zr(s: pd.Series) -> pd.Series:
+        import zlib as _z
+
+        def one(t):
+            if t is None or t == "":
+                return None
+            raw = t.encode("utf-8")
+            return len(_z.compress(raw, level)) * 1_000_000 // len(raw)
+
+        return s.map(one)
+
+    return docs.withColumn(out_col, _zr(F.col(text_col)))

@@ -2443,3 +2443,162 @@ def test_normalize_nfc_duckdb_battery(spark):
     # null passthrough
     ndf = spark.createDataFrame([(0, None)], "i: int, text: string")
     assert normalize_nfc(ndf).collect()[0]["text_nfc"] is None
+
+
+def test_compression_ratio_micro(spark):
+    """Compressibility signal: exact integer agreement with a direct zlib
+    re-derivation (same level), repetitive text scoring far below fluent
+    prose and incompressible-ish text scoring highest; empty/null → null."""
+    import zlib
+
+    from avc_parser_spark.functions.text import compression_ratio_micro
+
+    fluent = (
+        "The committee reviewed seventeen proposals during the afternoon "
+        "session and deferred a decision on the harbor expansion until the "
+        "following quarter, citing unresolved environmental questions."
+    )
+    repetitive = "spam ham " * 200
+    # deterministic high-entropy printable text (~6.5 bits/char, no repeats)
+    import hashlib
+
+    jumbled = "".join(
+        chr(33 + (b % 90))
+        for i in range(8)
+        for b in hashlib.sha256(str(i).encode()).digest()
+    )
+    cases = [(0, fluent), (1, repetitive), (2, jumbled), (3, ""), (4, None)]
+    df = spark.createDataFrame(cases, "doc_id: long, text: string")
+    got = {
+        r["doc_id"]: r["zratio_micro"]
+        for r in compression_ratio_micro(df).collect()
+    }
+    for i, t in cases:
+        if not t:
+            assert got[i] is None
+        else:
+            raw = t.encode("utf-8")
+            assert got[i] == len(zlib.compress(raw, 6)) * 1_000_000 // len(raw)
+    assert got[1] < got[0] // 3        # boilerplate is far more compressible
+    assert got[2] > got[0]             # high-entropy text compresses worst
+
+
+def test_pq_encode_matches_numpy(spark):
+    """Native per-subspace L2-argmin encoding must equal a numpy
+    re-derivation code-for-code (deterministic lowest-index tie-break)."""
+    import numpy as np
+
+    from avc_parser_spark.functions.similarity import pq_encode
+
+    rng = np.random.RandomState(7)
+    m, d, k = 4, 4, 8
+    books = [rng.randn(k, d).round(3).tolist() for _ in range(m)]
+    vecs = rng.randn(40, m * d).round(3)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id: long, embedding: array<double>",
+    )
+    got = {
+        r["vec_id"]: list(r["pq_codes"])
+        for r in pq_encode(df, books).collect()
+    }
+    for i, v in enumerate(vecs):
+        want = [
+            int(np.argmin(((np.asarray(books[s]) - v[s * d:(s + 1) * d]) ** 2).sum(1)))
+            for s in range(m)
+        ]
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_pq_lossless_on_codeword_corpus(spark):
+    """When every subvector IS a codeword, quantization is exact and the
+    ADC ranking must equal brute-force cosine ranking on the same corpus
+    (dot products are identical; the planted corpus has constant norms so
+    cosine order == dot order)."""
+    import numpy as np
+
+    from avc_parser_spark.functions.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    m, d, k = 4, 8, 8
+    books = [rng.randn(k, d).tolist() for _ in range(m)]
+    # corpus rows = random codeword picks; constant norm via normalizing
+    # each codeword first
+    books = [
+        (np.asarray(b) / np.linalg.norm(b, axis=1, keepdims=True)).tolist()
+        for b in books
+    ]
+    rows = []
+    for i in range(60):
+        picks = rng.randint(0, k, size=m)
+        v = np.concatenate([np.asarray(books[s][picks[s]]) for s in range(m)])
+        rows.append((i, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    q = rng.randn(m * d).tolist()
+    codes = pq_encode(df, books)
+    adc = [r["vec_id"] for r in pq_topk(codes, books, q, k=10).collect()]
+    exact = [r["vec_id"] for r in brute_force_topk(df, q, k=10).collect()]
+    assert adc == exact
+
+
+def test_pq_recall_on_real_embeddings(spark):
+    """Full path on the sf0.001 embeddings table: train codebooks (joint
+    per-subspace Lloyd), encode, ADC top-10. Gate: ADC-top-10 ∩
+    exact-top-50, summed over 3 queries, must clear 12 — random codes
+    score E=3 (10·50/500 per query) while a correct PQ at m=8,k=16
+    measures ~21 here; a numpy reference PQ at identical params achieves
+    the SAME per-query numbers as this trainer (top10-in-top10 ≈ 3-5/10
+    with recon error 0.736 on unit vectors — the corpus is genuinely hard
+    at 16 codewords per 8-dim subspace), so the bound tests the
+    implementation, not the corpus."""
+    from avc_parser_spark.functions.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = train_pq_codebooks(emb, m=8, k=16, iters=3)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    codes = pq_encode(emb, books).select("vec_id", "pq_codes").persist()
+    queries = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(3).collect()
+    ]
+    try:
+        hits = 0
+        for q in queries:
+            adc = {r["vec_id"] for r in pq_topk(codes, books, q, k=10).collect()}
+            exact = {
+                r["vec_id"] for r in brute_force_topk(emb, q, k=50).collect()
+            }
+            hits += len(adc & exact)
+        assert hits >= 12, hits
+    finally:
+        codes.unpersist()
+
+
+def test_pq_topk_plan_no_shuffle(spark):
+    """ADC scoring is scan → project → TakeOrderedAndProject: the plan must
+    contain NO Exchange (the 10^12-codes-table contract) and no Python."""
+    import numpy as np
+
+    from avc_parser_spark.functions.similarity import pq_encode, pq_topk
+
+    rng = np.random.RandomState(3)
+    m, d, k = 4, 4, 4
+    books = [rng.randn(k, d).tolist() for _ in range(m)]
+    df = spark.createDataFrame(
+        [(i, rng.randn(m * d).tolist()) for i in range(20)],
+        "vec_id: long, embedding: array<double>",
+    )
+    codes = pq_encode(df, books).select("vec_id", "pq_codes")
+    plan = pq_topk(codes, books, rng.randn(m * d).tolist(), k=5)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
