@@ -459,7 +459,16 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     utf8proc) over planted DECOMPOSED suffixes (doc_id%40==37<500, one
     shared codepoint list builds both engines' literals): k=doc_id,
     n1=len before, n2=len after (planted docs shrink), n3=md5 prefix of
-    the normalized text.
+    the normalized text; mode='cms' — count-min-sketch frequency
+    estimates (cms_build/cms_estimate: ≤ depth·width counter rows however
+    large the corpus, ONE partial-agg shuffle, broadcast probe join) for
+    planted heavy/rare/absent tokens (doc_id%40==19), width 512 so real
+    collisions exercise the min-over-rows path: k=term, n1=estimate,
+    n2=exact count, n3=row-0 bucket (pins the md5-slice hash itself);
+    mode='hll' — HyperLogLog cardinality registers over the word stream
+    (hll_build, p=6 ⇒ ≤64 rows however large the corpus): k=register
+    idx, n1=rho max (pure integer arithmetic ⇒ the sketch itself is
+    bit-exact cross-engine), n2=distinct terms per register.
     Every value is re-derived in DuckDB (md5 bucket +
     window prefix sum + the same `div` cutoff arithmetic + the full LM
     build/score + the GROUPING SETS rollup + all seven Gopher rules +
@@ -702,6 +711,82 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n3"),
         null_n.alias("n4"), null_n.alias("n5"),
     )
+    from avc_parser_spark.functions.dedup import cms_build, cms_estimate
+
+    # cms: count-min-sketch point estimates over the doc word stream with
+    # planted heavy/rare tokens (doc_id%40==19, a free plant slot). Width
+    # 512 forces real collisions at corpus vocab size, so the min-over-rows
+    # behavior is exercised, not just exact pass-through; n3 pins the row-0
+    # bucket so the md5-slice hash derivation itself is cross-checked.
+    cms_w, cms_d = 512, 4
+    cms_probe_terms = ["cmshh0", "cmshh1", "cmshh2", "cmsrare", "cmsabsent"]
+    cms_docs = spark.sql(
+        """
+        SELECT CASE WHEN doc_id % 40 = 19 THEN
+                 concat(text, ' cmshh', cast(doc_id % 3 as string),
+                        ' cmshh', cast(doc_id % 3 as string), ' cmsrare')
+               ELSE text END AS text
+        FROM documents
+        """
+    )
+    cms_terms = cms_docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    cms_est = cms_estimate(
+        cms_build(cms_terms, width=cms_w, depth=cms_d),
+        spark.createDataFrame([(t,) for t in cms_probe_terms], "term: string"),
+        width=cms_w,
+        depth=cms_d,
+    )
+    cms_exact = (
+        cms_terms.filter(F.col("term").isin(cms_probe_terms))
+        .groupBy("term")
+        .count()
+    )
+    cms = cms_est.join(cms_exact, "term", "left").select(
+        F.lit("cms").alias("mode"),
+        F.col("term").alias("k"),
+        F.col("cms_count").alias("n1"),
+        F.coalesce(F.col("count"), F.lit(0)).cast("long").alias("n2"),
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
+            .cast("long"),
+            F.lit(cms_w),
+        ).alias("n3"),
+        null_n.alias("n4"), null_n.alias("n5"),
+    )
+    from avc_parser_spark.functions.dedup import hll_build
+
+    # hll: HyperLogLog cardinality registers over the same doc word stream
+    # (p=6 → ≤64 rows regardless of corpus size). Every register is pure
+    # integer arithmetic (md5-slice hash, idx = low bits, rho via
+    # length(bin(w))) so the whole sketch — not an approximation of it —
+    # is re-derived bit-exactly in DuckDB. n2 = distinct terms per
+    # register pins the index assignment independently of rho.
+    hll_p = 6
+    hll_terms = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    hll_regs = hll_build(hll_terms, p=hll_p)
+    hll_distinct = (
+        hll_terms.select(
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10)
+                .cast("long"),
+                F.lit(1 << hll_p),
+            ).alias("idx"),
+            F.col("term"),
+        )
+        .groupBy("idx")
+        .agg(F.countDistinct("term").alias("n_distinct"))
+    )
+    hll = hll_regs.join(hll_distinct, "idx").select(
+        F.lit("hll").alias("mode"),
+        F.col("idx").cast("string").alias("k"),
+        F.col("rho").alias("n1"),
+        F.col("n_distinct").cast("long").alias("n2"),
+        null_n.alias("n3"), null_n.alias("n4"), null_n.alias("n5"),
+    )
     return (
         stats.unionByName(pack)
         .unionByName(mix)
@@ -714,6 +799,8 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bm25)
         .unionByName(chunk)
         .unionByName(nfc)
+        .unionByName(cms)
+        .unionByName(hll)
     )
 
 
@@ -2210,32 +2297,40 @@ _GIF_HEX, _GIF_NBYTES, _GIF_MEAN, _GIF_STD = _gif_plants()
 
 
 def _jpeg_plants() -> tuple[list[str], list[int], list[int], list[int]]:
-    """8 planted 16×16 grayscale baseline JPEGs + expected oracle constants.
+    """8 planted grayscale baseline JPEGs + expected POST-RESIZE oracle
+    constants.
 
     JPEG is lossy in general, so the plants live in the EXACT-roundtrip
-    subspace: each image is a 2×2 mosaic of flat 8×8 blocks with EVEN
-    values — a flat block's only nonzero FDCT coefficient is DC = 8·(v−128),
-    and the quality-50 luma quantizer q00 = 16 divides it exactly, so the
-    real Huffman+dequant+IDCT decode provably reproduces the pixels
-    byte-for-byte (property-pinned in tests/test_functions.py). Feature
-    expectations are re-derived from the CONSTRUCTED arrays through the
+    subspace: a FLAT image with an EVEN value — a flat block's only
+    nonzero FDCT coefficient is DC = 8·(v−128), and the quality-50 luma
+    quantizer q00 = 16 divides it exactly, so the real
+    Huffman+dequant+IDCT decode provably reproduces the pixels
+    byte-for-byte (mosaics of flat blocks are property-pinned in
+    tests/test_functions.py). Slots v%4==3 are already-small 4×4 images
+    (resize passthrough); the rest are OVERSIZED 16×16 images that the
+    real JPEG resize kernel decodes, NN-downsamples to 4×4 and re-encodes
+    at quality 50 — flatness survives NN sampling AND the encoder's
+    edge-replication MCU padding, so the re-encoded payload decodes
+    byte-exactly too and the whole decode→resize→re-encode→decode chain
+    is oracle-enumerable despite lossy JPEG. Expected n_bytes/features
+    are computed from the actual post-resize payload/array through the
     float32 feature dtype, same discipline as the PNG/GIF plants."""
     import numpy as np
 
     from avc_parser_spark.functions.jpeg import encode_jpeg
+    from avc_parser_spark.functions.multimodal import _resize_jpeg
 
     hexes, nbytes, means, stds = [], [], [], []
     for v in range(8):
-        blocks = np.array(
-            [[2 * ((7 * v + 13 * q) % 128) for q in (0, 1)],
-             [2 * ((7 * v + 13 * q) % 128) for q in (2, 3)]],
-            dtype=np.uint8,
-        )
-        img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+        val = 2 * ((7 * v + 29) % 128)
+        dim = 4 if v % 4 == 3 else 16
+        img = np.full((dim, dim), val, dtype=np.uint8)
         payload = encode_jpeg(img, quality=50)
         hexes.append(payload.hex())
-        nbytes.append(len(payload))
-        gray = img.astype("float64") / 255.0
+        resized = _resize_jpeg(payload, 4)
+        nbytes.append(len(resized))
+        final = np.full((4, 4), val, dtype=np.uint8)
+        gray = final.astype("float64") / 255.0
         means.append(int(np.floor(float(np.float32(gray.mean())) * 255 + 0.5)))
         stds.append(int(np.floor(float(np.float32(gray.std())) * 1000 + 0.5)))
     return hexes, nbytes, means, stds
@@ -2314,9 +2409,11 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     zlib+numpy kernel, NN-resized and re-encoded by the real PNG resize),
     oversized 6×6 grayscale GIFs (pure-Python LZW decode, NN-resized to
     4×4 and re-encoded by the real GIF resize — dictionary LZW),
-    16×16 grayscale baseline JPEGs from the exact-roundtrip
-    plant subspace (real Huffman+dequant+IDCT decode via jpeg.py;
-    passthrough), RIFF/WAVE audio (8-bit PCM, constant amplitude; resize
+    grayscale baseline JPEGs from the exact-roundtrip plant subspace
+    (oversized 16×16 ones are REALLY resized — full Huffman+dequant+IDCT
+    decode via jpeg.py, NN downsample, re-encode at quality 50, where
+    flatness keeps the lossy chain byte-exact; 4×4 ones exercise the
+    already_small path), RIFF/WAVE audio (8-bit PCM, constant amplitude; resize
     passthrough), planted MP4 containers (real ISO-BMFF box parse via
     mp4.py — lossless duration/tracks/dims/frame-count metadata, frames
     honestly not decoded, status ok_mp4_meta), plus text-cast payloads
@@ -2812,6 +2909,91 @@ def _token_suite_chunk_branch() -> str:
         """)
 
 
+def _token_suite_cms_branch() -> str:
+    """token_suite mode='cms': count-min-sketch point estimates for a
+    fixed probe set (planted heavy/rare/absent tokens on doc_id%40==19)
+    against a FULL DuckDB re-derivation of the counter table from the same
+    md5-slice cells — estimates, exact counts, and the row-0 bucket are
+    all integers, bit-exact cross-engine (collisions included: width 512
+    guarantees the min-over-rows path is live at corpus vocab size)."""
+    return ("""
+            UNION ALL
+            SELECT 'cms', term,
+                   est, cast(coalesce(xact, 0) as bigint),
+                   ('0x' || substr(md5(term), 1, 8))::BIGINT % 512,
+                   cast(null as bigint), cast(null as bigint)
+            FROM (
+              WITH cms_docs AS (
+                SELECT CASE WHEN doc_id % 40 = 19 THEN
+                         text || ' cmshh' || (doc_id % 3)::VARCHAR
+                              || ' cmshh' || (doc_id % 3)::VARCHAR
+                              || ' cmsrare'
+                       ELSE text END AS text
+                FROM documents),
+              cms_words AS (
+                SELECT unnest(string_split(text, ' ')) AS term FROM cms_docs),
+              cms_w AS (SELECT term FROM cms_words WHERE term <> ''),
+              cms_cells AS (
+                SELECT rr.r AS r,
+                       ('0x' || substr(md5(term), 1 + 8 * rr.r, 8))::BIGINT
+                         % 512 AS c
+                FROM cms_w CROSS JOIN (SELECT unnest(range(0, 4)) AS r) rr),
+              cms_counters AS (
+                SELECT r, c, count(*) AS cnt FROM cms_cells GROUP BY r, c),
+              cms_probes AS (
+                SELECT unnest(['cmshh0','cmshh1','cmshh2','cmsrare',
+                               'cmsabsent']) AS term),
+              cms_pcells AS (
+                SELECT p.term, rr.r AS r,
+                       ('0x' || substr(md5(p.term), 1 + 8 * rr.r, 8))::BIGINT
+                         % 512 AS c
+                FROM cms_probes p
+                CROSS JOIN (SELECT unnest(range(0, 4)) AS r) rr),
+              cms_est AS (
+                SELECT term, min(coalesce(ct.cnt, 0)) AS est
+                FROM cms_pcells pc LEFT JOIN cms_counters ct USING (r, c)
+                GROUP BY term),
+              cms_exact AS (
+                SELECT term, count(*) AS xact FROM cms_w
+                WHERE term IN ('cmshh0','cmshh1','cmshh2','cmsrare',
+                               'cmsabsent')
+                GROUP BY term)
+              SELECT e.term, e.est, x.xact
+              FROM cms_est e LEFT JOIN cms_exact x USING (term)
+            ) cmsq
+        """)
+
+
+def _token_suite_hll_branch() -> str:
+    """token_suite mode='hll': the FULL HyperLogLog register table (p=6,
+    m=64) over the documents word stream, re-derived in DuckDB from the
+    same 15-hex md5-slice hash — idx = low 6 bits, rho via
+    length(bin(w)) — plus distinct-terms-per-register as an independent
+    pin of the index assignment. All integers, bit-exact cross-engine."""
+    return ("""
+            UNION ALL
+            SELECT 'hll', cast(idx as varchar),
+                   max(rho), cast(count(DISTINCT term) as bigint),
+                   cast(null as bigint), cast(null as bigint),
+                   cast(null as bigint)
+            FROM (
+              WITH hll_words AS (
+                SELECT unnest(string_split(text, ' ')) AS term
+                FROM documents),
+              hll_w AS (SELECT term FROM hll_words WHERE term <> ''),
+              hll_h AS (
+                SELECT term,
+                       ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+                FROM hll_w)
+              SELECT term, h % 64 AS idx,
+                     CASE WHEN h // 64 > 0
+                          THEN 54 - (length(bin(h // 64)) - 1)
+                          ELSE 55 END AS rho
+              FROM hll_h
+            ) hllq GROUP BY idx
+        """)
+
+
 def _token_suite_nfc_branch() -> str:
     """token_suite mode='nfc': plant the decomposed suffix via the SAME
     codepoint list (chr() composition) and normalize with DuckDB's
@@ -3289,7 +3471,8 @@ def oracle_sql() -> dict[str, str]:
                    cast(null as bigint)
             FROM rbit GROUP BY bitmask
         """ + _token_suite_html_branch() + _token_suite_bm25_branch()
-            + _token_suite_chunk_branch() + _token_suite_nfc_branch(),
+            + _token_suite_chunk_branch() + _token_suite_nfc_branch()
+            + _token_suite_cms_branch() + _token_suite_hll_branch(),
         "dedup_exact": """
             WITH corpus AS (
               SELECT doc_id,
@@ -3806,6 +3989,9 @@ def oracle_sql() -> dict[str, str]:
                          when doc_id % 16 = 7 then 'ok_mp4_meta'
                          else 'stubbed_fake' end) AS decode_status,
                    (case when doc_id % 8 in (0, 1, 3) then 'resized'
+                         when doc_id % 8 = 5 then
+                           (case when (cast(floor(doc_id / 8.0) as int) % 8) % 4 = 3
+                                 then 'already_small' else 'resized' end)
                          when doc_id % 8 = 4 then 'already_small'
                          else 'passthrough' end) AS resize_status,
                    (case when doc_id % 4 = 0 then doc_id % 256
@@ -3824,15 +4010,13 @@ def oracle_sql() -> dict[str, str]:
                          when doc_id % 8 = 5 then
                            {_sql_case_int('cast(floor(doc_id / 8.0) as int) % 8', _JPEG_STD)}
                     end)::BIGINT AS std_milli,
-                   (case when doc_id % 8 in (0, 1, 3) then 4
+                   (case when doc_id % 8 in (0, 1, 3, 5) then 4
                          when doc_id % 8 = 4 then 2
-                         when doc_id % 8 = 5 then 16
                          when doc_id % 16 = 7 then
                            {_sql_case_int('cast(floor(doc_id / 16.0) as int) % 8', _MP4_W)}
                          end)::BIGINT AS px_w,
-                   (case when doc_id % 8 in (0, 1, 3) then 4
+                   (case when doc_id % 8 in (0, 1, 3, 5) then 4
                          when doc_id % 8 = 4 then 2
-                         when doc_id % 8 = 5 then 16
                          when doc_id % 16 = 7 then
                            {_sql_case_int('cast(floor(doc_id / 16.0) as int) % 8', _MP4_H)}
                          end)::BIGINT AS px_h,

@@ -1295,3 +1295,172 @@ def substring_dedup(
         F.size(kept).alias("tokens_kept"),
         F.size("_toks").alias("tokens_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): bounded-memory frequency
+# tracking. A groupBy(term) over a 100 TB corpus shuffles a corpus-sized key
+# space; the CMS counter table is ≤ depth·width rows NO MATTER the corpus —
+# each partition pre-combines into at most depth·width cells, so the one
+# shuffle is corpus-size-independent. Counters are sums, so per-batch
+# sketches merge by re-summing the counter tables (the incremental-ingest
+# story: sketch each arriving batch, merge, never rescan the store).
+# Estimates only ever OVERcount (collisions add), so "estimate < threshold"
+# prunes safely. md5-slice hashing (the split_by_hash convention) keeps
+# every cell re-derivable in any SQL engine — the token_suite 'cms' mode
+# pins counters bit-exactly against DuckDB.
+# ---------------------------------------------------------------------------
+
+CMS_WIDTH = 1 << 12
+CMS_DEPTH = 4
+
+
+def _cms_positions(col: Column, width: int, depth: int) -> list[Column]:
+    """Row-r bucket = 8-hex md5 slice r (32-bit value) mod width —
+    engine-portable: DuckDB twin is ('0x'||substr(md5(x),1+8r,8))::BIGINT
+    % width. depth ≤ 4 (md5 has 32 hex chars)."""
+    if depth > 4:
+        raise ValueError("md5-slice CMS supports depth <= 4")
+    h = F.md5(col)
+    return [
+        F.pmod(
+            F.conv(F.substring(h, 1 + 8 * r, 8), 16, 10).cast("long"),
+            F.lit(width),
+        )
+        for r in range(depth)
+    ]
+
+
+def cms_build(
+    terms: DataFrame,
+    col: str = "term",
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Build the sketch: a (r, c, cnt) counter table, ≤ depth·width rows.
+    One partial-aggregated shuffle (Expand to depth cells per term, then
+    map-side combine into the bounded cell space)."""
+    pos = _cms_positions(F.col(col), width, depth)
+    pairs = F.explode(
+        F.array(*[
+            F.struct(F.lit(r).alias("r"), pos[r].alias("c"))
+            for r in range(depth)
+        ])
+    )
+    return (
+        terms.select(pairs.alias("p"))
+        .groupBy(F.col("p.r").alias("r"), F.col("p.c").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merged sketch of the union corpus = cell-wise sum of the counter
+    tables (same width/depth). How per-batch sketches compose at ingest."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("r", "c").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def cms_estimate(
+    counters: DataFrame,
+    probes: DataFrame,
+    col: str = "term",
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Point-frequency estimates for a bounded probe set: explode each
+    probe into its depth (r, c) cells, broadcast-join the (small, bounded)
+    counter table, take the min across rows. cms_count ≥ true count
+    always; a cell absent from the table coalesces to 0 = never seen."""
+    pos = _cms_positions(F.col(col), width, depth)
+    cells = probes.select(
+        F.col(col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(r).alias("r"), pos[r].alias("c"))
+                for r in range(depth)
+            ])
+        ).alias("p"),
+    ).select(col, F.col("p.r").alias("r"), F.col("p.c").alias("c"))
+    return (
+        cells.join(F.broadcast(counters), ["r", "c"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+        .groupBy(col)
+        .agg(F.min("cnt").cast("long").alias("cms_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007): bounded-memory cardinality. An exact
+# COUNT(DISTINCT url) over 100 TB shuffles the full distinct key space; the
+# HLL register table is <= m = 2^p rows no matter the corpus (partial max per
+# partition, one corpus-size-independent shuffle), and per-batch sketches
+# merge by register-wise MAX — append-only ingest never rescans the store.
+# Hashing is the md5-slice convention: a 60-bit value from 15 hex chars
+# (positive in int64 in every engine); register index = low p bits, rho =
+# leading-zero rank of the remaining B = 60-p bits derived via length(bin(w))
+# — pure integer arithmetic, so the register table is bit-exact re-derivable
+# in DuckDB (token_suite mode 'hll' pins it). Estimation touches only the
+# <= m collected register rows (bounded driver state, like the k-means
+# means); the float harmonic mean never crosses an engine boundary.
+# ---------------------------------------------------------------------------
+
+HLL_P = 12
+
+
+def _hll_register_cols(col: Column, p: int) -> tuple[Column, Column]:
+    """(idx, rho) for one value: idx = h & (m-1); w = h >> p over the
+    remaining B = 60-p bits; rho = B - (length(bin(w)) - 1) when w > 0
+    (leading-zero count + 1), else B + 1 (all-zero suffix)."""
+    if not 4 <= p <= 18:
+        raise ValueError("hll: p must be in [4, 18]")
+    bits = 60
+    h = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    idx = h.bitwiseAND(F.lit((1 << p) - 1))
+    w = F.shiftright(h, p)
+    rho = F.when(w > 0, F.lit(bits - p) - (F.length(F.bin(w)) - F.lit(1))) \
+        .otherwise(F.lit(bits - p + 1))
+    return idx.cast("long"), rho.cast("long")
+
+
+def hll_build(values: DataFrame, col: str = "term", p: int = HLL_P) -> DataFrame:
+    """Sketch a value stream into the (idx, rho) register table: rho =
+    per-register MAX (partial-aggregated — each task emits <= m rows).
+    Registers never hit by any value are absent (implicit 0)."""
+    idx, rho = _hll_register_cols(F.col(col), p)
+    return (
+        values.select(idx.alias("idx"), rho.alias("rho"))
+        .groupBy("idx")
+        .agg(F.max("rho").cast("long").alias("rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Sketch of the union stream == register-wise max of the per-batch
+    register tables (same p). Lossless: HLL's merge is exact."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("idx").agg(F.max("rho").cast("long").alias("rho"))
+
+
+def hll_estimate(registers: DataFrame, p: int = HLL_P) -> float:
+    """Cardinality estimate from a register table: collect the <= 2^p rows
+    (bounded), apply the HLL harmonic mean with the standard small-range
+    linear-counting correction. Relative error ~1.04/sqrt(2^p)."""
+    import math
+
+    m = 1 << p
+    regs = {int(r["idx"]): int(r["rho"]) for r in registers.collect()}
+    alpha = (
+        0.673 if m == 16 else 0.697 if m == 32 else 0.709 if m == 64
+        else 0.7213 / (1.0 + 1.079 / m)
+    )
+    denom = sum(2.0 ** -regs.get(j, 0) for j in range(m))
+    est = alpha * m * m / denom
+    zeros = m - len(regs)
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return est

@@ -744,10 +744,39 @@ def _resize_gif(payload: bytes, max_dim: int) -> bytes | None:
     return encode_gif(img[ys][:, xs])
 
 
+def _resize_jpeg(payload: bytes, max_dim: int) -> bytes | None:
+    """REAL nearest-neighbor resize for baseline JPEG payloads: full
+    Huffman+dequant+IDCT decode (jpeg.py), NN downsample so the longest
+    side is ≤ max_dim, re-encode at quality 50 (4:4:4 — keeps the
+    exact-roundtrip plant subspace exact through the resize: a flat
+    even-valued image stays flat even-valued). Returns the original
+    payload when already small, None when not decodable baseline JPEG
+    (caller passes those through)."""
+    import numpy as np
+
+    from avc_parser_spark.functions.jpeg import decode_jpeg_pixels, encode_jpeg
+
+    if payload[:2] != b"\xff\xd8":
+        return None
+    decoded = decode_jpeg_pixels(payload)
+    if decoded is None:
+        return None
+    img, _ncomp = decoded
+    height, width = img.shape[:2]
+    scale = max(width, height) / max_dim
+    if scale <= 1:
+        return payload
+    nw, nh = max(int(width / scale), 1), max(int(height / scale), 1)
+    ys = (np.arange(nh) * height // nh).clip(0, height - 1)
+    xs = (np.arange(nw) * width // nw).clip(0, width - 1)
+    return encode_jpeg(img[ys][:, xs], quality=50)
+
+
 def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
-    """Resize op over the media table (Arrow-batched mapInPandas): PPM, PNG
-    and GIF payloads are REALLY downsampled (nearest neighbor) to max_dim;
-    other formats pass through unchanged with resize_status='passthrough'."""
+    """Resize op over the media table (Arrow-batched mapInPandas): PPM, PNG,
+    GIF and baseline JPEG payloads are REALLY downsampled (nearest neighbor)
+    to max_dim; other formats pass through unchanged with
+    resize_status='passthrough'."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -760,6 +789,8 @@ def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
                         resized = _resize_png(raw, max_dim)
                     if resized is None:
                         resized = _resize_gif(raw, max_dim)
+                    if resized is None:
+                        resized = _resize_jpeg(raw, max_dim)
                 except Exception:  # noqa: BLE001 — corrupt media passes through
                     resized = None
                 if resized is None:

@@ -2602,3 +2602,259 @@ def test_pq_topk_plan_no_shuffle(spark):
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_cms_estimate_never_undercounts_and_exact_when_wide(spark):
+    """CMS law: estimate ≥ true count for every term; with a sketch wide
+    enough that no two terms collide in all rows, estimates are EXACT."""
+    from avc_parser_spark.functions.dedup import cms_build, cms_estimate
+
+    words = (
+        ["alpha"] * 7 + ["beta"] * 3 + ["gamma"] * 11 + ["delta"] * 1
+    )
+    df = spark.createDataFrame([(w,) for w in words], "term: string")
+    probes = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), ("delta",), ("absent",)],
+        "term: string",
+    )
+    wide = cms_estimate(
+        cms_build(df, width=1 << 16, depth=4), probes, width=1 << 16, depth=4
+    )
+    got = {r["term"]: r["cms_count"] for r in wide.collect()}
+    assert got == {"alpha": 7, "beta": 3, "gamma": 11, "delta": 1, "absent": 0}
+
+    narrow = cms_estimate(
+        cms_build(df, width=4, depth=2), probes, width=4, depth=2
+    )
+    truth = {"alpha": 7, "beta": 3, "gamma": 11, "delta": 1, "absent": 0}
+    for r in narrow.collect():
+        assert r["cms_count"] >= truth[r["term"]], r
+
+
+def test_cms_collisions_match_python_rederivation(spark):
+    """At width=4, depth=2 collisions are guaranteed; the estimate must
+    equal min over rows of the sum of counts hashing to the same cell,
+    re-derived in pure Python from the same md5 slices."""
+    import hashlib
+    from collections import Counter
+
+    from avc_parser_spark.functions.dedup import cms_build, cms_estimate
+
+    width, depth = 4, 2
+    words = (
+        ["alpha"] * 7 + ["beta"] * 3 + ["gamma"] * 11 + ["delta"] * 1
+        + ["epsilon"] * 5 + ["zeta"] * 2
+    )
+    counts = Counter(words)
+
+    def cell(t, r):
+        return int(hashlib.md5(t.encode()).hexdigest()[8 * r:8 * r + 8], 16) % width
+
+    def expected(t):
+        return min(
+            sum(n for u, n in counts.items() if cell(u, r) == cell(t, r))
+            for r in range(depth)
+        )
+
+    df = spark.createDataFrame([(w,) for w in words], "term: string")
+    probes = spark.createDataFrame(
+        [(t,) for t in counts], "term: string"
+    )
+    est = cms_estimate(
+        cms_build(df, width=width, depth=depth), probes,
+        width=width, depth=depth,
+    )
+    for r in est.collect():
+        assert r["cms_count"] == expected(r["term"]), r
+
+
+def test_cms_merge_equals_whole(spark):
+    """Sketch of the union corpus == cell-wise sum of per-batch sketches
+    (the incremental-ingest contract)."""
+    from avc_parser_spark.functions.dedup import cms_build, cms_merge
+
+    a = spark.createDataFrame(
+        [(w,) for w in ["x"] * 5 + ["y"] * 2], "term: string"
+    )
+    b = spark.createDataFrame(
+        [(w,) for w in ["y"] * 3 + ["z"] * 4], "term: string"
+    )
+    whole = cms_build(a.unionByName(b), width=8, depth=3)
+    merged = cms_merge(
+        cms_build(a, width=8, depth=3), cms_build(b, width=8, depth=3)
+    )
+    as_map = lambda df: {  # noqa: E731
+        (r["r"], r["c"]): r["cnt"] for r in df.collect()
+    }
+    assert as_map(whole) == as_map(merged)
+
+
+def test_cms_counters_match_duckdb(spark):
+    """The counter table over the sf0.001 documents word stream must be
+    bit-identical to a DuckDB re-derivation from the same md5 slices —
+    the cross-engine pin the driver 'cms' mode relies on."""
+    import duckdb
+
+    from avc_parser_spark.functions.dedup import cms_build
+
+    width, depth = 64, 4
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    terms = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    got = {
+        (r["r"], r["c"]): r["cnt"]
+        for r in cms_build(terms, width=width, depth=depth).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(f"""
+            WITH words AS (
+              SELECT unnest(string_split(text, ' ')) AS term FROM documents
+            ), w AS (SELECT term FROM words WHERE term <> ''),
+            cells AS (
+              SELECT r.r AS r,
+                     ('0x' || substr(md5(term), 1 + 8 * r.r, 8))::BIGINT
+                       % {width} AS c
+              FROM w CROSS JOIN (SELECT unnest(range(0, {depth})) AS r) r
+            )
+            SELECT r, c, count(*) AS cnt FROM cells GROUP BY r, c
+        """).fetchall()
+    }
+    assert got == want
+
+
+def test_hll_registers_match_duckdb(spark):
+    """The register table over the sf0.001 documents word stream must be
+    bit-identical to a DuckDB re-derivation from the same md5-slice hash
+    (idx = low p bits, rho via length(bin(w))) — the cross-engine pin the
+    driver 'hll' mode relies on."""
+    import duckdb
+
+    from avc_parser_spark.functions.dedup import hll_build
+
+    p = 6
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    terms = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    got = {
+        int(r["idx"]): int(r["rho"]) for r in hll_build(terms, p=p).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = dict(con.execute(f"""
+        WITH words AS (
+          SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        ), w AS (SELECT term FROM words WHERE term <> ''),
+        h AS (SELECT ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM w),
+        reg AS (SELECT h % {1 << p} AS idx, h // {1 << p} AS wv FROM h)
+        SELECT idx,
+               max(CASE WHEN wv > 0 THEN {60 - p} - (length(bin(wv)) - 1)
+                        ELSE {60 - p + 1} END) AS rho
+        FROM reg GROUP BY idx
+    """).fetchall())
+    assert got == want
+
+
+def test_hll_merge_equals_whole(spark):
+    """Register table of the union stream == register-wise max of the
+    per-batch tables (HLL merge is lossless)."""
+    from avc_parser_spark.functions.dedup import hll_build, hll_merge
+
+    a = spark.range(0, 3000).select(
+        F.concat(F.lit("va"), F.col("id")).alias("term")
+    )
+    b = spark.range(2000, 5000).select(
+        F.concat(F.lit("va"), F.col("id")).alias("term")
+    )
+    whole = hll_build(a.unionByName(b), p=8)
+    merged = hll_merge(hll_build(a, p=8), hll_build(b, p=8))
+    as_map = lambda df: {  # noqa: E731
+        int(r["idx"]): int(r["rho"]) for r in df.collect()
+    }
+    assert as_map(whole) == as_map(merged)
+
+
+def test_hll_estimate_accuracy_and_python_parity(spark):
+    """p=12 estimate over 20k distinct values lands within 5 sigma
+    (~5.2%) of truth, and the estimate equals a full pure-Python HLL
+    re-derivation from hashlib (same hash, same registers, same formula)
+    — pinning the whole pipeline, not just the formula."""
+    import hashlib
+
+    from avc_parser_spark.functions.dedup import hll_build, hll_estimate
+
+    p, n = 12, 20000
+    vals = spark.range(n).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("term")
+    )
+    est = hll_estimate(hll_build(vals, p=p), p=p)
+    assert abs(est - n) / n < 5 * 1.04 / (1 << p) ** 0.5, est
+
+    regs: dict[int, int] = {}
+    m, bits = 1 << p, 60
+    for i in range(n):
+        h = int(hashlib.md5(f"doc-{i}".encode()).hexdigest()[:15], 16)
+        idx, w = h % m, h >> p
+        rho = (bits - p) - (w.bit_length() - 1) if w else bits - p + 1
+        regs[idx] = max(regs.get(idx, 0), rho)
+    denom = sum(2.0 ** -regs.get(j, 0) for j in range(m))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    want = alpha * m * m / denom
+    zeros = m - len(regs)
+    if want <= 2.5 * m and zeros > 0:
+        import math
+
+        want = m * math.log(m / zeros)
+    assert est == want
+
+
+def test_hll_small_range_linear_counting(spark):
+    """Tiny cardinalities fall into the linear-counting branch and come
+    out near-exact (error < 1 at 10 distinct, p=12)."""
+    from avc_parser_spark.functions.dedup import hll_build, hll_estimate
+
+    vals = spark.createDataFrame(
+        [(f"u{i}",) for i in range(10) for _ in range(3)], "term: string"
+    )
+    est = hll_estimate(hll_build(vals, p=12), p=12)
+    assert abs(est - 10) < 1, est
+
+
+def test_jpeg_resize_nearest_neighbor():
+    """_resize_jpeg: flat even-valued 16×16 (exact-roundtrip subspace) →
+    4×4 through decode → NN → re-encode at quality 50; the resized payload
+    decodes byte-exactly to the NN index of the source (flatness survives
+    sampling AND the encoder's edge-replication MCU padding). A mosaic
+    source also resizes (shape + decodability), and already-small /
+    non-JPEG payloads return identity / None."""
+    import numpy as np
+
+    from avc_parser_spark.functions.jpeg import decode_jpeg_pixels, encode_jpeg
+    from avc_parser_spark.functions.multimodal import _resize_jpeg
+
+    flat = np.full((16, 16), 214, dtype=np.uint8)
+    small_payload = _resize_jpeg(encode_jpeg(flat, quality=50), 4)
+    out, ncomp = decode_jpeg_pixels(small_payload)
+    assert ncomp == 1 and out.shape == (4, 4)
+    assert np.array_equal(out, flat[:4, :4])
+
+    blocks = np.array([[20, 60], [100, 140]], dtype=np.uint8)
+    mosaic = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    rp = _resize_jpeg(encode_jpeg(mosaic, quality=50), 4)
+    rout, _ = decode_jpeg_pixels(rp)
+    assert rout.shape == (4, 4)  # lossy in general — shape+decode only
+
+    p = encode_jpeg(flat[:4, :4], quality=50)
+    assert _resize_jpeg(p, 4) is p  # identity object → already_small
+    assert _resize_jpeg(b"\x89PNG\r\n\x1a\n", 4) is None
+    assert _resize_jpeg(b"\xff\xd8\xff\xe0junk", 4) is None
