@@ -468,7 +468,11 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode='hll' — HyperLogLog cardinality registers over the word stream
     (hll_build, p=6 ⇒ ≤64 rows however large the corpus): k=register
     idx, n1=rho max (pure integer arithmetic ⇒ the sketch itself is
-    bit-exact cross-engine), n2=distinct terms per register.
+    bit-exact cross-engine), n2=distinct terms per register; mode=
+    'wsample' — deterministic Efraimidis-Spirakis weighted sampling
+    (weighted_sample: md5-derived uniforms, micro-long -ln(u) div
+    integer weight ⇒ the exact 40-doc sample + race keys re-derivable
+    in DuckDB): k=doc_id, n1=race key, n2=weight.
     Every value is re-derived in DuckDB (md5 bucket +
     window prefix sum + the same `div` cutoff arithmetic + the full LM
     build/score + the GROUPING SETS rollup + all seven Gopher rules +
@@ -780,6 +784,23 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("idx")
         .agg(F.countDistinct("term").alias("n_distinct"))
     )
+    from avc_parser_spark.functions.text import weighted_sample
+
+    # wsample: deterministic Efraimidis-Spirakis weighted sampling — the
+    # top-40 exponential-race winners weighted by length(text)+1. The
+    # integer race keys make the exact selected set (and each key)
+    # enumerable in DuckDB from the same md5/ln-micro arithmetic.
+    wsample = weighted_sample(
+        docs.withColumn("_w", F.length("text") + F.lit(1)),
+        40,
+        "_w",
+    ).select(
+        F.lit("wsample").alias("mode"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("sample_key").alias("n1"),
+        F.col("_w").cast("long").alias("n2"),
+        null_n.alias("n3"), null_n.alias("n4"), null_n.alias("n5"),
+    )
     hll = hll_regs.join(hll_distinct, "idx").select(
         F.lit("hll").alias("mode"),
         F.col("idx").cast("string").alias("k"),
@@ -801,6 +822,7 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(nfc)
         .unionByName(cms)
         .unionByName(hll)
+        .unionByName(wsample)
     )
 
 
@@ -2994,6 +3016,34 @@ def _token_suite_hll_branch() -> str:
         """)
 
 
+def _token_suite_wsample_branch() -> str:
+    """token_suite mode='wsample': the exact Efraimidis-Spirakis sample —
+    DuckDB re-derives the 60-bit md5 uniform, the micro-quantized -ln(u),
+    the integer race key ((-lnu_micro * 1e6) // w, both operands
+    non-negative so truncation == floor in every engine) and takes the
+    same (key, doc_id)-ordered top 40."""
+    return ("""
+            UNION ALL
+            SELECT 'wsample', cast(doc_id as varchar),
+                   skey, w,
+                   cast(null as bigint), cast(null as bigint),
+                   cast(null as bigint)
+            FROM (
+              WITH ws_h AS (
+                SELECT doc_id, length(text) + 1 AS w,
+                       ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT AS h
+                FROM documents),
+              ws_k AS (
+                SELECT doc_id, w,
+                       (round(-ln((h + 1) / 1152921504606846976.0)
+                              * 1000000)::BIGINT * 1000000) // w AS skey
+                FROM ws_h)
+              SELECT doc_id, w, skey FROM ws_k
+              ORDER BY skey, doc_id LIMIT 40
+            ) wsq
+        """)
+
+
 def _token_suite_nfc_branch() -> str:
     """token_suite mode='nfc': plant the decomposed suffix via the SAME
     codepoint list (chr() composition) and normalize with DuckDB's
@@ -3472,7 +3522,8 @@ def oracle_sql() -> dict[str, str]:
             FROM rbit GROUP BY bitmask
         """ + _token_suite_html_branch() + _token_suite_bm25_branch()
             + _token_suite_chunk_branch() + _token_suite_nfc_branch()
-            + _token_suite_cms_branch() + _token_suite_hll_branch(),
+            + _token_suite_cms_branch() + _token_suite_hll_branch()
+            + _token_suite_wsample_branch(),
         "dedup_exact": """
             WITH corpus AS (
               SELECT doc_id,

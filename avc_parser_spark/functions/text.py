@@ -1370,3 +1370,46 @@ def compression_ratio_micro(
         return s.map(one)
 
     return docs.withColumn(out_col, _zr(F.col(text_col)))
+
+
+def weighted_sample(
+    docs: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    key_col: str = "sample_key",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): keep the n docs winning an exponential race where doc i
+    draws key u_i^(1/w_i) — inclusion probability proportional to weight,
+    e.g. "sample 10M docs favoring high quality_score". rand()-free: u is
+    derived from the 15-hex md5 slice of the id (u = (h+1)/2^60 ∈ (0,1]),
+    so the sample is a pure function of (corpus, weights, n) — stable
+    under repartitioning and re-runs, and re-derivable in any SQL engine
+    (maximizing u^(1/w) ⇔ minimizing -ln(u)/w; -ln(u) is quantized to a
+    micro-long and divided by the INTEGER weight with int64 `div`, both
+    operands non-negative so every engine truncates identically).
+
+    Weights must be positive integers (quantize upstream, micro-units are
+    fine); rows with weight <= 0 or NULL are excluded. Scale shape: ONE
+    narrow projection over the scan + TakeOrderedAndProject(n) — no
+    shuffle, no window, every task keeps at most n candidate rows.
+    """
+    if n <= 0:
+        raise ValueError("weighted_sample: n must be positive")
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    neg_lnu_micro = F.round(
+        -F.log((h + F.lit(1)) / F.lit(float(1 << 60))) * F.lit(1_000_000.0)
+    ).cast("long")
+    gated = (
+        docs.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_neglnu", neg_lnu_micro)
+        .withColumn(
+            key_col,
+            F.expr(f"(_neglnu * 1000000) div cast({weight_col} as bigint)"),
+        )
+        .drop("_neglnu")
+    )
+    return gated.orderBy(key_col, id_col).limit(n)

@@ -2858,3 +2858,55 @@ def test_jpeg_resize_nearest_neighbor():
     assert _resize_jpeg(p, 4) is p  # identity object → already_small
     assert _resize_jpeg(b"\x89PNG\r\n\x1a\n", 4) is None
     assert _resize_jpeg(b"\xff\xd8\xff\xe0junk", 4) is None
+
+
+def test_weighted_sample_matches_python_rederivation(spark):
+    """The selected set and key values equal a pure-Python Efraimidis-
+    Spirakis re-derivation with the same md5/ln/micro-quantized integer
+    arithmetic — the engine-portability contract."""
+    import hashlib
+    import math
+
+    from avc_parser_spark.functions.text import weighted_sample
+
+    rows = [(i, (i * 37) % 90 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id: long, w: long")
+    got = [
+        (r["doc_id"], r["sample_key"])
+        for r in weighted_sample(df, 40, "w").collect()
+    ]
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        neglnu = round(-math.log((h + 1) / float(1 << 60)) * 1_000_000)
+        return (neglnu * 1_000_000) // w
+
+    want = sorted(((key(i, w), i) for i, w in rows))[:40]
+    assert got == [(i, k) for k, i in want]
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    """Docs with 1000x the weight dominate the sample (inclusion
+    probability is proportional to weight)."""
+    from avc_parser_spark.functions.text import weighted_sample
+
+    rows = [(i, 1000 if i < 100 else 1) for i in range(1100)]
+    df = spark.createDataFrame(rows, "doc_id: long, w: long")
+    picked = {r["doc_id"] for r in weighted_sample(df, 50, "w").collect()}
+    assert sum(1 for i in picked if i < 100) >= 45, picked
+
+
+def test_weighted_sample_excludes_nonpositive_and_plan(spark):
+    """Zero/negative/NULL weights never appear; the physical plan is a
+    shuffle-free TakeOrderedAndProject over one narrow projection."""
+    from avc_parser_spark.functions.text import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -4), (4, None), (5, 7)],
+        "doc_id: long, w: long",
+    )
+    out = weighted_sample(df, 10, "w")
+    assert {r["doc_id"] for r in out.collect()} == {1, 5}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
