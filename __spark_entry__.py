@@ -350,14 +350,37 @@ def q_tpch_top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFra
 # ---------------------------------------------------------------------------
 
 
-def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis, mode-tagged (r5 merge of the former
+    text_profile + text_quality queries — same coverage, one slot):
+    - 'profile': token/subtoken counts + stopword ratio (document_profile);
+    - 'quality': heuristic quality score + trigram-profile lang-id (the 60
+      trigram counts run once into score columns, argmax in a second
+      Project; the oracle reuses the same generated count/pick fragments).
+    Cols (mode, doc_id, n1, n2, x1, s1): profile → n1=n_tokens,
+    n2=n_subtokens, x1=stopword_ratio; quality → x1=quality, s1=lang."""
+    from avc_parser_spark.functions.text import with_lang_guess
+
     _views(spark, sf_dir, ["documents"])
     docs = spark.table("documents")
-    prof = document_profile(docs)
-    return prof.select(
-        "doc_id", "n_tokens", "n_subtokens",
-        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+    null_n = F.lit(None).cast("long")
+    prof = document_profile(docs).select(
+        F.lit("profile").alias("mode"),
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n1"),
+        F.col("n_subtokens").cast("long").alias("n2"),
+        F.round("stopword_ratio", 6).alias("x1"),
+        F.lit(None).cast("string").alias("s1"),
     )
+    qual = with_lang_guess(docs.select("doc_id", "text")).select(
+        F.lit("quality").alias("mode"),
+        "doc_id",
+        null_n.alias("n1"),
+        null_n.alias("n2"),
+        quality_score(F.col("text")).alias("x1"),
+        F.col("lang_guess").alias("s1"),
+    )
+    return prof.unionByName(qual)
 
 
 # HTML decoration for token_suite mode='html' — ONE dialect-shared CASE
@@ -1552,19 +1575,48 @@ def q_resource_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring + trigram-profile lang-id over documents (the 60
-    trigram counts run once into score columns, argmax in a second Project;
-    the oracle reuses the same generated count/pick SQL fragments)."""
-    from avc_parser_spark.functions.text import with_lang_guess
+def q_link_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph analytics (the Common-Crawl-style page-rank quality
+    signal; see functions/graph.py) over a DETERMINISTIC planted hyperlink
+    graph on doc_id < 500: every page links to its ring successor
+    (i+1) % 500 and an affine scatter target (31·i+7) % 500, and every
+    non-hub links to its local hub (i div 10)·10 — so hubs collect 9 extra
+    in-links and the rank ordering is structurally forced. Modes:
+    - 'degree': per-node out/in degree (n1/n2);
+    - 'pagerank': n1 = rank after 8 integer-micro rounds — bit-exact in
+      DuckDB via an unrolled chained-CTE oracle doing the same
+      div-truncated arithmetic (all operands non-negative ⇒ floor).
+    The ring edge gives every node out-degree ≥ 1 (no dangling mass) and
+    in-degree ≥ 1, keeping the oracle enumeration total."""
+    from avc_parser_spark.functions.graph import degree_stats, pagerank_micro
 
     _views(spark, sf_dir, ["documents"])
-    docs = spark.table("documents").select("doc_id", "text")
-    return with_lang_guess(docs).select(
-        "doc_id",
-        quality_score(F.col("text")).alias("quality"),
-        "lang_guess",
+    edges = spark.sql(
+        """
+        SELECT doc_id AS src, (doc_id + 1) % 500 AS dst
+        FROM documents WHERE doc_id < 500
+        UNION ALL
+        SELECT doc_id, (doc_id * 31 + 7) % 500
+        FROM documents WHERE doc_id < 500
+        UNION ALL
+        SELECT doc_id, (doc_id div 10) * 10
+        FROM documents WHERE doc_id < 500 AND doc_id % 10 <> 0
+        """
     )
+    null_n = F.lit(None).cast("long")
+    deg = degree_stats(edges).select(
+        F.lit("degree").alias("mode"),
+        "node",
+        F.col("out_deg").alias("n1"),
+        F.col("in_deg").alias("n2"),
+    )
+    pr = pagerank_micro(edges, iters=8).select(
+        F.lit("pagerank").alias("mode"),
+        "node",
+        F.col("rank_micro").alias("n1"),
+        null_n.alias("n2"),
+    )
+    return deg.unionByName(pr)
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2623,8 +2675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12ish_caseagg": q_tpch_q12ish,
         "tpch_rollup_revenue": q_tpch_rollup,
         # training-data ops: text
-        "text_profile": q_text_profile,
-        "text_quality": q_text_quality,
+        "text_suite": q_text_suite,
         "token_suite": q_token_suite,
         # training-data ops: dedup
         "dedup_exact": q_dedup_exact,
@@ -2633,6 +2684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_suite": q_dedup_simhash_suite,
         "dedup_embedding_cosine": q_dedup_embedding,
         "dedup_resolve": q_dedup_resolve,
+        "link_graph_suite": q_link_graph_suite,
         "corpus_curation": q_corpus_curation,
         # training-data ops: similarity search
         "ann_suite": q_ann_suite,
@@ -2837,6 +2889,78 @@ def _text_quality_oracle() -> str:
                        + (case when p_ratio <= 0.2 then 0.3 else 0.0 end), 2)::DOUBLE AS quality,
                    {pick} AS lang_guess
             FROM t
+        """
+
+
+def _text_suite_oracle() -> str:
+    """text_suite: the former text_profile body (token/subtoken counts +
+    stopword ratio) and the former text_quality body (quality heuristics +
+    the generated trigram lang-id fragments) union-tagged under one
+    (mode, doc_id, n1, n2, x1, s1) schema."""
+    return f"""
+            SELECT 'profile' AS mode, doc_id,
+                   CAST(n_tokens AS BIGINT) AS n1,
+                   CAST(n_subtokens AS BIGINT) AS n2,
+                   stopword_ratio AS x1, CAST(NULL AS VARCHAR) AS s1
+            FROM (
+              SELECT doc_id,
+                   case when trim(text) = '' then 0
+                        else len(regexp_split_to_array(trim(text), '\\s+')) end AS n_tokens,
+                   len(regexp_extract_all(text, '([A-Za-z]+|\\d+|[^\\sA-Za-z\\d])')) AS n_subtokens,
+                   round(
+                     case when len(regexp_split_to_array(lower(trim(text)), '\\s+')) = 0 then 0.0
+                          else len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                   x -> x in ('the','a','an','and','or','of','to','in','is','it','for',
+                                              'der','die','das','und','le','la','les','et','el','los','y')))
+                               / len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                     end, 6) AS stopword_ratio
+              FROM documents) p
+            UNION ALL
+            SELECT 'quality', doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   quality, lang_guess
+            FROM ({_text_quality_oracle()}) q
+        """
+
+
+def _link_graph_oracle(iters: int = 8) -> str:
+    """link_graph_suite: the planted graph re-built in SQL, degrees from
+    two GROUP BYs, and PageRank UNROLLED — one generated CTE per round
+    doing the identical integer-micro arithmetic (`//` on non-negative
+    operands ≡ Spark's `div`), so the final ranks are bit-exact."""
+    rounds = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        rounds.append(f"""
+            r{k} AS (
+              SELECT n.node,
+                     CAST(150000 + (850000 * coalesce(s.s, 0)) // 1000000
+                          AS BIGINT) AS r
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(r.r // o.od) AS s
+                FROM edges e
+                JOIN {prev} r ON r.node = e.src
+                JOIN outdeg o ON o.src = e.src
+                GROUP BY e.dst) s ON s.node = n.node)""")
+        prev = f"r{k}"
+    return f"""
+            WITH nodes AS (
+              SELECT doc_id AS node FROM documents WHERE doc_id < 500),
+            edges AS (
+              SELECT node AS src, (node + 1) % 500 AS dst FROM nodes
+              UNION ALL SELECT node, (node * 31 + 7) % 500 FROM nodes
+              UNION ALL SELECT node, (node // 10) * 10 FROM nodes
+                        WHERE node % 10 <> 0),
+            outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+            indeg AS (SELECT dst, count(*) AS ind FROM edges GROUP BY dst),
+            r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+            {",".join(rounds)}
+            SELECT 'degree' AS mode, n.node,
+                   CAST(coalesce(o.od, 0) AS BIGINT) AS n1,
+                   CAST(coalesce(i.ind, 0) AS BIGINT) AS n2
+            FROM nodes n LEFT JOIN outdeg o ON o.src = n.node
+                         LEFT JOIN indeg i ON i.dst = n.node
+            UNION ALL
+            SELECT 'pagerank', node, r, CAST(NULL AS BIGINT) FROM {prev}
         """
 
 
@@ -3204,20 +3328,8 @@ def oracle_sql() -> dict[str, str]:
               FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey)
             WHERE rk <= 3
         """,
-        "text_profile": """
-            SELECT doc_id,
-                   case when trim(text) = '' then 0
-                        else len(regexp_split_to_array(trim(text), '\\s+')) end AS n_tokens,
-                   len(regexp_extract_all(text, '([A-Za-z]+|\\d+|[^\\sA-Za-z\\d])')) AS n_subtokens,
-                   round(
-                     case when len(regexp_split_to_array(lower(trim(text)), '\\s+')) = 0 then 0.0
-                          else len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                                   x -> x in ('the','a','an','and','or','of','to','in','is','it','for',
-                                              'der','die','das','und','le','la','les','et','el','los','y')))
-                               / len(regexp_split_to_array(lower(trim(text)), '\\s+'))
-                     end, 6) AS stopword_ratio
-            FROM documents
-        """,
+        "text_suite": _text_suite_oracle(),
+        "link_graph_suite": _link_graph_oracle(),
         "token_suite": """
             WITH toks AS (
               SELECT doc_id, lang,
@@ -3639,7 +3751,6 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT pid) AS distinct_pids
             FROM base GROUP BY resource
         """,
-        "text_quality": _text_quality_oracle(),
         "pipeline_stats_counters": f"""
             WITH base AS (
               SELECT {f['comm']} AS comm, {f['sc_type']} AS sc_type,

@@ -1,0 +1,133 @@
+"""Link-graph analytics over a web corpus — degrees + PageRank.
+
+The hyperlink graph is the classic web-crawl quality signal (Common Crawl
+publishes host/domain-level rank data computed exactly this way; the
+reference repo has no analog — this is part of the training-data toolbox
+beyond it): curation pipelines use link-derived centrality to weight or
+filter pages before training. Scale shape at 100 TB:
+
+- The edge table is the unit of work, never the page payloads: edges are
+  (src, dst) longs, orders of magnitude smaller than the corpus.
+- `degree_stats` is two partial-agg shuffles (map-side combine on src and
+  dst) merged with one full-outer join on the node id — no row explosion.
+- `pagerank_micro` is the canonical distributed PageRank: the edge table
+  is joined with out-degrees ONCE and persisted (on a real cluster:
+  pre-partitioned by src and reused every round), then each iteration is
+  one join (ranks → edges on src) plus one partial-agg groupBy on dst —
+  two shuffles per round, state bounded by |nodes|. Ranks are
+  localCheckpoint'ed per round so the logical plan stays O(1) instead of
+  growing with the iteration count (same planner lesson as
+  resolve_clusters: dedup.py:785).
+
+Determinism contract: ranks are held in MICRO units (1.0 → 1_000_000) and
+every step is int64 arithmetic on non-negative operands — contribution =
+rank div out_degree, update = reset + (damping * in_sum) div 1_000_000 —
+so floor-division truncation is identical in every engine and the final
+ranks are bit-exact re-derivable in DuckDB (generated chained-CTE oracle
+in __spark_entry__.py). No floats ⇒ no accumulation-order sensitivity:
+integer SUMs commute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RANK_SCALE = 1_000_000
+
+
+def degree_stats(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node (node, out_deg, in_deg) over an edge list. Parallel edges
+    count once each (PageRank treats them the same way). Nodes appearing
+    only as src get in_deg 0 and vice versa (full-outer merge)."""
+    out_deg = (
+        edges.groupBy(F.col(src_col).alias("node"))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+    )
+    in_deg = (
+        edges.groupBy(F.col(dst_col).alias("node"))
+        .agg(F.count(F.lit(1)).alias("in_deg"))
+    )
+    return (
+        out_deg.join(in_deg, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
+
+
+def pagerank_micro(
+    edges: DataFrame,
+    iters: int = 8,
+    damping_micro: int = 850_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank with exact integer (micro-unit) arithmetic: returns
+    (node, rank_micro) after `iters` synchronous rounds of
+
+        rank'(v) = (1e6 - damping) + damping * sum_{u→v}(rank(u) div
+                   out_deg(u)) div 1e6
+
+    over the union of src/dst nodes, all ranks starting at 1_000_000 (the
+    standard per-page formulation, total mass ≈ |V|). Dangling nodes
+    (no out-edges) simply leak their mass — a pinned, engine-portable
+    choice; callers who need conservation can add a self-loop upstream.
+
+    Fixed iteration count (not convergence detection) keeps the result a
+    pure function of (edges, iters) — re-derivable in any SQL engine by
+    unrolling the same number of rounds.
+    """
+    if iters < 0:
+        raise ValueError("pagerank_micro: iters must be >= 0")
+    reset = RANK_SCALE - damping_micro
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    out_deg = edges.groupBy(F.col(src_col).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    # Edges carry their source's out-degree from round 0 on — computed and
+    # persisted ONCE, the reusable join side of every iteration.
+    edeg = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .join(out_deg.withColumnRenamed("node", "src"), "src")
+        .persist()
+    )
+    ranks = nodes.select(
+        "node", F.lit(RANK_SCALE).cast("long").alias("rank_micro")
+    ).localCheckpoint()
+    for _ in range(iters):
+        in_sum = (
+            edeg.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_micro div out_deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(in_sum, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(reset)
+                    + F.expr(
+                        f"({damping_micro} * coalesce(s, 0L))"
+                        f" div {RANK_SCALE}"
+                    )
+                ).cast("long").alias("rank_micro"),
+            )
+            .localCheckpoint()
+        )
+    edeg.unpersist()
+    return ranks

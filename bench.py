@@ -118,7 +118,8 @@ def main() -> None:
         "events_sessions",
         "tpch_q1",
         "tpch_q3ish",
-        "text_profile",
+        "text_suite",
+        "link_graph_suite",
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_resolve",

@@ -2910,3 +2910,85 @@ def test_weighted_sample_excludes_nonpositive_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def _plant_edges(n):
+    """The link_graph_suite planted graph: ring + affine scatter + local
+    hubs (every (i div 10)*10 collects its block's 9 members)."""
+    edges = []
+    for i in range(n):
+        edges.append((i, (i + 1) % n))
+        edges.append((i, (i * 31 + 7) % n))
+        if i % 10 != 0:
+            edges.append((i, (i // 10) * 10))
+    return edges
+
+
+def _pagerank_py(edges, iters, damping=850_000):
+    """Pure-Python integer-micro PageRank — the engine-portability twin."""
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    out_deg = {}
+    for a, _ in edges:
+        out_deg[a] = out_deg.get(a, 0) + 1
+    rank = {v: 1_000_000 for v in nodes}
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for a, b in edges:
+            s[b] += rank[a] // out_deg[a]
+        rank = {
+            v: (1_000_000 - damping) + (damping * s[v]) // 1_000_000
+            for v in nodes
+        }
+    return rank
+
+
+def test_pagerank_matches_python_rederivation(spark):
+    """Spark ranks equal the pure-Python integer re-derivation exactly —
+    the bit-exact cross-engine contract behind the DuckDB oracle."""
+    from avc_parser_spark.functions.graph import pagerank_micro
+
+    edges = _plant_edges(50)
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {r["node"]: r["rank_micro"] for r in pagerank_micro(df, 8).collect()}
+    assert got == _pagerank_py(edges, 8)
+
+
+def test_pagerank_hubs_dominate_and_iter0(spark):
+    """Local hubs (9 extra in-links) outrank every non-hub; iters=0 is the
+    uniform start vector."""
+    from avc_parser_spark.functions.graph import pagerank_micro
+
+    edges = _plant_edges(100)
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    ranks = {r["node"]: r["rank_micro"] for r in pagerank_micro(df, 8).collect()}
+    hubs = [v for v in ranks if v % 10 == 0]
+    rest = [v for v in ranks if v % 10 != 0]
+    assert min(ranks[v] for v in hubs) > max(ranks[v] for v in rest)
+    flat = pagerank_micro(df, 0).collect()
+    assert {r["rank_micro"] for r in flat} == {1_000_000}
+
+
+def test_degree_stats_full_outer_and_parallel_edges(spark):
+    """Sink-only and source-only nodes appear with the missing side 0;
+    parallel edges count once each."""
+    from avc_parser_spark.functions.graph import degree_stats
+
+    df = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 3), (3, 1)], "src: long, dst: long"
+    )
+    got = {
+        r["node"]: (r["out_deg"], r["in_deg"])
+        for r in degree_stats(df).collect()
+    }
+    assert got == {1: (3, 1), 2: (0, 2), 3: (1, 1)}
+
+
+def test_pagerank_dangling_leak_is_pinned(spark):
+    """A dangling node contributes nothing (documented mass leak): in
+    1 -> 2 with 2 dangling, after one round rank(1)=reset and
+    rank(2)=reset + 850000*1000000 div 1e6."""
+    from avc_parser_spark.functions.graph import pagerank_micro
+
+    df = spark.createDataFrame([(1, 2)], "src: long, dst: long")
+    got = {r["node"]: r["rank_micro"] for r in pagerank_micro(df, 1).collect()}
+    assert got == {1: 150_000, 2: 1_000_000}
