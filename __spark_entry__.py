@@ -1585,10 +1585,19 @@ def q_link_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'degree': per-node out/in degree (n1/n2);
     - 'pagerank': n1 = rank after 8 integer-micro rounds — bit-exact in
       DuckDB via an unrolled chained-CTE oracle doing the same
-      div-truncated arithmetic (all operands non-negative ⇒ floor).
+      div-truncated arithmetic (all operands non-negative ⇒ floor);
+    - 'trustrank': the same loop SEEDED (Gyöngyi et al. 2004) — reset and
+      start mass only on the 5 planted trusted hubs (doc_id % 100 == 0),
+      so n1 = trust decaying with link distance from the seed set;
+    - 'reach2': n1 = distinct pages reachable in ≤2 hops (one hop-join,
+      enumerable in DuckDB with the same self-join).
     The ring edge gives every node out-degree ≥ 1 (no dangling mass) and
     in-degree ≥ 1, keeping the oracle enumeration total."""
-    from avc_parser_spark.functions.graph import degree_stats, pagerank_micro
+    from avc_parser_spark.functions.graph import (
+        degree_stats,
+        pagerank_micro,
+        two_hop_reach,
+    )
 
     _views(spark, sf_dir, ["documents"])
     edges = spark.sql(
@@ -1616,7 +1625,23 @@ def q_link_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank_micro").alias("n1"),
         null_n.alias("n2"),
     )
-    return deg.unionByName(pr)
+    seeds = spark.sql(
+        "SELECT doc_id AS node FROM documents"
+        " WHERE doc_id < 500 AND doc_id % 100 = 0"
+    )
+    tr = pagerank_micro(edges, iters=8, seeds=seeds).select(
+        F.lit("trustrank").alias("mode"),
+        "node",
+        F.col("rank_micro").alias("n1"),
+        null_n.alias("n2"),
+    )
+    r2 = two_hop_reach(edges).select(
+        F.lit("reach2").alias("mode"),
+        "node",
+        F.col("reach2").alias("n1"),
+        null_n.alias("n2"),
+    )
+    return deg.unionByName(pr).unionByName(tr).unionByName(r2)
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2924,24 +2949,38 @@ def _text_suite_oracle() -> str:
 
 def _link_graph_oracle(iters: int = 8) -> str:
     """link_graph_suite: the planted graph re-built in SQL, degrees from
-    two GROUP BYs, and PageRank UNROLLED — one generated CTE per round
-    doing the identical integer-micro arithmetic (`//` on non-negative
-    operands ≡ Spark's `div`), so the final ranks are bit-exact."""
-    rounds = []
-    prev = "r0"
-    for k in range(1, iters + 1):
-        rounds.append(f"""
-            r{k} AS (
+    two GROUP BYs, PageRank AND seeded TrustRank UNROLLED — one generated
+    CTE per round doing the identical integer-micro arithmetic (`//` on
+    non-negative operands ≡ Spark's `div`), so the final ranks are
+    bit-exact — plus the ≤2-hop reach via the same hop self-join."""
+
+    def _rank_rounds(prefix: str, reset_sql: str, start_sql: str) -> str:
+        ctes = [
+            f"""
+            {prefix}0 AS (SELECT node, CAST({start_sql} AS BIGINT) AS r
+                          FROM nodes)"""
+        ]
+        for k in range(1, iters + 1):
+            ctes.append(f"""
+            {prefix}{k} AS (
               SELECT n.node,
-                     CAST(150000 + (850000 * coalesce(s.s, 0)) // 1000000
+                     CAST({reset_sql.replace('node', 'n.node')}
+                          + (850000 * coalesce(s.s, 0)) // 1000000
                           AS BIGINT) AS r
               FROM nodes n LEFT JOIN (
                 SELECT e.dst AS node, sum(r.r // o.od) AS s
                 FROM edges e
-                JOIN {prev} r ON r.node = e.src
+                JOIN {prefix}{k - 1} r ON r.node = e.src
                 JOIN outdeg o ON o.src = e.src
                 GROUP BY e.dst) s ON s.node = n.node)""")
-        prev = f"r{k}"
+        return ",".join(ctes)
+
+    pr = _rank_rounds("r", "150000", "1000000")
+    tr = _rank_rounds(
+        "t",
+        "(CASE WHEN node % 100 = 0 THEN 150000 ELSE 0 END)",
+        "CASE WHEN node % 100 = 0 THEN 1000000 ELSE 0 END",
+    )
     return f"""
             WITH nodes AS (
               SELECT doc_id AS node FROM documents WHERE doc_id < 500),
@@ -2952,15 +2991,28 @@ def _link_graph_oracle(iters: int = 8) -> str:
                         WHERE node % 10 <> 0),
             outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
             indeg AS (SELECT dst, count(*) AS ind FROM edges GROUP BY dst),
-            r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
-            {",".join(rounds)}
+            reach AS (
+              SELECT src AS node, count(*) AS c FROM (
+                SELECT DISTINCT src, dst FROM (
+                  SELECT src, dst FROM edges
+                  UNION ALL
+                  SELECT a.src, b.dst FROM edges a
+                  JOIN edges b ON a.dst = b.src))
+              GROUP BY src),
+            {pr},
+            {tr}
             SELECT 'degree' AS mode, n.node,
                    CAST(coalesce(o.od, 0) AS BIGINT) AS n1,
                    CAST(coalesce(i.ind, 0) AS BIGINT) AS n2
             FROM nodes n LEFT JOIN outdeg o ON o.src = n.node
                          LEFT JOIN indeg i ON i.dst = n.node
             UNION ALL
-            SELECT 'pagerank', node, r, CAST(NULL AS BIGINT) FROM {prev}
+            SELECT 'pagerank', node, r, CAST(NULL AS BIGINT) FROM r{iters}
+            UNION ALL
+            SELECT 'trustrank', node, r, CAST(NULL AS BIGINT) FROM t{iters}
+            UNION ALL
+            SELECT 'reach2', node, CAST(c AS BIGINT), CAST(NULL AS BIGINT)
+            FROM reach
         """
 
 

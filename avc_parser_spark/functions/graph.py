@@ -66,21 +66,30 @@ def pagerank_micro(
     damping_micro: int = 850_000,
     src_col: str = "src",
     dst_col: str = "dst",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank with exact integer (micro-unit) arithmetic: returns
     (node, rank_micro) after `iters` synchronous rounds of
 
-        rank'(v) = (1e6 - damping) + damping * sum_{u→v}(rank(u) div
+        rank'(v) = reset(v) + damping * sum_{u→v}(rank(u) div
                    out_deg(u)) div 1e6
 
-    over the union of src/dst nodes, all ranks starting at 1_000_000 (the
-    standard per-page formulation, total mass ≈ |V|). Dangling nodes
+    over the union of src/dst nodes. Without `seeds` this is vanilla
+    per-page PageRank: reset(v) = 1e6 - damping everywhere, all ranks
+    starting at 1_000_000 (total mass ≈ |V|). With `seeds` (a one-column
+    DataFrame of trusted node ids) it is unnormalized TrustRank
+    (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004 — the web-spam
+    curation signal): reset mass and the start vector live ONLY on the
+    seeds, so trust decays along link distance from the trusted set and
+    pages unreachable from any seed converge to exactly 0. Dangling nodes
     (no out-edges) simply leak their mass — a pinned, engine-portable
     choice; callers who need conservation can add a self-loop upstream.
 
     Fixed iteration count (not convergence detection) keeps the result a
-    pure function of (edges, iters) — re-derivable in any SQL engine by
-    unrolling the same number of rounds.
+    pure function of (edges, seeds, iters) — re-derivable in any SQL
+    engine by unrolling the same number of rounds. The seed set joins as
+    a broadcast-sized dimension (trusted whitelists are tiny next to the
+    graph).
     """
     if iters < 0:
         raise ValueError("pagerank_micro: iters must be >= 0")
@@ -90,6 +99,31 @@ def pagerank_micro(
         .unionByName(edges.select(F.col(dst_col).alias("node")))
         .distinct()
     )
+    if seeds is not None:
+        seed_flag = seeds.select(
+            F.col(seeds.columns[0]).cast("long").alias("node"),
+            F.lit(1).alias("_seed"),
+        ).distinct()
+        nodes = (
+            nodes.join(F.broadcast(seed_flag), "node", "left")
+            .select(
+                "node",
+                F.when(F.col("_seed") == 1, F.lit(reset))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("_reset"),
+                F.when(F.col("_seed") == 1, F.lit(RANK_SCALE))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("_start"),
+            )
+        )
+    else:
+        nodes = nodes.select(
+            "node",
+            F.lit(reset).cast("long").alias("_reset"),
+            F.lit(RANK_SCALE).cast("long").alias("_start"),
+        )
     out_deg = edges.groupBy(F.col(src_col).alias("node")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
@@ -102,8 +136,9 @@ def pagerank_micro(
         .join(out_deg.withColumnRenamed("node", "src"), "src")
         .persist()
     )
+    nodes = nodes.persist()
     ranks = nodes.select(
-        "node", F.lit(RANK_SCALE).cast("long").alias("rank_micro")
+        "node", F.col("_start").alias("rank_micro")
     ).localCheckpoint()
     for _ in range(iters):
         in_sum = (
@@ -120,7 +155,7 @@ def pagerank_micro(
             .select(
                 "node",
                 (
-                    F.lit(reset)
+                    F.col("_reset")
                     + F.expr(
                         f"({damping_micro} * coalesce(s, 0L))"
                         f" div {RANK_SCALE}"
@@ -130,4 +165,31 @@ def pagerank_micro(
             .localCheckpoint()
         )
     edeg.unpersist()
+    nodes.unpersist()
     return ranks
+
+
+def two_hop_reach(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node count of DISTINCT pages reachable in one or two hops —
+    the truncated-neighborhood centrality used as a cheap link-locality
+    signal (full closeness needs all-pairs BFS; two hops is one self-join).
+    Cycles can make a node reach itself; that's counted (pinned choice).
+    Scale shape: edges ⋈ edges on the hop-join key (dst = src) is the one
+    potentially heavy shuffle — for power-law web graphs cap hub fan-out
+    upstream; the distinct + count are partial-aggregated per node."""
+    e1 = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    hop2 = (
+        e1.alias("a")
+        .join(e1.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+    )
+    return (
+        e1.unionByName(hop2)
+        .distinct()
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("reach2"))
+    )

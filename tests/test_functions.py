@@ -2992,3 +2992,55 @@ def test_pagerank_dangling_leak_is_pinned(spark):
     df = spark.createDataFrame([(1, 2)], "src: long, dst: long")
     got = {r["node"]: r["rank_micro"] for r in pagerank_micro(df, 1).collect()}
     assert got == {1: 150_000, 2: 1_000_000}
+
+
+def _trustrank_py(edges, seeds, iters, damping=850_000):
+    """Pure-Python integer-micro TrustRank twin (seed-only reset/start)."""
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    out_deg = {}
+    for a, _ in edges:
+        out_deg[a] = out_deg.get(a, 0) + 1
+    reset = 1_000_000 - damping
+    rank = {v: (1_000_000 if v in seeds else 0) for v in nodes}
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for a, b in edges:
+            s[b] += rank[a] // out_deg[a]
+        rank = {
+            v: (reset if v in seeds else 0) + (damping * s[v]) // 1_000_000
+            for v in nodes
+        }
+    return rank
+
+
+def test_trustrank_matches_python_and_unreachable_zero(spark):
+    """Seeded pagerank_micro equals the pure-Python TrustRank twin exactly,
+    and a node with no path from any seed converges to exactly 0."""
+    from avc_parser_spark.functions.graph import pagerank_micro
+
+    # seeds 0,100,200,300,400 (the plant); node 999 -> 998 is an island
+    # unreachable from every seed.
+    edges = _plant_edges(50) + [(999, 998), (998, 999)]
+    seeds = [0, 10, 20, 30, 40]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node: long")
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_micro(df, 8, seeds=sdf).collect()
+    }
+    assert got == _trustrank_py(edges, set(seeds), 8)
+    assert got[999] == 0 and got[998] == 0
+    assert got[0] > 0
+
+
+def test_two_hop_reach_exact_counts(spark):
+    """Hand-derived reach on a path + cycle: 1->2->3->4 and 5<->6."""
+    from avc_parser_spark.functions.graph import two_hop_reach
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (6, 5)], "src: long, dst: long"
+    )
+    got = {r["node"]: r["reach2"] for r in two_hop_reach(df).collect()}
+    # 1 reaches {2,3}; 2 reaches {3,4}; 3 reaches {4}; 5 reaches {6,5};
+    # 6 reaches {5,6} (cycle self-reach is counted, pinned).
+    assert got == {1: 2, 2: 2, 3: 1, 5: 2, 6: 2}
