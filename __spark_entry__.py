@@ -495,7 +495,10 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     'wsample' — deterministic Efraimidis-Spirakis weighted sampling
     (weighted_sample: md5-derived uniforms, micro-long -ln(u) div
     integer weight ⇒ the exact 40-doc sample + race keys re-derivable
-    in DuckDB): k=doc_id, n1=race key, n2=weight.
+    in DuckDB): k=doc_id, n1=race key, n2=weight; mode='quantile' —
+    EXACT token-count percentiles via the bounded per-value count table
+    (exact_quantiles: never sorts the corpus): k=percent, n1=value,
+    n2=corpus doc count.
     Every value is re-derived in DuckDB (md5 bucket +
     window prefix sum + the same `div` cutoff arithmetic + the full LM
     build/score + the GROUPING SETS rollup + all seven Gopher rules +
@@ -807,7 +810,21 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("idx")
         .agg(F.countDistinct("term").alias("n_distinct"))
     )
-    from avc_parser_spark.functions.text import weighted_sample
+    from avc_parser_spark.functions.text import exact_quantiles, weighted_sample
+
+    # quantile: EXACT corpus length percentiles the 100 TB way — aggregate
+    # to the bounded per-value count table first, window over ≤|domain|
+    # rows (see exact_quantiles); pinned ceil-threshold pick, integer
+    # arithmetic ⇒ the exact percentile values re-derive in DuckDB.
+    quant = exact_quantiles(
+        prof.select(F.col("n_tokens").alias("v")), "v", (25, 50, 75, 90, 99)
+    ).select(
+        F.lit("quantile").alias("mode"),
+        F.col("q").cast("string").alias("k"),
+        F.col("value").alias("n1"),
+        F.col("n_total").cast("long").alias("n2"),
+        null_n.alias("n3"), null_n.alias("n4"), null_n.alias("n5"),
+    )
 
     # wsample: deterministic Efraimidis-Spirakis weighted sampling — the
     # top-40 exponential-race winners weighted by length(text)+1. The
@@ -846,6 +863,7 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cms)
         .unionByName(hll)
         .unionByName(wsample)
+        .unionByName(quant)
     )
 
 
@@ -3192,6 +3210,40 @@ def _token_suite_hll_branch() -> str:
         """)
 
 
+def _token_suite_quantile_branch() -> str:
+    """token_suite mode='quantile': exact token-count percentiles — DuckDB
+    runs the same per-value count → ordered cumsum → smallest value with
+    cum >= (q·n + 99) // 100 (integer ceiling, both operands non-negative
+    so truncation == floor in every engine)."""
+    return ("""
+            UNION ALL
+            SELECT 'quantile', cast(q as varchar), v, n_total,
+                   cast(null as bigint), cast(null as bigint),
+                   cast(null as bigint)
+            FROM (
+              WITH qt_c AS (
+                SELECT (case when trim(text) = '' then 0
+                        else len(regexp_split_to_array(trim(text), '\\s+')) end)
+                         AS value,
+                       count(*) AS cnt
+                FROM documents GROUP BY 1),
+              qt_cum AS (
+                SELECT value,
+                       sum(cnt) OVER (ORDER BY value
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum,
+                       sum(cnt) OVER () AS n_total
+                FROM qt_c),
+              qt_q AS (SELECT q FROM (VALUES (25),(50),(75),(90),(99)) t(q))
+              SELECT q.q AS q, min(c.value) AS v,
+                     CAST(min(c.n_total) AS BIGINT) AS n_total
+              FROM qt_q q JOIN qt_cum c
+                ON c.cum >= (q.q * c.n_total + 99) // 100
+              GROUP BY q.q
+            ) qq
+        """)
+
+
 def _token_suite_wsample_branch() -> str:
     """token_suite mode='wsample': the exact Efraimidis-Spirakis sample —
     DuckDB re-derives the 60-bit md5 uniform, the micro-quantized -ln(u),
@@ -3687,7 +3739,7 @@ def oracle_sql() -> dict[str, str]:
         """ + _token_suite_html_branch() + _token_suite_bm25_branch()
             + _token_suite_chunk_branch() + _token_suite_nfc_branch()
             + _token_suite_cms_branch() + _token_suite_hll_branch()
-            + _token_suite_wsample_branch(),
+            + _token_suite_wsample_branch() + _token_suite_quantile_branch(),
         "dedup_exact": """
             WITH corpus AS (
               SELECT doc_id,

@@ -9,6 +9,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Small multilingual stopword seed — enough for quality heuristics.
 STOPWORDS = [
@@ -1413,3 +1414,58 @@ def weighted_sample(
         .drop("_neglnu")
     )
     return gated.orderBy(key_col, id_col).limit(n)
+
+
+def exact_quantiles(
+    docs: DataFrame,
+    value_col: str,
+    qs: tuple[int, ...] = (25, 50, 75, 90, 99),
+) -> DataFrame:
+    """EXACT percentiles of an integer-valued column, computed the way
+    that's right at 100 TB: never sort the corpus — aggregate it down to
+    the per-VALUE count table first (token counts, doc lengths, etc. have
+    a bounded distinct-value domain no matter how many rows the corpus
+    has), then run the cumulative sum and percentile picks over that tiny
+    table. One partial-agg shuffle over the scan (map-side combine does
+    the heavy lifting); the ordered window runs on ≤|domain| rows, so the
+    single-partition window is bounded by the value domain, not the data.
+
+    Pinned engine-portable definition (no interpolation): the q-th
+    percentile is the smallest value whose cumulative count reaches
+    ceil(q·n/100), with the ceiling as integer arithmetic
+    ((q·n + 99) div 100) — bit-exact in any engine. NULL values are
+    excluded (and excluded from n).
+
+    Returns (q, value, n_total) for each q in `qs` (each q an integer
+    percent in 1..100).
+    """
+    if not qs or any(q < 1 or q > 100 for q in qs):
+        raise ValueError("exact_quantiles: each q must be in 1..100")
+    counts = (
+        docs.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).cast("long").alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select(
+        "value",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_total"),
+    )
+    q_lit = ", ".join(f"({q})" for q in sorted(set(qs)))
+    qdf = cum.sparkSession.sql(f"SELECT q FROM VALUES {q_lit} AS t(q)")
+    return (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum") >= F.expr("(q * n_total + 99) div 100"))
+        .groupBy(F.col("q").cast("long").alias("q"))
+        .agg(
+            F.min("value").alias("value"),
+            F.first("n_total").alias("n_total"),
+        )
+    )

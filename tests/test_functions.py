@@ -3044,3 +3044,34 @@ def test_two_hop_reach_exact_counts(spark):
     # 1 reaches {2,3}; 2 reaches {3,4}; 3 reaches {4}; 5 reaches {6,5};
     # 6 reaches {5,6} (cycle self-reach is counted, pinned).
     assert got == {1: 2, 2: 2, 3: 1, 5: 2, 6: 2}
+
+
+def test_exact_quantiles_matches_numpy_style_rederivation(spark):
+    """Percentiles equal the pinned smallest-value-with-cum>=ceil(q*n/100)
+    definition re-derived in pure Python; NULLs excluded from n."""
+    from avc_parser_spark.functions.text import exact_quantiles
+
+    vals = [(i % 37) * (i % 11) for i in range(1000)]
+    rows = [(v,) for v in vals] + [(None,)] * 25
+    df = spark.createDataFrame(rows, "v: long")
+    got = {
+        r["q"]: (r["value"], r["n_total"])
+        for r in exact_quantiles(df, "v", (1, 25, 50, 75, 99, 100)).collect()
+    }
+    sv = sorted(vals)
+    n = len(sv)
+    for q in (1, 25, 50, 75, 99, 100):
+        thr = (q * n + 99) // 100
+        assert got[q] == (sv[thr - 1], n), (q, got[q])
+
+
+def test_exact_quantiles_validates_q(spark):
+    import pytest as _pt
+
+    from avc_parser_spark.functions.text import exact_quantiles
+
+    df = spark.createDataFrame([(1,)], "v: long")
+    with _pt.raises(ValueError):
+        exact_quantiles(df, "v", (0, 50))
+    with _pt.raises(ValueError):
+        exact_quantiles(df, "v", ())
