@@ -61,6 +61,8 @@ def curate_corpus(
     gopher_min_words: int = 50,
     lm: dict[str, DataFrame] | None = None,
     max_ppl: float | None = None,
+    ranks: DataFrame | None = None,
+    min_rank_micro: int | None = None,
     clf_w_micro: list[int] | None = None,
     clf_threshold_micro: int = 0,
     weights: dict[str, float] | None = None,
@@ -99,6 +101,14 @@ def curate_corpus(
     reference LM are dropped (docs too short to score — <2 tokens — are
     kept; perplexity is undefined for them, and dropping on missing
     evidence would silently bias toward long docs).
+
+    `ranks` (a (node, rank_micro) frame from graph.pagerank_micro — vanilla
+    or TrustRank-seeded) + `min_rank_micro` enable the link-graph quality
+    floor: docs whose page rank falls below the floor are dropped BEFORE
+    sketching (link-spam never reaches the expensive stages). Docs absent
+    from the rank table are KEPT — missing link evidence is not spam
+    evidence (same keep-on-missing choice as the <2-token ppl rule). The
+    drop set is hits-only: only low-rank ids shuffle into the left_anti.
 
     `clf_w_micro` (quantized weights from classify.train_quality_classifier
     via quantize_classifier) + `clf_threshold_micro` enable the trained
@@ -181,6 +191,13 @@ def curate_corpus(
             .select(id_col)
         )
         s1 = s1.join(rep_drops, id_col, "left_anti")
+    # 1d. link-graph quality floor (opt-in): hits-only drop of low-rank
+    #     pages before any sketching; absent-from-graph docs are kept.
+    if ranks is not None and min_rank_micro is not None:
+        rank_drops = ranks.filter(
+            F.col("rank_micro") < F.lit(int(min_rank_micro))
+        ).select(F.col("node").alias(id_col))
+        s1 = s1.join(rank_drops, id_col, "left_anti")
     s1 = s1.persist()
 
     # 2. text near-dup: candidates → Jaccard verify → connected components →

@@ -333,3 +333,26 @@ def test_curate_delta_incremental(spark, tmp_path):
     # the store now holds base survivors + both committed deltas
     stored = spark.read.parquet(corpus_path)
     assert stored.count() == curated.count() + 2
+
+
+def test_curate_corpus_link_rank_floor(spark):
+    """ranks + min_rank_micro drop low-rank survivors BEFORE sketching;
+    docs absent from the rank table are kept (pinned keep-on-missing)."""
+    from avc_parser_spark.functions.curation import curate_corpus
+
+    # 6 and 7 are low-rank spam; 8 is high-rank; 9-11 have no rank rows.
+    ranks = spark.createDataFrame(
+        [(6, 100), (7, 99_999), (8, 5_000_000), (2, 3_000_000)],
+        "node long, rank_micro long",
+    )
+    out = curate_corpus(
+        _corpus(spark), _evals(spark), ranks=ranks, min_rank_micro=100_000
+    )
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [0, 2, 8, 9, 10, 11]
+
+    # floor alone (no ranks frame) must not activate the stage
+    out2 = curate_corpus(_corpus(spark), _evals(spark), min_rank_micro=10)
+    assert sorted(r["doc_id"] for r in out2.collect()) == [0, 2] + list(
+        range(6, 12)
+    )
