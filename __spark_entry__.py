@@ -1608,12 +1608,15 @@ def q_link_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       start mass only on the 5 planted trusted hubs (doc_id % 100 == 0),
       so n1 = trust decaying with link distance from the seed set;
     - 'reach2': n1 = distinct pages reachable in ≤2 hops (one hop-join,
-      enumerable in DuckDB with the same self-join).
+      enumerable in DuckDB with the same self-join);
+    - 'links': the REAL extraction front stage — extract_links over
+      planted HTML (doc_id % 4 anchors, dialect-shared builder): n1 =
+      hrefs found, n2 = extracted-target checksum.
     The ring edge gives every node out-degree ≥ 1 (no dangling mass) and
     in-degree ≥ 1, keeping the oracle enumeration total."""
     from avc_parser_spark.functions.graph import (
         degree_stats,
-        pagerank_micro,
+        pagerank_micro_multi,
         two_hop_reach,
     )
 
@@ -1637,20 +1640,23 @@ def q_link_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("out_deg").alias("n1"),
         F.col("in_deg").alias("n2"),
     )
-    pr = pagerank_micro(edges, iters=8).select(
-        F.lit("pagerank").alias("mode"),
-        "node",
-        F.col("rank_micro").alias("n1"),
-        null_n.alias("n2"),
-    )
     seeds = spark.sql(
         "SELECT doc_id AS node FROM documents"
         " WHERE doc_id < 500 AND doc_id % 100 = 0"
     )
-    tr = pagerank_micro(edges, iters=8, seeds=seeds).select(
+    # both rank variants ride ONE loop (one join + one agg per round —
+    # the k-variants-as-columns design, see pagerank_micro_multi)
+    both = pagerank_micro_multi(edges, {"pr": None, "tr": seeds}, iters=8)
+    pr = both.select(
+        F.lit("pagerank").alias("mode"),
+        "node",
+        F.col("rank_pr").alias("n1"),
+        null_n.alias("n2"),
+    )
+    tr = both.select(
         F.lit("trustrank").alias("mode"),
         "node",
-        F.col("rank_micro").alias("n1"),
+        F.col("rank_tr").alias("n1"),
         null_n.alias("n2"),
     )
     r2 = two_hop_reach(edges).select(
@@ -1659,7 +1665,34 @@ def q_link_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("reach2").alias("n1"),
         null_n.alias("n2"),
     )
-    return deg.unionByName(pr).unionByName(tr).unionByName(r2)
+    # links: the REAL extraction front stage — planted HTML (dialect-shared
+    # builder, doc_id % 4 anchors each targeting (doc_id*7+j) % 500) run
+    # through extract_links; n1 = links found, n2 = target-id checksum, so
+    # the hash verifies the extracted URLs, not just their count.
+    from avc_parser_spark.functions.text import extract_links
+
+    html_df = spark.sql(
+        "SELECT doc_id, '<html><body>' || "
+        + _links_html_case()
+        + " || '</body></html>' AS html FROM documents WHERE doc_id < 500"
+    )
+    lk = (
+        extract_links(html_df)
+        .groupBy(F.col("doc_id").alias("node"))
+        .agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.sum(
+                F.regexp_extract(F.col("href"), r"([0-9]+)$", 1).cast("long")
+            ).alias("n2"),
+        )
+        .select(F.lit("links").alias("mode"), "node", "n1", "n2")
+    )
+    return (
+        deg.unionByName(pr)
+        .unionByName(tr)
+        .unionByName(r2)
+        .unionByName(lk)
+    )
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2965,6 +2998,28 @@ def _text_suite_oracle() -> str:
         """
 
 
+def _links_html_case() -> str:
+    """Dialect-shared planted HTML for link_graph_suite mode='links':
+    doc_id % 4 anchors, anchor j targeting page (doc_id*7 + j) % 500 —
+    CAST(... AS STRING) and `||` parse identically in Spark and DuckDB,
+    so both engines build byte-identical pages and the EXTRACTION is what
+    the hash verifies."""
+
+    def anchor(j: int) -> str:
+        return (
+            "'<a href=\"https://site.com/p' || "
+            f"CAST((doc_id * 7 + {j}) % 500 AS STRING) || '\">t</a>'"
+        )
+
+    a0, a1, a2 = anchor(0), anchor(1), anchor(2)
+    return (
+        "(CASE WHEN doc_id % 4 = 0 THEN '' "
+        f"WHEN doc_id % 4 = 1 THEN {a0} "
+        f"WHEN doc_id % 4 = 2 THEN {a0} || {a1} "
+        f"ELSE {a0} || {a1} || {a2} END)"
+    )
+
+
 def _link_graph_oracle(iters: int = 8) -> str:
     """link_graph_suite: the planted graph re-built in SQL, degrees from
     two GROUP BYs, PageRank AND seeded TrustRank UNROLLED — one generated
@@ -3017,6 +3072,15 @@ def _link_graph_oracle(iters: int = 8) -> str:
                   SELECT a.src, b.dst FROM edges a
                   JOIN edges b ON a.dst = b.src))
               GROUP BY src),
+            links_html AS (
+              SELECT doc_id, '<html><body>' || {_links_html_case()}
+                     || '</body></html>' AS html
+              FROM documents WHERE doc_id < 500),
+            lnk AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(html,
+                       '(?i)href\\s*=\\s*"([^"]*)"', 1)) AS href
+              FROM links_html),
             {pr},
             {tr}
             SELECT 'degree' AS mode, n.node,
@@ -3031,6 +3095,11 @@ def _link_graph_oracle(iters: int = 8) -> str:
             UNION ALL
             SELECT 'reach2', node, CAST(c AS BIGINT), CAST(NULL AS BIGINT)
             FROM reach
+            UNION ALL
+            SELECT 'links', doc_id, CAST(count(*) AS BIGINT),
+                   CAST(sum(CAST(regexp_extract(href, '([0-9]+)$', 1)
+                                 AS BIGINT)) AS BIGINT)
+            FROM lnk GROUP BY doc_id
         """
 
 

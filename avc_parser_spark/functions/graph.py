@@ -1,23 +1,28 @@
-"""Link-graph analytics over a web corpus — degrees + PageRank.
+"""Link-graph analytics over a web corpus — degrees + PageRank/TrustRank.
 
 The hyperlink graph is the classic web-crawl quality signal (Common Crawl
 publishes host/domain-level rank data computed exactly this way; the
 reference repo has no analog — this is part of the training-data toolbox
 beyond it): curation pipelines use link-derived centrality to weight or
-filter pages before training. Scale shape at 100 TB:
+filter pages before training (text.extract_links is the front stage that
+produces the edge list; curate_corpus consumes the ranks as a quality
+floor). Scale shape at 100 TB:
 
 - The edge table is the unit of work, never the page payloads: edges are
   (src, dst) longs, orders of magnitude smaller than the corpus.
 - `degree_stats` is two partial-agg shuffles (map-side combine on src and
   dst) merged with one full-outer join on the node id — no row explosion.
-- `pagerank_micro` is the canonical distributed PageRank: the edge table
-  is joined with out-degrees ONCE and persisted (on a real cluster:
+- `pagerank_micro_multi` is the canonical distributed PageRank: the edge
+  table is joined with out-degrees ONCE and persisted (on a real cluster:
   pre-partitioned by src and reused every round), then each iteration is
   one join (ranks → edges on src) plus one partial-agg groupBy on dst —
-  two shuffles per round, state bounded by |nodes|. Ranks are
-  localCheckpoint'ed per round so the logical plan stays O(1) instead of
-  growing with the iteration count (same planner lesson as
-  resolve_clusters: dedup.py:785).
+  two shuffles per round, state bounded by |nodes|. ALL requested rank
+  variants (vanilla + any number of seed-personalized TrustRanks) ride
+  the SAME join as extra columns, so k variants cost k integer columns,
+  not k× corpus-scale shuffles. Rank lineage grows linearly, so an eager
+  localCheckpoint every 4th round bounds plan depth without a
+  materialization barrier per round (contrast resolve_clusters,
+  dedup.py:785, whose 3× self-reference needs one per round).
 
 Determinism contract: ranks are held in MICRO units (1.0 → 1_000_000) and
 every step is int64 arithmetic on non-negative operands — contribution =
@@ -60,70 +65,75 @@ def degree_stats(
     )
 
 
-def pagerank_micro(
+def pagerank_micro_multi(
     edges: DataFrame,
+    variants: dict[str, DataFrame | None],
     iters: int = 8,
     damping_micro: int = 850_000,
     src_col: str = "src",
     dst_col: str = "dst",
-    seeds: DataFrame | None = None,
 ) -> DataFrame:
-    """PageRank with exact integer (micro-unit) arithmetic: returns
-    (node, rank_micro) after `iters` synchronous rounds of
+    """Compute SEVERAL PageRank variants in one synchronized loop: returns
+    (node, rank_<name> …) after `iters` rounds of
 
         rank'(v) = reset(v) + damping * sum_{u→v}(rank(u) div
                    out_deg(u)) div 1e6
 
-    over the union of src/dst nodes. Without `seeds` this is vanilla
-    per-page PageRank: reset(v) = 1e6 - damping everywhere, all ranks
-    starting at 1_000_000 (total mass ≈ |V|). With `seeds` (a one-column
-    DataFrame of trusted node ids) it is unnormalized TrustRank
-    (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004 — the web-spam
-    curation signal): reset mass and the start vector live ONLY on the
-    seeds, so trust decays along link distance from the trusted set and
-    pages unreachable from any seed converge to exactly 0. Dangling nodes
-    (no out-edges) simply leak their mass — a pinned, engine-portable
-    choice; callers who need conservation can add a self-loop upstream.
+    over the union of src/dst nodes. A variant mapped to None is vanilla
+    per-page PageRank: reset(v) = 1e6 - damping everywhere, ranks starting
+    at 1_000_000 (total mass ≈ |V|). A variant mapped to a one-column
+    DataFrame of trusted node ids is unnormalized TrustRank (Gyöngyi,
+    Garcia-Molina & Pedersen, VLDB 2004 — the web-spam curation signal):
+    reset mass and the start vector live ONLY on the seeds, so trust
+    decays along link distance from the trusted set and pages unreachable
+    from any seed converge to exactly 0. Per-topic trust is the batch use
+    case: k seed sets = k extra long columns on ONE loop, not k loops.
 
-    Fixed iteration count (not convergence detection) keeps the result a
-    pure function of (edges, seeds, iters) — re-derivable in any SQL
-    engine by unrolling the same number of rounds. The seed set joins as
-    a broadcast-sized dimension (trusted whitelists are tiny next to the
-    graph).
+    Dangling nodes (no out-edges) simply leak their mass — a pinned,
+    engine-portable choice; callers who need conservation can add a
+    self-loop upstream. Fixed iteration count (not convergence detection)
+    keeps the result a pure function of (edges, variants, iters) —
+    re-derivable in any SQL engine by unrolling the same number of
+    rounds. Seed sets join as broadcast-sized dimensions (trusted
+    whitelists are tiny next to the graph).
     """
     if iters < 0:
-        raise ValueError("pagerank_micro: iters must be >= 0")
+        raise ValueError("pagerank_micro_multi: iters must be >= 0")
+    if not variants:
+        raise ValueError("pagerank_micro_multi: need at least one variant")
     reset = RANK_SCALE - damping_micro
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .unionByName(edges.select(F.col(dst_col).alias("node")))
         .distinct()
     )
-    if seeds is not None:
-        seed_flag = seeds.select(
-            F.col(seeds.columns[0]).cast("long").alias("node"),
-            F.lit(1).alias("_seed"),
-        ).distinct()
-        nodes = (
-            nodes.join(F.broadcast(seed_flag), "node", "left")
-            .select(
-                "node",
-                F.when(F.col("_seed") == 1, F.lit(reset))
-                .otherwise(F.lit(0))
-                .cast("long")
-                .alias("_reset"),
-                F.when(F.col("_seed") == 1, F.lit(RANK_SCALE))
-                .otherwise(F.lit(0))
-                .cast("long")
-                .alias("_start"),
+    for name, seeds in variants.items():
+        if seeds is None:
+            nodes = nodes.withColumns(
+                {
+                    f"_reset_{name}": F.lit(reset).cast("long"),
+                    f"_start_{name}": F.lit(RANK_SCALE).cast("long"),
+                }
             )
-        )
-    else:
-        nodes = nodes.select(
-            "node",
-            F.lit(reset).cast("long").alias("_reset"),
-            F.lit(RANK_SCALE).cast("long").alias("_start"),
-        )
+        else:
+            seed_flag = seeds.select(
+                F.col(seeds.columns[0]).cast("long").alias("node"),
+                F.lit(1).alias("_seed"),
+            ).distinct()
+            nodes = (
+                nodes.join(F.broadcast(seed_flag), "node", "left")
+                .withColumns(
+                    {
+                        f"_reset_{name}": F.when(
+                            F.col("_seed") == 1, F.lit(reset)
+                        ).otherwise(F.lit(0)).cast("long"),
+                        f"_start_{name}": F.when(
+                            F.col("_seed") == 1, F.lit(RANK_SCALE)
+                        ).otherwise(F.lit(0)).cast("long"),
+                    }
+                )
+                .drop("_seed")
+            )
     out_deg = edges.groupBy(F.col(src_col).alias("node")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
@@ -136,37 +146,66 @@ def pagerank_micro(
         .join(out_deg.withColumnRenamed("node", "src"), "src")
         .persist()
     )
+    names = list(variants)
     nodes = nodes.persist()
     ranks = nodes.select(
-        "node", F.col("_start").alias("rank_micro")
+        "node",
+        *[F.col(f"_start_{n}").alias(f"rank_{n}") for n in names],
     ).localCheckpoint()
-    for _ in range(iters):
+    for i in range(iters):
         in_sum = (
             edeg.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
-                F.expr("rank_micro div out_deg").alias("c"),
+                *[
+                    F.expr(f"rank_{n} div out_deg").alias(f"c_{n}")
+                    for n in names
+                ],
             )
             .groupBy("node")
-            .agg(F.sum("c").alias("s"))
+            .agg(*[F.sum(f"c_{n}").alias(f"s_{n}") for n in names])
         )
-        ranks = (
-            nodes.join(in_sum, "node", "left")
-            .select(
-                "node",
+        ranks = nodes.join(in_sum, "node", "left").select(
+            "node",
+            *[
                 (
-                    F.col("_reset")
+                    F.col(f"_reset_{n}")
                     + F.expr(
-                        f"({damping_micro} * coalesce(s, 0L))"
+                        f"({damping_micro} * coalesce(s_{n}, 0L))"
                         f" div {RANK_SCALE}"
                     )
-                ).cast("long").alias("rank_micro"),
-            )
-            .localCheckpoint()
+                ).cast("long").alias(f"rank_{n}")
+                for n in names
+            ],
         )
+        # Linear lineage growth: checkpoint every 4th round is enough to
+        # bound plan depth (no per-round materialization barrier).
+        if (i + 1) % 4 == 0 or i + 1 == iters:
+            ranks = ranks.localCheckpoint()
     edeg.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def pagerank_micro(
+    edges: DataFrame,
+    iters: int = 8,
+    damping_micro: int = 850_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seeds: DataFrame | None = None,
+) -> DataFrame:
+    """Single-variant convenience wrapper over pagerank_micro_multi:
+    (node, rank_micro) — vanilla PageRank, or TrustRank when `seeds` is
+    given. See pagerank_micro_multi for semantics and the scale shape."""
+    return pagerank_micro_multi(
+        edges,
+        {"micro": seeds},  # the variant's column name IS rank_micro
+        iters=iters,
+        damping_micro=damping_micro,
+        src_col=src_col,
+        dst_col=dst_col,
+    )
 
 
 def two_hop_reach(

@@ -1469,3 +1469,33 @@ def exact_quantiles(
             F.first("n_total").alias("n_total"),
         )
     )
+
+
+# Hyperlink extraction: the pinned RE2-safe subset — case-insensitive
+# href, optional spaces around '=', DOUBLE-quoted value (the dominant real
+# form; single-quoted/unquoted attrs are out of the pinned subset, like the
+# html extractor's documented simplifications). Group 1 is the URL.
+_HREF_PATTERN = r'(?i)href\s*=\s*"([^"]*)"'
+
+
+def extract_links(
+    docs: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    out_col: str = "href",
+) -> DataFrame:
+    """Hyperlink extraction — the front stage that turns a crawled page
+    table into the edge list graph ops consume (graph.pagerank_micro &
+    co.): one native regexp_extract_all over the html column, exploded to
+    (id, href) pairs. Whole-stage codegen, no UDF; the scan feeding it
+    prunes to (id, html). Docs with no links vanish (edge lists don't
+    carry empty rows; degree joins are left/outer downstream). Accepts
+    binary or string html. Join the hrefs against the corpus's canonical
+    URL column to produce (src_id, dst_id) edges."""
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    return docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(h, F.lit(_HREF_PATTERN), F.lit(1))
+        ).alias(out_col),
+    )

@@ -3075,3 +3075,55 @@ def test_exact_quantiles_validates_q(spark):
         exact_quantiles(df, "v", (0, 50))
     with _pt.raises(ValueError):
         exact_quantiles(df, "v", ())
+
+
+def test_extract_links_pinned_subset(spark):
+    """Double-quoted hrefs extracted case-insensitively with optional
+    spaces; single-quoted/unquoted are outside the pinned subset; linkless
+    and NULL-html docs vanish; binary html decodes."""
+    from avc_parser_spark.functions.text import extract_links
+
+    rows = [
+        (0, '<a href="https://a.com/x">t</a><p><A HREF = "http://b.com">u</A>'),
+        (1, "<a href='https://nope.com'>s</a><a href=bare>b</a>"),
+        (2, None),
+        (3, '<a href="">empty ok</a>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = sorted(
+        (r["doc_id"], r["href"]) for r in extract_links(df).collect()
+    )
+    assert got == [(0, "http://b.com"), (0, "https://a.com/x"), (3, "")]
+
+    bdf = spark.createDataFrame(
+        [(9, bytearray(b'<a href="https://bin.com">z</a>'))],
+        "doc_id long, html binary",
+    )
+    assert [r["href"] for r in extract_links(bdf).collect()] == [
+        "https://bin.com"
+    ]
+
+
+def test_pagerank_multi_equals_singles(spark):
+    """k variants in one loop produce exactly the same ranks as k separate
+    single-variant runs (columns ride the same join, arithmetic identical)."""
+    from avc_parser_spark.functions.graph import (
+        pagerank_micro,
+        pagerank_micro_multi,
+    )
+
+    edges = _plant_edges(60)
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    seeds = spark.createDataFrame([(0,), (30,)], "node: long")
+    both = {
+        r["node"]: (r["rank_pr"], r["rank_tr"])
+        for r in pagerank_micro_multi(df, {"pr": None, "tr": seeds}, 6).collect()
+    }
+    single_pr = {
+        r["node"]: r["rank_micro"] for r in pagerank_micro(df, 6).collect()
+    }
+    single_tr = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_micro(df, 6, seeds=seeds).collect()
+    }
+    assert both == {v: (single_pr[v], single_tr[v]) for v in single_pr}
