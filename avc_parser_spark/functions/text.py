@@ -1499,3 +1499,32 @@ def extract_links(
             F.regexp_extract_all(h, F.lit(_HREF_PATTERN), F.lit(1))
         ).alias(out_col),
     )
+
+
+_ANCHOR_PATTERN = r'(?i)<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def extract_anchor_texts(
+    docs: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Anchor-TEXT extraction: (id, href, anchor) triples — the classic
+    web-relevance signal (anchor text describes the TARGET page; grouped
+    by href it becomes a crowd-sourced summary feeding retrieval/quality).
+    Same pinned subset as extract_links (double-quoted href, simple —
+    non-nested — anchor bodies). One regexp_extract_all per capture group
+    zipped positionally (Spark extracts one group per pass; both passes
+    run over the same scan batch), exploded to hits only. Native
+    expressions end to end — no UDF, whole-stage codegen."""
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    pat = F.lit(_ANCHOR_PATTERN)
+    zipped = F.arrays_zip(
+        F.regexp_extract_all(h, pat, F.lit(1)).alias("href"),
+        F.regexp_extract_all(h, pat, F.lit(2)).alias("anchor"),
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(zipped).alias("_z"))
+        .select(id_col, F.col("_z.href").alias("href"),
+                F.col("_z.anchor").alias("anchor"))
+    )

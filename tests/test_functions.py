@@ -3127,3 +3127,27 @@ def test_pagerank_multi_equals_singles(spark):
         for r in pagerank_micro(df, 6, seeds=seeds).collect()
     }
     assert both == {v: (single_pr[v], single_tr[v]) for v in single_pr}
+
+
+def test_extract_anchor_texts_pairs(spark):
+    """href/anchor pairs stay positionally aligned across multiple links;
+    the pinned subset skips single-quoted hrefs and nested-tag bodies."""
+    from avc_parser_spark.functions.text import extract_anchor_texts
+
+    rows = [
+        (0, '<a href="https://a.com">first</a> mid '
+            '<A class="x" HREF="https://b.com" rel="y">second one</A>'),
+        (1, "<a href='https://nope.com'>skip</a>"),
+        (2, '<a href="https://c.com"><b>nested skipped</b></a>'
+            '<a href="https://d.com">plain</a>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = sorted(
+        (r["doc_id"], r["href"], r["anchor"])
+        for r in extract_anchor_texts(df).collect()
+    )
+    assert got == [
+        (0, "https://a.com", "first"),
+        (0, "https://b.com", "second one"),
+        (2, "https://d.com", "plain"),
+    ]
