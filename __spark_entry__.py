@@ -1611,7 +1611,11 @@ def q_link_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       enumerable in DuckDB with the same self-join);
     - 'links': the REAL extraction front stage — extract_links over
       planted HTML (doc_id % 4 anchors, dialect-shared builder): n1 =
-      hrefs found, n2 = extracted-target checksum.
+      hrefs found, n2 = extracted-target checksum;
+    - 'domainrank': graph COARSENING (the Common-Crawl host-rank
+      pattern) — pages collapse to domains (node div 50), distinct
+      inter-domain edges only, then 4 integer-micro rounds over the
+      coarsened graph (third unrolled CTE chain in the oracle).
     The ring edge gives every node out-degree ≥ 1 (no dangling mass) and
     in-degree ≥ 1, keeping the oracle enumeration total."""
     from avc_parser_spark.functions.graph import (
@@ -1665,6 +1669,20 @@ def q_link_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("reach2").alias("n1"),
         null_n.alias("n2"),
     )
+    # domainrank: coarsen pages → domains (div 50), distinct inter-domain
+    # edges, rank the domain graph — at 100 TB the coarsened graph is
+    # orders of magnitude smaller (hosts, not pages), so the distinct is
+    # the only corpus-scale shuffle and the loop runs on the small graph.
+    dedges = edges.select(
+        F.expr("src div 50").alias("src"), F.expr("dst div 50").alias("dst")
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    drank = pagerank_micro_multi(dedges, {"d": None}, iters=4).select(
+        F.lit("domainrank").alias("mode"),
+        "node",
+        F.col("rank_d").alias("n1"),
+        null_n.alias("n2"),
+    )
+
     # links: the REAL extraction front stage — planted HTML (dialect-shared
     # builder, doc_id % 4 anchors each targeting (doc_id*7+j) % 500) run
     # through extract_links; n1 = links found, n2 = target-id checksum, so
@@ -1691,6 +1709,7 @@ def q_link_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg.unionByName(pr)
         .unionByName(tr)
         .unionByName(r2)
+        .unionByName(drank)
         .unionByName(lk)
     )
 
@@ -3027,24 +3046,32 @@ def _link_graph_oracle(iters: int = 8) -> str:
     non-negative operands ≡ Spark's `div`), so the final ranks are
     bit-exact — plus the ≤2-hop reach via the same hop self-join."""
 
-    def _rank_rounds(prefix: str, reset_sql: str, start_sql: str) -> str:
+    def _rank_rounds(
+        prefix: str,
+        reset_sql: str,
+        start_sql: str,
+        n_rounds: int = iters,
+        nodes: str = "nodes",
+        edges: str = "edges",
+        outdeg: str = "outdeg",
+    ) -> str:
         ctes = [
             f"""
             {prefix}0 AS (SELECT node, CAST({start_sql} AS BIGINT) AS r
-                          FROM nodes)"""
+                          FROM {nodes})"""
         ]
-        for k in range(1, iters + 1):
+        for k in range(1, n_rounds + 1):
             ctes.append(f"""
             {prefix}{k} AS (
               SELECT n.node,
                      CAST({reset_sql.replace('node', 'n.node')}
                           + (850000 * coalesce(s.s, 0)) // 1000000
                           AS BIGINT) AS r
-              FROM nodes n LEFT JOIN (
+              FROM {nodes} n LEFT JOIN (
                 SELECT e.dst AS node, sum(r.r // o.od) AS s
-                FROM edges e
+                FROM {edges} e
                 JOIN {prefix}{k - 1} r ON r.node = e.src
-                JOIN outdeg o ON o.src = e.src
+                JOIN {outdeg} o ON o.src = e.src
                 GROUP BY e.dst) s ON s.node = n.node)""")
         return ",".join(ctes)
 
@@ -3053,6 +3080,10 @@ def _link_graph_oracle(iters: int = 8) -> str:
         "t",
         "(CASE WHEN node % 100 = 0 THEN 150000 ELSE 0 END)",
         "CASE WHEN node % 100 = 0 THEN 1000000 ELSE 0 END",
+    )
+    dr = _rank_rounds(
+        "d", "150000", "1000000", n_rounds=4,
+        nodes="dnodes", edges="dedges", outdeg="doutdeg",
     )
     return f"""
             WITH nodes AS (
@@ -3064,6 +3095,14 @@ def _link_graph_oracle(iters: int = 8) -> str:
                         WHERE node % 10 <> 0),
             outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
             indeg AS (SELECT dst, count(*) AS ind FROM edges GROUP BY dst),
+            dedges AS (
+              SELECT DISTINCT src // 50 AS src, dst // 50 AS dst
+              FROM edges WHERE src // 50 <> dst // 50),
+            dnodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM dedges
+                UNION ALL SELECT dst FROM dedges)),
+            doutdeg AS (SELECT src, count(*) AS od FROM dedges GROUP BY src),
             reach AS (
               SELECT src AS node, count(*) AS c FROM (
                 SELECT DISTINCT src, dst FROM (
@@ -3082,7 +3121,8 @@ def _link_graph_oracle(iters: int = 8) -> str:
                        '(?i)href\\s*=\\s*"([^"]*)"', 1)) AS href
               FROM links_html),
             {pr},
-            {tr}
+            {tr},
+            {dr}
             SELECT 'degree' AS mode, n.node,
                    CAST(coalesce(o.od, 0) AS BIGINT) AS n1,
                    CAST(coalesce(i.ind, 0) AS BIGINT) AS n2
@@ -3092,6 +3132,8 @@ def _link_graph_oracle(iters: int = 8) -> str:
             SELECT 'pagerank', node, r, CAST(NULL AS BIGINT) FROM r{iters}
             UNION ALL
             SELECT 'trustrank', node, r, CAST(NULL AS BIGINT) FROM t{iters}
+            UNION ALL
+            SELECT 'domainrank', node, r, CAST(NULL AS BIGINT) FROM d4
             UNION ALL
             SELECT 'reach2', node, CAST(c AS BIGINT), CAST(NULL AS BIGINT)
             FROM reach

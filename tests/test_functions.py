@@ -3151,3 +3151,34 @@ def test_extract_anchor_texts_pairs(spark):
         (0, "https://b.com", "second one"),
         (2, "https://d.com", "plain"),
     ]
+
+
+def test_extract_links_differential_vs_python_re(spark):
+    """Java-regex extraction ≡ Python re.findall over adversarial ASCII
+    html (alphabet kept ASCII: Java \\s is ASCII-only while Python's is
+    Unicode-wide — exotic whitespace is outside the pinned subset)."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from avc_parser_spark.functions.text import _HREF_PATTERN, extract_links
+
+    alphabet = st.sampled_from(list('<>ab"=href HREF\'/x.:'))
+    pat = re.compile(_HREF_PATTERN)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.text(alphabet, max_size=40), min_size=1, max_size=6))
+    def check(htmls):
+        df = spark.createDataFrame(
+            [(i, h) for i, h in enumerate(htmls)], "doc_id long, html string"
+        )
+        got = sorted(
+            (r["doc_id"], r["href"]) for r in extract_links(df).collect()
+        )
+        want = sorted(
+            (i, m) for i, h in enumerate(htmls) for m in pat.findall(h)
+        )
+        assert got == want
+
+    check()

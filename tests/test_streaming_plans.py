@@ -571,3 +571,22 @@ def test_stream_dedup_exact_bounded_state(spark, tmp_path):
     rows = spark.table("sdedup_test").collect()
     assert sorted(r["url"] for r in rows) == ["u1", "u3", "u5", "u7"]
     assert all(r["digest"] for r in rows)
+
+
+def test_extract_links_prunes_scan_columns(spark, tmp_path):
+    """The scan feeding extract_links reads only (doc_id, html) — heavy
+    sibling columns (text) must not cross the parquet boundary."""
+    from avc_parser_spark.functions.text import extract_links
+
+    p = str(tmp_path / "pages_links")
+    spark.createDataFrame(
+        [(i, f'<a href="https://x.com/{i}">t</a>', "heavy " * 50)
+         for i in range(20)],
+        "doc_id long, html string, text string",
+    ).write.parquet(p)
+    out = extract_links(spark.read.parquet(p))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema:")[1][:200]
+    assert "html" in read_schema and "doc_id" in read_schema
+    assert "text" not in read_schema, read_schema
+    assert out.count() == 20
