@@ -826,6 +826,22 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_n.alias("n3"), null_n.alias("n4"), null_n.alias("n5"),
     )
 
+    from avc_parser_spark.functions.text import span_corrupt
+
+    # t5span: T5 denoising pairs over the corpus — the 14-hex md5 prefixes
+    # bind the exact input/target STRINGS cross-engine.
+    t5 = span_corrupt(docs, 150).select(
+        F.lit("t5span").alias("mode"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.conv(F.substring(F.md5("input_text"), 1, 14), 16, 10)
+        .cast("long").alias("n1"),
+        F.conv(F.substring(F.md5("target_text"), 1, 14), 16, 10)
+        .cast("long").alias("n2"),
+        F.col("n_spans").alias("n3"),
+        F.col("n_masked").alias("n4"),
+        null_n.alias("n5"),
+    )
+
     # wsample: deterministic Efraimidis-Spirakis weighted sampling — the
     # top-40 exponential-race winners weighted by length(text)+1. The
     # integer race keys make the exact selected set (and each key)
@@ -864,6 +880,7 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(hll)
         .unionByName(wsample)
         .unionByName(quant)
+        .unionByName(t5)
     )
 
 
@@ -3355,6 +3372,91 @@ def _token_suite_quantile_branch() -> str:
         """)
 
 
+def _token_suite_t5span_branch() -> str:
+    """token_suite mode='t5span': DuckDB re-runs the FULL span-corruption
+    algorithm (md5 token gate → gaps-and-islands span merge → ordered
+    sentinel splice → string_agg rebuild) and the 14-hex md5 prefixes of
+    input/target bind the exact STRINGS, not just counts."""
+    return ("""
+            UNION ALL
+            SELECT 't5span', cast(d.doc_id as varchar),
+                   ('0x' || substr(md5(coalesce(i.input_text, '')), 1, 14))::BIGINT,
+                   ('0x' || substr(md5(coalesce(g.target_text, '')), 1, 14))::BIGINT,
+                   coalesce(g.n_spans, 0), coalesce(g.n_masked, 0),
+                   cast(null as bigint)
+            FROM documents d
+            LEFT JOIN (
+              WITH t5a AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS arr
+                FROM documents),
+              t5t AS (
+                SELECT doc_id, unnest(arr) AS tok,
+                       generate_subscripts(arr, 1) - 1 AS pos
+                FROM t5a),
+              t5k AS (
+                SELECT doc_id, tok, pos,
+                       (('0x' || substr(md5(cast(doc_id as varchar) || ':'
+                          || cast(pos as varchar)), 1, 15))::BIGINT % 1000)
+                         < 150 AS m
+                FROM t5t WHERE length(tok) > 0),
+              t5m AS (
+                SELECT doc_id, pos, tok,
+                       pos - row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY pos) AS island
+                FROM t5k WHERE m),
+              t5si AS (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY start) - 1 AS k
+                FROM (SELECT doc_id, island, min(pos) AS start,
+                             string_agg(tok, ' ' ORDER BY pos) AS span_toks,
+                             count(*) AS span_len
+                      FROM t5m GROUP BY doc_id, island) s)
+              SELECT doc_id,
+                     string_agg(tok, ' ' ORDER BY pos) AS input_text
+              FROM (SELECT doc_id, pos, tok FROM t5k WHERE NOT m
+                    UNION ALL
+                    SELECT doc_id, start,
+                           '<extra_id_' || cast(k as varchar) || '>'
+                    FROM t5si)
+              GROUP BY doc_id
+            ) i ON i.doc_id = d.doc_id
+            LEFT JOIN (
+              WITH t5a AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS arr
+                FROM documents),
+              t5t AS (
+                SELECT doc_id, unnest(arr) AS tok,
+                       generate_subscripts(arr, 1) - 1 AS pos
+                FROM t5a),
+              t5k AS (
+                SELECT doc_id, tok, pos,
+                       (('0x' || substr(md5(cast(doc_id as varchar) || ':'
+                          || cast(pos as varchar)), 1, 15))::BIGINT % 1000)
+                         < 150 AS m
+                FROM t5t WHERE length(tok) > 0),
+              t5m AS (
+                SELECT doc_id, pos, tok,
+                       pos - row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY pos) AS island
+                FROM t5k WHERE m),
+              t5si AS (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY start) - 1 AS k
+                FROM (SELECT doc_id, island, min(pos) AS start,
+                             string_agg(tok, ' ' ORDER BY pos) AS span_toks,
+                             count(*) AS span_len
+                      FROM t5m GROUP BY doc_id, island) s)
+              SELECT doc_id,
+                     string_agg('<extra_id_' || cast(k as varchar) || '> '
+                                || span_toks, ' ' ORDER BY k) AS target_text,
+                     count(*) AS n_spans, sum(span_len) AS n_masked
+              FROM t5si GROUP BY doc_id
+            ) g ON g.doc_id = d.doc_id
+        """)
+
+
 def _token_suite_wsample_branch() -> str:
     """token_suite mode='wsample': the exact Efraimidis-Spirakis sample —
     DuckDB re-derives the 60-bit md5 uniform, the micro-quantized -ln(u),
@@ -3850,7 +3952,8 @@ def oracle_sql() -> dict[str, str]:
         """ + _token_suite_html_branch() + _token_suite_bm25_branch()
             + _token_suite_chunk_branch() + _token_suite_nfc_branch()
             + _token_suite_cms_branch() + _token_suite_hll_branch()
-            + _token_suite_wsample_branch() + _token_suite_quantile_branch(),
+            + _token_suite_wsample_branch() + _token_suite_quantile_branch()
+            + _token_suite_t5span_branch(),
         "dedup_exact": """
             WITH corpus AS (
               SELECT doc_id,

@@ -1528,3 +1528,122 @@ def extract_anchor_texts(
         .select(id_col, F.col("_z.href").alias("href"),
                 F.col("_z.anchor").alias("anchor"))
     )
+
+
+def span_corrupt(
+    docs: DataFrame,
+    ratio_permille: int = 150,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020's denoising objective):
+    mask token spans, emit `input_text` (surviving tokens with one
+    <extra_id_k> sentinel where each span was) and `target_text`
+    (<extra_id_k> followed by the span's tokens, spans in order) — the
+    pretraining-pair generator run over the curated corpus.
+
+    DETERMINISTIC variant (pinned, engine-portable): token i of doc d is
+    masked iff md5(d || ':' || i) mod 1000 < ratio_permille — a pure
+    function of (corpus, ratio), stable under repartitioning; consecutive
+    masked tokens merge into one span (overlap-free by construction, and
+    span length is geometric-ish like the T5 sampler's). Docs with no
+    maskable tokens (or blank text) pass through with target_text = ''.
+
+    Scale shape: ONE shuffle on the doc id (posexplode → per-doc window/
+    agg); strings are rebuilt with array_sort(collect_list(struct(pos,…)))
+    + array_join — no per-doc Python, no global sort. Returns
+    (id, input_text, target_text, n_spans, n_masked).
+    """
+    if not 0 <= ratio_permille <= 1000:
+        raise ValueError("span_corrupt: ratio_permille must be in 0..1000")
+    trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(trimmed, r"\s+")).alias("pos", "tok"),
+    ).filter(F.length("tok") > 0)
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col(id_col).cast("string"),
+                        F.col("pos").cast("string"),
+                    )
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % 1000
+        < F.lit(ratio_permille)
+    )
+    toks = toks.withColumn("m", gate)
+    # islands of consecutive masked tokens: pos - (rank among masked) is
+    # constant within a run — the classic gaps-and-islands key.
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+    masked = (
+        toks.filter("m")
+        .withColumn("island", F.col("pos") - F.row_number().over(wdoc))
+    )
+    spans = masked.groupBy(id_col, "island").agg(
+        F.min("pos").alias("start"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "tok"))
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("span_toks"),
+        F.count(F.lit(1)).alias("span_len"),
+    )
+    wspan = Window.partitionBy(id_col).orderBy("start")
+    spans = spans.withColumn("k", F.row_number().over(wspan) - 1)
+    sentinel = F.concat(F.lit("<extra_id_"), F.col("k"), F.lit(">"))
+    # input = unmasked tokens + one sentinel at each span's start pos
+    # (start belongs to a masked token, so positions never collide)
+    pieces = (
+        toks.filter(~F.col("m"))
+        .select(id_col, "pos", "tok")
+        .unionByName(
+            spans.select(
+                id_col, F.col("start").alias("pos"), sentinel.alias("tok")
+            )
+        )
+    )
+    inputs = pieces.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("input_text")
+    )
+    targets = spans.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("k", "span_toks"))
+                ),
+                lambda s: F.concat(
+                    F.lit("<extra_id_"), s["k"], F.lit("> "), s["span_toks"]
+                ),
+            ),
+            " ",
+        ).alias("target_text"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("n_masked"),
+    )
+    return (
+        docs.select(id_col)
+        .join(inputs, id_col, "left")
+        .join(targets, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("input_text", F.lit("")).alias("input_text"),
+            F.coalesce("target_text", F.lit("")).alias("target_text"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_masked", F.lit(0)).cast("long").alias("n_masked"),
+        )
+    )

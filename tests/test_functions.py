@@ -3182,3 +3182,78 @@ def test_extract_links_differential_vs_python_re(spark):
         assert got == want
 
     check()
+
+
+def _span_corrupt_py(rows, ratio=150):
+    """Pure-Python twin of span_corrupt's pinned spec."""
+    import hashlib
+
+    out = {}
+    for did, text in rows:
+        toks = [t for t in (text or "").strip().split() if t]
+        m = [
+            int(hashlib.md5(f"{did}:{i}".encode()).hexdigest()[:15], 16)
+            % 1000 < ratio
+            for i in range(len(toks))
+        ]
+        inp, spans, cur = [], [], None
+        for i, t in enumerate(toks):
+            if m[i]:
+                if cur is None:
+                    cur = [i, []]
+                cur[1].append(t)
+            else:
+                if cur is not None:
+                    spans.append(cur)
+                    cur = None
+                inp.append((i, t))
+        if cur is not None:
+            spans.append(cur)
+        pieces = inp + [
+            (start, f"<extra_id_{k}>") for k, (start, _) in enumerate(spans)
+        ]
+        pieces.sort()
+        out[did] = (
+            " ".join(t for _, t in pieces),
+            " ".join(
+                f"<extra_id_{k}> " + " ".join(body)
+                for k, (_, body) in enumerate(spans)
+            ),
+            len(spans),
+            sum(len(b) for _, b in spans),
+        )
+    return out
+
+
+def test_span_corrupt_matches_python_twin(spark):
+    """input/target/n_spans/n_masked equal the pure-Python re-derivation
+    (same md5 gate, same island merging) — incl. blank and all-masked docs."""
+    from avc_parser_spark.functions.text import span_corrupt
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(i % 17))) for i in range(60)]
+    rows += [(100, ""), (101, "   "), (102, "single")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["input_text"], r["target_text"], r["n_spans"], r["n_masked"]
+        )
+        for r in span_corrupt(df, 400).collect()
+    }
+    assert got == _span_corrupt_py(rows, 400)
+    # sanity: a high ratio actually masks something in this corpus
+    assert sum(v[3] for v in got.values()) > 50
+
+
+def test_span_corrupt_ratio_bounds(spark):
+    import pytest as _pt
+
+    from avc_parser_spark.functions.text import span_corrupt
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pt.raises(ValueError):
+        span_corrupt(df, -1)
+    with _pt.raises(ValueError):
+        span_corrupt(df, 1001)
+    # ratio 0 → identity input, empty targets
+    r = span_corrupt(df, 0).collect()[0]
+    assert (r["input_text"], r["target_text"], r["n_spans"]) == ("a b", "", 0)
