@@ -498,7 +498,11 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     in DuckDB): k=doc_id, n1=race key, n2=weight; mode='quantile' —
     EXACT token-count percentiles via the bounded per-value count table
     (exact_quantiles: never sorts the corpus): k=percent, n1=value,
-    n2=corpus doc count.
+    n2=corpus doc count; mode='t5span' — T5 denoising pairs
+    (span_corrupt): k=doc_id, n1/n2 = 14-hex md5 prefixes binding the
+    exact input/target strings, n3=n_spans, n4=n_masked; mode='fim' —
+    fill-in-the-middle PSM layout (fim_transform, shuffle-free): n1 =
+    md5 prefix of the rebuilt string, n2/n3 = cut offsets.
     Every value is re-derived in DuckDB (md5 bucket +
     window prefix sum + the same `div` cutoff arithmetic + the full LM
     build/score + the GROUPING SETS rollup + all seven Gopher rules +
@@ -826,7 +830,20 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_n.alias("n3"), null_n.alias("n4"), null_n.alias("n5"),
     )
 
-    from avc_parser_spark.functions.text import span_corrupt
+    from avc_parser_spark.functions.text import fim_transform, span_corrupt
+
+    # fim: fill-in-the-middle PSM layout — shuffle-free native transform;
+    # the md5 prefix binds the exact rebuilt string.
+    fim = fim_transform(docs).select(
+        F.lit("fim").alias("mode"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.conv(F.substring(F.md5("fim_text"), 1, 14), 16, 10)
+        .cast("long").alias("n1"),
+        F.col("cut_lo").alias("n2"),
+        F.col("cut_hi").alias("n3"),
+        null_n.alias("n4"),
+        null_n.alias("n5"),
+    )
 
     # t5span: T5 denoising pairs over the corpus — the 14-hex md5 prefixes
     # bind the exact input/target STRINGS cross-engine.
@@ -881,6 +898,7 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(wsample)
         .unionByName(quant)
         .unionByName(t5)
+        .unionByName(fim)
     )
 
 
@@ -3457,6 +3475,33 @@ def _token_suite_t5span_branch() -> str:
         """)
 
 
+def _token_suite_fim_branch() -> str:
+    """token_suite mode='fim': DuckDB re-derives both md5 cut offsets and
+    rebuilds the exact PSM string (1-based substr in both dialects); the
+    14-hex md5 prefix binds it."""
+    return ("""
+            UNION ALL
+            SELECT 'fim', cast(doc_id as varchar),
+                   ('0x' || substr(md5('<PRE>' || substr(t, 1, lo)
+                       || '<SUF>' || substr(t, hi + 1, n)
+                       || '<MID>' || substr(t, lo + 1, hi - lo)), 1, 14)
+                   )::BIGINT,
+                   lo, hi, cast(null as bigint), cast(null as bigint)
+            FROM (
+              SELECT doc_id, t, n,
+                     least(c1, c2) AS lo, greatest(c1, c2) AS hi
+              FROM (
+                SELECT doc_id, t, n,
+                       ('0x' || substr(md5(cast(doc_id as varchar) || ':1'),
+                                       1, 15))::BIGINT % (n + 1) AS c1,
+                       ('0x' || substr(md5(cast(doc_id as varchar) || ':2'),
+                                       1, 15))::BIGINT % (n + 1) AS c2
+                FROM (SELECT doc_id, coalesce(text, '') AS t,
+                             length(coalesce(text, '')) AS n
+                      FROM documents) b) c) f
+        """)
+
+
 def _token_suite_wsample_branch() -> str:
     """token_suite mode='wsample': the exact Efraimidis-Spirakis sample —
     DuckDB re-derives the 60-bit md5 uniform, the micro-quantized -ln(u),
@@ -3953,7 +3998,7 @@ def oracle_sql() -> dict[str, str]:
             + _token_suite_chunk_branch() + _token_suite_nfc_branch()
             + _token_suite_cms_branch() + _token_suite_hll_branch()
             + _token_suite_wsample_branch() + _token_suite_quantile_branch()
-            + _token_suite_t5span_branch(),
+            + _token_suite_t5span_branch() + _token_suite_fim_branch(),
         "dedup_exact": """
             WITH corpus AS (
               SELECT doc_id,

@@ -1647,3 +1647,52 @@ def span_corrupt(
             F.coalesce("n_masked", F.lit(0)).cast("long").alias("n_masked"),
         )
     )
+
+
+def fim_transform(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022 — the
+    code/infilling pretraining objective): split each doc at two cut
+    points into (prefix, middle, suffix) and emit the PSM layout
+    `<PRE> prefix <SUF> suffix <MID> middle` for the model to complete.
+
+    DETERMINISTIC variant (pinned): the two cuts are md5-derived character
+    offsets — cut_i = md5(id ':' i) mod (len+1), lo/hi ordered — so the
+    transform is a pure function of the corpus, stable under re-runs, and
+    re-derivable in any SQL engine. Zero-length pieces are legal (the
+    paper keeps them; models must learn empty spans). Pure native
+    substring arithmetic — whole-stage codegen, no shuffle at all: the
+    transform streams over the 100 TB scan. Returns (id, fim_text,
+    cut_lo, cut_hi)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+
+    def cut(i: int) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                                  F.lit(str(i)))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        return h % (n.cast("long") + F.lit(1))
+
+    c1, c2 = cut(1), cut(2)
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    # substring is 1-based; slice lengths from the 0-based cut offsets
+    prefix = F.substring(t, F.lit(1), lo.cast("int"))
+    middle = F.substring(t, (lo + 1).cast("int"), (hi - lo).cast("int"))
+    suffix = F.substring(t, (hi + 1).cast("int"), n)
+    return docs.select(
+        F.col(id_col),
+        F.concat(
+            F.lit("<PRE>"), prefix, F.lit("<SUF>"), suffix,
+            F.lit("<MID>"), middle,
+        ).alias("fim_text"),
+        lo.alias("cut_lo"),
+        hi.alias("cut_hi"),
+    )

@@ -3257,3 +3257,41 @@ def test_span_corrupt_ratio_bounds(spark):
     # ratio 0 → identity input, empty targets
     r = span_corrupt(df, 0).collect()[0]
     assert (r["input_text"], r["target_text"], r["n_spans"]) == ("a b", "", 0)
+
+
+def test_fim_transform_matches_python_twin(spark):
+    """PSM layout and cut offsets equal the pure-Python md5 re-derivation;
+    roundtrip: prefix+middle+suffix reassembles the original text."""
+    import hashlib
+
+    from avc_parser_spark.functions.text import fim_transform
+
+    rows = [(i, ("word%d " % i) * (i % 9)) for i in range(40)] + [(99, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["fim_text"], r["cut_lo"], r["cut_hi"])
+        for r in fim_transform(df).collect()
+    }
+    for did, text in rows:
+        cuts = sorted(
+            int(hashlib.md5(f"{did}:{i}".encode()).hexdigest()[:15], 16)
+            % (len(text) + 1)
+            for i in (1, 2)
+        )
+        lo, hi = cuts
+        want = f"<PRE>{text[:lo]}<SUF>{text[hi:]}<MID>{text[lo:hi]}"
+        assert got[did] == (want, lo, hi), did
+        # roundtrip
+        f = got[did][0]
+        pre = f[len("<PRE>"):f.index("<SUF>")]
+        suf = f[f.index("<SUF>") + 5:f.index("<MID>")]
+        mid = f[f.index("<MID>") + 5:]
+        assert pre + mid + suf == text
+
+
+def test_fim_transform_is_shuffle_free(spark):
+    from avc_parser_spark.functions.text import fim_transform
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    plan = fim_transform(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
