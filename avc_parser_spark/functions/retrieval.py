@@ -48,14 +48,9 @@ def bm25_topk(
     the integer-exact micro-scaled score (sum of floor-divided per-term
     contributions), rank breaks score ties on ascending id.
     """
-    p, q = BM25_K1
-    r, s = BM25_B
     terms = sorted({t.lower() for t in query_terms})
 
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
-        lambda x: x != "",
-    )
+    toks = _tokens_expr(text_col)
     base = docs.select(
         F.col(id_col),
         F.size(toks).alias("dl"),
@@ -68,19 +63,22 @@ def bm25_topk(
     dfreq = tfd.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     totals = docs.select(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(
-            F.size(
-                F.filter(
-                    F.split(
-                        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
-                        r"\s+",
-                    ),
-                    lambda x: x != "",
-                )
-            )
-        ).cast("long").alias("total_tokens"),
+        F.sum(F.size(_tokens_expr(text_col))).cast("long").alias(
+            "total_tokens"
+        ),
     )
 
+    return _score_hits(tfd, dfreq, totals, k, id_col)
+
+
+def _score_hits(
+    tfd: DataFrame, dfreq: DataFrame, totals: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """Shared BM25 scoring tail (in-memory and stored-index paths run the
+    IDENTICAL integer arithmetic, so stored == in-memory is exact):
+    tfd = (id, term, tf, dl), dfreq = (term, df), totals 1 row."""
+    p, q = BM25_K1
+    r, s = BM25_B
     scored = (
         tfd.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(totals))
@@ -114,6 +112,90 @@ def bm25_topk(
     # TakeOrderedAndProject — the window never sees the corpus)
     w = Window.orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
     return out.withColumn("rank", F.row_number().over(w))
+
+
+def _tokens_expr(text_col: str):
+    return F.filter(
+        F.split(
+            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+        ),
+        lambda x: x != "",
+    )
+
+
+def write_term_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the inverted index as a STORED layout (the operational
+    100 TB retrieval pattern, same contract as the stored IVF/LSH tables):
+    postings (term, id, tf, dl) hive-partitioned by term_bucket =
+    pmod(xxhash64(term), n_buckets) — a term's postings live entirely in
+    ONE bucket, so a query probe directory-prunes to its terms' buckets
+    and per-term document frequency is computable from the pruned scan
+    alone. Corpus totals (n_docs, total_tokens — the only global state)
+    are one 1-row parquet written beside the postings."""
+    toks = _tokens_expr(text_col)
+    base = docs.select(
+        F.col(id_col), F.size(toks).alias("dl"), F.explode(toks).alias("term")
+    )
+    postings = (
+        base.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+        .withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+        )
+    )
+    postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        f"{path}/postings"
+    )
+    docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens_expr(text_col))).cast("long").alias(
+            "total_tokens"
+        ),
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_topk_stored(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k under BM25 against a write_term_index layout: the postings
+    scan carries term_bucket IN (query buckets) — a PartitionFilter, so
+    only the query's directories are read (plan-gated in tests) — plus a
+    pushed term IN filter; df comes from the pruned postings, totals from
+    the 1-row stats table. Runs the SAME _score_hits arithmetic as the
+    in-memory path ⇒ results are exactly equal."""
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("bm25_topk_stored: need at least one query term")
+    buckets = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame([(t,) for t in terms], ["term"])
+            .select(
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b")
+            )
+            .collect()
+        }
+    )
+    hits = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .drop("term_bucket")
+    )
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    totals = spark.read.parquet(f"{path}/stats")
+    return _score_hits(hits, dfreq, totals, k, id_col)
 
 
 def bm25_sql(

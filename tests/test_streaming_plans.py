@@ -590,3 +590,41 @@ def test_extract_links_prunes_scan_columns(spark, tmp_path):
     assert "html" in read_schema and "doc_id" in read_schema
     assert "text" not in read_schema, read_schema
     assert out.count() == 20
+
+
+def test_bm25_stored_index_partition_prunes(spark, tmp_path):
+    """The stored inverted-index layout: a query probe must carry
+    term_bucket as PartitionFilters (directory pruning) and return
+    EXACTLY the in-memory bm25_topk ranking (shared _score_hits
+    arithmetic)."""
+    from avc_parser_spark.functions.retrieval import (
+        bm25_topk,
+        bm25_topk_stored,
+        write_term_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"apple banana doc{i} " + ("apple " * (i % 4)) + "cherry")
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "term_index")
+    write_term_index(docs, path, n_buckets=8)
+
+    stored = bm25_topk_stored(spark, path, ["apple", "cherry"], k=7,
+                              n_buckets=8)
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "term_bucket" in plan.split("PartitionFilters:")[1][:250]
+
+    mem = bm25_topk(docs, ["apple", "cherry"], k=7)
+    assert [tuple(r) for r in stored.collect()] == [
+        tuple(r) for r in mem.collect()
+    ]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        bm25_topk_stored(spark, path, [], k=3)
