@@ -1696,3 +1696,44 @@ def fim_transform(
         lo.alias("cut_lo"),
         hi.alias("cut_hi"),
     )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    lm: dict[str, DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): bucket docs by
+    LM perplexity TERCILES — 'head' (most fluent third) is what CCNet
+    ships as the highest-quality slice. Composes lm_score (one narrow
+    pass, broadcast LM) with exact_quantiles (bounded per-value count
+    table — never sorts the corpus).
+
+    Engine-portable ordering quantity: nmlp_micro = (-logp_micro_sum) div
+    n_bigrams — the integer mean negative log-prob (monotone with ppl, no
+    float compare at the boundary). Cutoffs are the exact 33rd/67th
+    percentiles of nmlp_micro; bucket = head if nmlp <= q33, middle if
+    <= q67, else tail (pinned closed-left rule). The two cutoffs come
+    back as one broadcast row. Docs with <2 tokens score no bigrams and
+    are excluded (same missing-evidence rule as the ppl filter).
+
+    Returns lm_score's columns + (nmlp_micro, bucket)."""
+    scored = lm_score(docs, lm, text_col=text_col, id_col=id_col).withColumn(
+        "nmlp_micro", F.expr("(-logp_micro_sum) div n_bigrams")
+    )
+    cuts = (
+        exact_quantiles(scored, "nmlp_micro", (33, 67))
+        .groupBy()
+        .agg(
+            F.min(F.when(F.col("q") == 33, F.col("value"))).alias("q33"),
+            F.min(F.when(F.col("q") == 67, F.col("value"))).alias("q67"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        *scored.columns,
+        F.when(F.col("nmlp_micro") <= F.col("q33"), F.lit("head"))
+        .when(F.col("nmlp_micro") <= F.col("q67"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
