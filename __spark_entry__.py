@@ -1124,6 +1124,50 @@ def _pq_plant_query_vec() -> list[float]:
     ]
 
 
+# --- planted corpus for the FUSED IVF+PQ mode ------------------------------
+# The production 10^12-vector ANN layout (FAISS IVFPQ): partition-prune to
+# the query's IVF cluster, then score ONLY that cluster's PQ codes with the
+# ADC lookup table — the full-precision vectors are never touched at query
+# time. The plant composes both proofs: group g = vec_id%4 occupies the
+# 16-dim block [16g, 16g+16) (cross-group dot exactly 0 ⇒ with the block-
+# indicator centroids n_probe=1 provably contains the true top-k), and the
+# within-block values 1 + 0.1*((2*vec_id + d) % 5) cycle through only 5
+# variants per 8-dim subspace, so a 6-codeword book (zeros + the 5 cyclic
+# shifts) makes quantization LOSSLESS: every subvector IS a codeword, ADC
+# == true dot, and the pruned ADC top-10 provably equals the exact
+# dot-product top-10 that DuckDB enumerates from the same closed form.
+_IVFPQ_D = 8  # 8 subspaces × 8 dims over the 64-dim space
+
+_IVFPQ_PLANT_SPARK_SQL = f"""
+    SELECT vec_id,
+           transform(sequence(0, {_IVF_DIM - 1}), d ->
+             case when cast(d div {_IVF_BLOCK} as int) = cast(vec_id % {_IVF_GROUPS} as int)
+                  then cast(1.0 + 0.1 * ((2 * vec_id + d) % 5) as double)
+                  else cast(0.0 as double) end) AS embedding
+    FROM embeddings
+"""
+
+
+def _ivfpq_codebooks() -> list[list[list[float]]]:
+    """One 6-codeword book per subspace: zeros (out-of-block subvectors)
+    plus the 5 phase variants t -> [1 + 0.1*((t+j)%5)]. The subvector of
+    an in-block (v, s) is exactly variant (2v + 8s) % 5, so encoding is
+    closed-form and quantization is lossless by construction."""
+    zero = [0.0] * _IVFPQ_D
+    variants = [
+        [1.0 + 0.1 * ((t + j) % 5) for j in range(_IVFPQ_D)] for t in range(5)
+    ]
+    return [[zero] + variants for _ in range(_IVF_DIM // _IVFPQ_D)]
+
+
+def _ivfpq_plant_query_vec() -> list[float]:
+    """The planted vec_id=0 vector: block 0 with phase (2*0 + d) % 5."""
+    return [
+        1.0 + 0.1 * (d % 5) if d < _IVF_BLOCK else 0.0
+        for d in range(_IVF_DIM)
+    ]
+
+
 def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN modes in one mode-tagged union (merged per the 50-entry window):
     - 'brute': exact cosine top-10 (TakeOrderedAndProject, no shuffle);
@@ -1134,7 +1178,12 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       separable corpus where pruned == exact provably (see plant above);
     - 'pq': product-quantization encode→ADC top-10 over the planted
       lossless corpus where ADC == exact dot provably (see plant above;
-      the score column carries the rounded ADC dot product)."""
+      the score column carries the rounded ADC dot product);
+    - 'ivfpq': the FUSED production path (FAISS IVFPQ) — IVF-prune to the
+      query's cluster, then ADC-score only that cluster's PQ codes; the
+      plant makes pruning exact AND quantization lossless at once (see
+      _IVFPQ_PLANT_SPARK_SQL), so the result provably equals the exact
+      dot-product top-10 DuckDB enumerates."""
     from avc_parser_spark.functions.similarity import (
         ivf_topk,
         pq_adc_expr,
@@ -1184,7 +1233,34 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
     )
-    return brute.unionByName(exact).unionByName(pruned).unionByName(pq)
+    # ivfpq: assign → prune to the query's cluster (at scale: a partition
+    # filter over the stored codes table) → PQ-encode the survivors →
+    # ADC top-10. Full-precision vectors never reach the scoring stage.
+    from avc_parser_spark.functions.similarity import _probe_clusters, ivf_assign
+
+    fp_books = _ivfpq_codebooks()
+    fp_planted = spark.sql(_IVFPQ_PLANT_SPARK_SQL)
+    fp_probe = _probe_clusters(
+        _ivfpq_plant_query_vec(), _ivf_plant_centroids(), n_probe=1
+    )
+    fp_cand = ivf_assign(fp_planted, _ivf_plant_centroids()).filter(
+        F.col("cluster").isin(fp_probe)
+    )
+    fp_codes = pq_encode(fp_cand, fp_books).select("vec_id", "pq_codes")
+    fp_adc = F.round(pq_adc_expr(fp_books, _ivfpq_plant_query_vec()), 6)
+    ivfpq = (
+        fp_codes.select(
+            F.lit("ivfpq").alias("mode"), "vec_id", fp_adc.alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    return (
+        brute.unionByName(exact)
+        .unionByName(pruned)
+        .unionByName(pq)
+        .unionByName(ivfpq)
+    )
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4057,6 +4133,23 @@ def oracle_sql() -> dict[str, str]:
                            * sqrt(list_dot_product((SELECT qv FROM pq),
                                                    (SELECT qv FROM pq)))), 6))::DOUBLE AS cosine
               FROM pe
+              ORDER BY cosine DESC, vec_id ASC LIMIT 10),
+            -- ivfpq: the oracle needs NEITHER the pruning nor the
+            -- quantization — the plant makes both provably lossless (see
+            -- _IVFPQ_PLANT_SPARK_SQL), so the fused probe must equal the
+            -- exact dot-product top-10 over the full enumerated corpus.
+            fpe AS (
+              SELECT vec_id,
+                     list_transform(range(0, {_IVF_DIM}), d ->
+                       case when (d // {_IVF_BLOCK}) = vec_id % {_IVF_GROUPS}
+                            then 1.0 + 0.1 * ((2 * vec_id + d) % 5)
+                            else 0.0 end) AS v
+              FROM embeddings),
+            fpq AS (SELECT v AS qv FROM fpe WHERE vec_id = 0),
+            fptop AS (
+              SELECT vec_id,
+                     (round(list_dot_product(v, (SELECT qv FROM fpq)), 6))::DOUBLE AS cosine
+              FROM fpe
               ORDER BY cosine DESC, vec_id ASC LIMIT 10)
             SELECT 'brute' AS mode, vec_id, cosine FROM exact
             UNION ALL
@@ -4065,6 +4158,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ivf_pruned' AS mode, vec_id, cosine FROM pruned
             UNION ALL
             SELECT 'pq' AS mode, vec_id, cosine FROM pqtop
+            UNION ALL
+            SELECT 'ivfpq' AS mode, vec_id, cosine FROM fptop
         """,
         "pipeline_mls_case": f"""
             SELECT doc_id,

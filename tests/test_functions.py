@@ -2545,6 +2545,76 @@ def test_pq_lossless_on_codeword_corpus(spark):
     assert adc == exact
 
 
+def test_ivfpq_fused_probe_equals_brute(spark):
+    """The fused IVF+PQ path (assign → prune to the query's cluster →
+    encode → ADC top-10) must equal brute-force over the full plant: the
+    driver plant makes pruning exact (disjoint block supports) and
+    quantization lossless (every subvector is a codeword). Also pins the
+    closed-form encoding: code(v, s) = 0 out-of-block, else
+    1 + (2v + 8s) % 5."""
+    import __spark_entry__ as em
+
+    from avc_parser_spark.functions.similarity import (
+        _probe_clusters,
+        ivf_assign,
+        pq_adc_expr,
+        pq_encode,
+    )
+
+    spark.range(0, 120).selectExpr("id AS vec_id").createOrReplaceTempView(
+        "embeddings"
+    )
+    try:
+        planted = spark.sql(em._IVFPQ_PLANT_SPARK_SQL)
+        books = em._ivfpq_codebooks()
+        q = em._ivfpq_plant_query_vec()
+
+        codes = {
+            r["vec_id"]: list(r["pq_codes"])
+            for r in pq_encode(planted, books).collect()
+        }
+        for v in range(120):
+            want = [
+                1 + (2 * v + 8 * s) % 5 if s // 2 == v % 4 else 0
+                for s in range(8)
+            ]
+            assert codes[v] == want, (v, codes[v], want)
+
+        probe = _probe_clusters(q, em._ivf_plant_centroids(), n_probe=1)
+        assert probe == [0]
+        cand = ivf_assign(planted, em._ivf_plant_centroids()).filter(
+            F.col("cluster").isin(probe)
+        )
+        fused = [
+            r["vec_id"]
+            for r in pq_encode(cand, books)
+            .select(
+                "vec_id",
+                F.round(pq_adc_expr(books, q), 6).alias("s"),
+            )
+            .orderBy(F.desc("s"), F.asc("vec_id"))
+            .limit(10)
+            .collect()
+        ]
+        # exact DOT-product reference over the FULL corpus (pruning must
+        # not change the answer), re-derived in pure Python from the same
+        # closed form; round-then-id ranking mirrors both engines
+        def vec(v: int) -> list[float]:
+            return [
+                1.0 + 0.1 * ((2 * v + d) % 5)
+                if d // 16 == v % 4 else 0.0
+                for d in range(64)
+            ]
+
+        def dot(v: int) -> float:
+            return round(sum(a * b for a, b in zip(vec(v), q)), 6)
+
+        exact = [v for v in sorted(range(120), key=lambda v: (-dot(v), v))][:10]
+        assert fused == exact
+    finally:
+        spark.catalog.dropTempView("embeddings")
+
+
 def test_pq_recall_on_real_embeddings(spark):
     """Full path on the sf0.001 embeddings table: train codebooks (joint
     per-subspace Lloyd), encode, ADC top-10. Gate: ADC-top-10 ∩
