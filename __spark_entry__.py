@@ -1726,11 +1726,15 @@ def q_link_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'domainrank': graph COARSENING (the Common-Crawl host-rank
       pattern) — pages collapse to domains (node div 50), distinct
       inter-domain edges only, then 4 integer-micro rounds over the
-      coarsened graph (third unrolled CTE chain in the oracle).
+      coarsened graph (third unrolled CTE chain in the oracle);
+    - 'hits': Kleinberg hubs & authorities — 4 rounds of the max-
+      normalized integer HITS loop (n1 = auth, n2 = hub; fourth unrolled
+      CTE chain: sum → 1-row max → mul-div normalize, bit-exact).
     The ring edge gives every node out-degree ≥ 1 (no dangling mass) and
     in-degree ≥ 1, keeping the oracle enumeration total."""
     from avc_parser_spark.functions.graph import (
         degree_stats,
+        hits_micro,
         pagerank_micro_multi,
         two_hop_reach,
     )
@@ -1816,12 +1820,19 @@ def q_link_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("links").alias("mode"), "node", "n1", "n2")
     )
+    hits = hits_micro(edges, iters=4).select(
+        F.lit("hits").alias("mode"),
+        "node",
+        F.col("auth_micro").alias("n1"),
+        F.col("hub_micro").alias("n2"),
+    )
     return (
         deg.unionByName(pr)
         .unionByName(tr)
         .unionByName(r2)
         .unionByName(drank)
         .unionByName(lk)
+        .unionByName(hits)
     )
 
 
@@ -3196,6 +3207,47 @@ def _link_graph_oracle(iters: int = 8) -> str:
         "d", "150000", "1000000", n_rounds=4,
         nodes="dnodes", edges="dedges", outdeg="doutdeg",
     )
+
+    def _hits_rounds(n_rounds: int = 4) -> str:
+        """Unrolled max-normalized integer HITS (graph.hits_micro): per
+        round auth = Σ hub(in-nbrs) ·1e6 // max, then hub = Σ auth(out-
+        nbrs) ·1e6 // max — all non-negative int64, `//` ≡ Spark div.
+        Every CTE is MATERIALIZED and the max rides as a 1-row cross-join:
+        a correlated (SELECT max(...)) per row re-evaluates the whole
+        upstream chain per row per round — exponential (hard-won)."""
+        ctes = [
+            """
+            s0 AS MATERIALIZED (
+              SELECT node, CAST(1000000 AS BIGINT) AS a,
+                     CAST(1000000 AS BIGINT) AS h FROM nodes)"""
+        ]
+        for k in range(1, n_rounds + 1):
+            ctes.append(f"""
+            a{k}r AS MATERIALIZED (
+                      SELECT e.dst AS node, sum(s.h) AS ar
+                      FROM edges e JOIN s{k - 1} s ON s.node = e.src
+                      GROUP BY e.dst),
+            a{k}m AS MATERIALIZED (SELECT max(ar) AS m FROM a{k}r),
+            a{k} AS MATERIALIZED (
+                     SELECT n.node,
+                            CAST(coalesce(r.ar, 0) * 1000000 // m.m
+                                 AS BIGINT) AS a
+                     FROM nodes n LEFT JOIN a{k}r r ON r.node = n.node,
+                          a{k}m m),
+            h{k}r AS MATERIALIZED (
+                      SELECT e.src AS node, sum(a.a) AS hr
+                      FROM edges e JOIN a{k} a ON a.node = e.dst
+                      GROUP BY e.src),
+            h{k}m AS MATERIALIZED (SELECT max(hr) AS m FROM h{k}r),
+            s{k} AS MATERIALIZED (
+                     SELECT n.node, a.a,
+                            CAST(coalesce(r.hr, 0) * 1000000 // m.m
+                                 AS BIGINT) AS h
+                     FROM nodes n JOIN a{k} a ON a.node = n.node
+                          LEFT JOIN h{k}r r ON r.node = n.node, h{k}m m)""")
+        return ",".join(ctes)
+
+    hh = _hits_rounds()
     return f"""
             WITH nodes AS (
               SELECT doc_id AS node FROM documents WHERE doc_id < 500),
@@ -3233,7 +3285,8 @@ def _link_graph_oracle(iters: int = 8) -> str:
               FROM links_html),
             {pr},
             {tr},
-            {dr}
+            {dr},
+            {hh}
             SELECT 'degree' AS mode, n.node,
                    CAST(coalesce(o.od, 0) AS BIGINT) AS n1,
                    CAST(coalesce(i.ind, 0) AS BIGINT) AS n2
@@ -3253,6 +3306,8 @@ def _link_graph_oracle(iters: int = 8) -> str:
                    CAST(sum(CAST(regexp_extract(href, '([0-9]+)$', 1)
                                  AS BIGINT)) AS BIGINT)
             FROM lnk GROUP BY doc_id
+            UNION ALL
+            SELECT 'hits', node, a, h FROM s4
         """
 
 

@@ -208,6 +208,96 @@ def pagerank_micro(
     )
 
 
+def hits_micro(
+    edges: DataFrame,
+    iters: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM 1999) — the second classic
+    link-analysis signal: a page is a good AUTHORITY if good hubs link to
+    it, a good HUB if it links to good authorities. Curation pipelines use
+    authority as a complementary quality floor to PageRank (directory/hub
+    pages score high on hub but low on authority — a mix signal PageRank
+    alone can't separate).
+
+    Returns (node, auth_micro, hub_micro) after `iters` rounds of
+
+        auth'(v) = Σ_{u→v} hub(u);   auth = auth' · 1e6 div max(auth')
+        hub'(u)  = Σ_{u→v} auth(v);  hub  = hub'  · 1e6 div max(hub')
+
+    (auth updated first from the previous hubs, then hubs from the NEW
+    authorities — the standard ordering). Max-normalization replaces the
+    usual L2 norm so every step stays int64 (sums of micro scores, one
+    1-row max broadcast per half-round) and the result is bit-exact
+    re-derivable in any SQL engine by unrolling the rounds — the same
+    determinism contract as pagerank_micro_multi. Overflow bound: the
+    mul-then-div normalization needs max_in/out_degree · 1e12 < 2^63,
+    i.e. degrees below ~9·10^6 — real web graphs cap hub fan-out far
+    earlier (and should, for skew).
+
+    Scale shape: per round two joins + two partial-agg groupBys over the
+    edge table (state bounded by |nodes|); each half-round's aggregated
+    (≤|nodes|-row) sum frame is localCheckpoint'ed once — its max then
+    collects as ONE scalar (bounded driver state, the resolver-convergence
+    pattern) and normalization folds it in as a literal, so nothing
+    upstream recomputes. Fixed iteration count keeps the result a pure
+    function of (edges, iters)."""
+    if iters < 0:
+        raise ValueError("hits_micro: iters must be >= 0")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    e = e.persist()
+    scores = nodes.select(
+        "node",
+        F.lit(RANK_SCALE).cast("long").alias("auth_micro"),
+        F.lit(RANK_SCALE).cast("long").alias("hub_micro"),
+    ).localCheckpoint()
+    for _ in range(iters):
+        araw = (
+            e.join(
+                scores.select(F.col("node").alias("src"), "hub_micro"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub_micro").alias("ar"))
+            .localCheckpoint()
+        )
+        am = araw.agg(F.max("ar")).first()[0]
+        auth = nodes.join(araw, "node", "left").select(
+            "node",
+            F.expr(
+                f"coalesce(ar, 0L) * {RANK_SCALE} div {am}"
+            ).cast("long").alias("auth_micro"),
+        )
+        hraw = (
+            e.join(auth.select(F.col("node").alias("dst"), "auth_micro"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth_micro").alias("hr"))
+            .localCheckpoint()
+        )
+        hm = hraw.agg(F.max("hr")).first()[0]
+        scores = (
+            nodes.join(auth, "node", "left")
+            .join(hraw, "node", "left")
+            .select(
+                "node",
+                "auth_micro",
+                F.expr(
+                    f"coalesce(hr, 0L) * {RANK_SCALE} div {hm}"
+                ).cast("long").alias("hub_micro"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    nodes.unpersist()
+    return scores
+
+
 def two_hop_reach(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:

@@ -3116,6 +3116,64 @@ def test_two_hop_reach_exact_counts(spark):
     assert got == {1: 2, 2: 2, 3: 1, 5: 2, 6: 2}
 
 
+def _hits_py(edges, iters):
+    """Pure-Python integer max-normalized HITS twin of graph.hits_micro."""
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    auth = {v: 1_000_000 for v in nodes}
+    hub = {v: 1_000_000 for v in nodes}
+    for _ in range(iters):
+        ar = {v: 0 for v in nodes}
+        for a, b in edges:
+            ar[b] += hub[a]
+        am = max(ar.values())
+        auth = {v: ar[v] * 1_000_000 // am for v in nodes}
+        hr = {v: 0 for v in nodes}
+        for a, b in edges:
+            hr[a] += auth[b]
+        hm = max(hr.values())
+        hub = {v: hr[v] * 1_000_000 // hm for v in nodes}
+    return auth, hub
+
+
+def test_hits_matches_python_rederivation(spark):
+    """hits_micro equals the pure-Python integer twin exactly (the
+    bit-exact cross-engine contract behind the unrolled DuckDB chain)."""
+    from avc_parser_spark.functions.graph import hits_micro
+
+    edges = _plant_edges(50)
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {
+        r["node"]: (r["auth_micro"], r["hub_micro"])
+        for r in hits_micro(df, 4).collect()
+    }
+    auth, hub = _hits_py(edges, 4)
+    assert got == {v: (auth[v], hub[v]) for v in auth}
+
+
+def test_hits_separates_hubs_from_authorities(spark):
+    """Directory-page structure: node 0 links to 1..5, each of which links
+    to 6. Node 0 is the best hub but a zero authority (nothing links to
+    it); the mid-layer nodes split the difference. iters=0 = start."""
+    from avc_parser_spark.functions.graph import hits_micro
+
+    edges = [(0, v) for v in range(1, 6)] + [(v, 6) for v in range(1, 6)]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {
+        r["node"]: (r["auth_micro"], r["hub_micro"])
+        for r in hits_micro(df, 3).collect()
+    }
+    assert got[0] == (0, 1_000_000)  # no in-links, but links to all mids
+    assert got[6] == (1_000_000, 0)  # collects every mid hub, no out-links
+    for v in range(1, 6):
+        # hand-derived fixed point: auth = 1e6·1e6 // 5e6; hub ties at max
+        # (each mid links to THE top authority, same as 0's full sum)
+        assert got[v] == (200_000, 1_000_000)
+    flat = hits_micro(df, 0).collect()
+    assert {(r["auth_micro"], r["hub_micro"]) for r in flat} == {
+        (1_000_000, 1_000_000)
+    }
+
+
 def test_exact_quantiles_matches_numpy_style_rederivation(spark):
     """Percentiles equal the pinned smallest-value-with-cum>=ceil(q*n/100)
     definition re-derived in pure Python; NULLs excluded from n."""
