@@ -488,6 +488,11 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted heavy/rare/absent tokens (doc_id%40==19), width 512 so real
     collisions exercise the min-over-rows path: k=term, n1=estimate,
     n2=exact count, n3=row-0 bucket (pins the md5-slice hash itself);
+    mode='heavy' — CMS-gated EXACT heavy hitters over the same stream
+    (cms_heavy_hitters: the collected bounded counter table folds into a
+    native least(element_at) gate — a pure filter on the corpus pass —
+    then one candidate-bounded exact groupBy verifies): k=term, n1=exact
+    count, n2=admitting estimate, n3=threshold (max(2, N div 200));
     mode='hll' — HyperLogLog cardinality registers over the word stream
     (hll_build, p=6 ⇒ ≤64 rows however large the corpus): k=register
     idx, n1=rho max (pure integer arithmetic ⇒ the sketch itself is
@@ -789,6 +794,26 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n3"),
         null_n.alias("n4"), null_n.alias("n5"),
     )
+    from avc_parser_spark.functions.dedup import cms_heavy_hitters
+
+    # heavy: CMS-gated EXACT heavy hitters over the same stream — the gate
+    # is a pure codegen filter from the collected (bounded) counter table,
+    # the exact groupBy touches only gate survivors. The oracle needs NO
+    # sketch for the result set (no false negatives ⇒ result == exact
+    # counts ≥ threshold) but n2 re-derives the admitting estimate from
+    # the full counter table, pinning the gate arithmetic too.
+    cms_total = cms_terms.count()
+    heavy_thr = max(2, cms_total // 200)
+    heavy = cms_heavy_hitters(
+        cms_terms, heavy_thr, width=cms_w, depth=cms_d
+    ).select(
+        F.lit("heavy").alias("mode"),
+        F.col("term").alias("k"),
+        F.col("cnt").alias("n1"),
+        F.col("cms_count").alias("n2"),
+        F.lit(heavy_thr).cast("long").alias("n3"),
+        null_n.alias("n4"), null_n.alias("n5"),
+    )
     from avc_parser_spark.functions.dedup import hll_build
 
     # hll: HyperLogLog cardinality registers over the same doc word stream
@@ -894,6 +919,7 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(chunk)
         .unionByName(nfc)
         .unionByName(cms)
+        .unionByName(heavy)
         .unionByName(hll)
         .unionByName(wsample)
         .unionByName(quant)
@@ -3457,6 +3483,57 @@ def _token_suite_cms_branch() -> str:
         """)
 
 
+def _token_suite_heavy_branch() -> str:
+    """token_suite mode='heavy': CMS-gated exact heavy hitters. The gate
+    admits every true heavy hitter (CMS never undercounts) and the exact
+    verify drops the rest, so the RESULT SET is simply exact counts ≥
+    threshold — no sketch needed; n2 re-derives the admitting estimate
+    from the full counter table so the gate arithmetic is pinned too."""
+    return ("""
+            UNION ALL
+            SELECT 'heavy', term, cnt, est, thr,
+                   cast(null as bigint), cast(null as bigint)
+            FROM (
+              WITH hv_docs AS (
+                SELECT CASE WHEN doc_id % 40 = 19 THEN
+                         text || ' cmshh' || (doc_id % 3)::VARCHAR
+                              || ' cmshh' || (doc_id % 3)::VARCHAR
+                              || ' cmsrare'
+                       ELSE text END AS text
+                FROM documents),
+              hv_words AS (
+                SELECT unnest(string_split(text, ' ')) AS term FROM hv_docs),
+              hv_w AS (SELECT term FROM hv_words WHERE term <> ''),
+              hv_thr AS (
+                SELECT greatest(2, count(*) // 200) AS t FROM hv_w),
+              hv_cells AS (
+                SELECT term, rr.r AS r,
+                       ('0x' || substr(md5(term), 1 + 8 * rr.r, 8))::BIGINT
+                         % 512 AS c
+                FROM hv_w CROSS JOIN (SELECT unnest(range(0, 4)) AS r) rr),
+              hv_counters AS (
+                SELECT r, c, count(*) AS cnt FROM hv_cells GROUP BY r, c),
+              hv_xact AS (
+                SELECT term, cast(count(*) as bigint) AS cnt FROM hv_w
+                GROUP BY term),
+              hv_hh AS (
+                SELECT term, cnt FROM hv_xact, hv_thr WHERE cnt >= t),
+              hv_est AS (
+                SELECT h.term, min(coalesce(ct.cnt, 0)) AS est
+                FROM hv_hh h
+                CROSS JOIN (SELECT unnest(range(0, 4)) AS r) rr
+                LEFT JOIN hv_counters ct
+                  ON ct.r = rr.r
+                 AND ct.c = ('0x' || substr(md5(h.term), 1 + 8 * rr.r, 8))::BIGINT
+                             % 512
+                GROUP BY h.term)
+              SELECT h.term, h.cnt, cast(e.est as bigint) AS est,
+                     cast((SELECT t FROM hv_thr) as bigint) AS thr
+              FROM hv_hh h JOIN hv_est e USING (term)
+            ) hvq
+        """)
+
+
 def _token_suite_hll_branch() -> str:
     """token_suite mode='hll': the FULL HyperLogLog register table (p=6,
     m=64) over the documents word stream, re-derived in DuckDB from the
@@ -4127,7 +4204,8 @@ def oracle_sql() -> dict[str, str]:
             FROM rbit GROUP BY bitmask
         """ + _token_suite_html_branch() + _token_suite_bm25_branch()
             + _token_suite_chunk_branch() + _token_suite_nfc_branch()
-            + _token_suite_cms_branch() + _token_suite_hll_branch()
+            + _token_suite_cms_branch() + _token_suite_heavy_branch()
+            + _token_suite_hll_branch()
             + _token_suite_wsample_branch() + _token_suite_quantile_branch()
             + _token_suite_t5span_branch() + _token_suite_fim_branch(),
         "dedup_exact": """

@@ -1392,6 +1392,63 @@ def cms_estimate(
     )
 
 
+def cms_heavy_hitters(
+    terms: DataFrame,
+    threshold: int,
+    col: str = "term",
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+    counters: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT heavy hitters (every term with true count ≥ threshold, with
+    its exact count) without ever shuffling the vocabulary — the classic
+    CMS-gate + verify two-pass:
+
+    1. the counter table (built here, or pass a stored/merged one — the
+       incremental-ingest story) collects to the driver (≤ depth·width
+       longs, bounded by construction like the k-means means) and folds
+       into ONE native `least(element_at(...))` expression, so the gate
+       pass over the corpus is a pure whole-stage-codegen FILTER — no
+       join, no explode, no shuffle on the 100 TB side;
+    2. CMS never undercounts, so every true heavy hitter passes the gate
+       (no false negatives); collision-inflated impostors survive it;
+    3. the exact groupBy runs ONLY over gate survivors — occurrences of
+       ≲ N/threshold + ε·N terms, partial-aggregated map-side, so the one
+       shuffle is candidate-bounded, not corpus-bounded — and the final
+       `count ≥ threshold` filter kills the impostors exactly.
+
+    Returns (col, cnt, cms_count): the exact count and the (over-)estimate
+    that admitted the term. Literal-table gate is for bounded sketches
+    (width·depth ≤ 16384 cells); bigger sketches should pre-gate with
+    cms_estimate's broadcast join instead."""
+    if threshold < 1:
+        raise ValueError("cms_heavy_hitters: threshold must be >= 1")
+    if width * depth > 16384:
+        raise ValueError(
+            "cms_heavy_hitters: literal gate capped at width*depth <= 16384"
+        )
+    if counters is None:
+        counters = cms_build(terms, col, width, depth)
+    tables = [[0] * width for _ in range(depth)]
+    for row in counters.collect():
+        tables[row["r"]][row["c"]] = row["cnt"]
+    pos = _cms_positions(F.col(col), width, depth)
+    cells = [
+        F.element_at(
+            F.array(*[F.lit(int(v)) for v in tables[r]]), (pos[r] + 1).cast("int")
+        )
+        for r in range(depth)
+    ]
+    est = cells[0] if depth == 1 else F.least(*cells)
+    return (
+        terms.filter(est >= F.lit(int(threshold)))
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= int(threshold))
+        .withColumn("cms_count", est.cast("long"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog (Flajolet et al. 2007): bounded-memory cardinality. An exact
 # COUNT(DISTINCT url) over 100 TB shuffles the full distinct key space; the

@@ -2738,6 +2738,57 @@ def test_cms_collisions_match_python_rederivation(spark):
         assert r["cms_count"] == expected(r["term"]), r
 
 
+def test_cms_heavy_hitters_exact_with_collisions(spark):
+    """With an UNDERSIZED sketch (width 4, depth 2 — collisions rampant)
+    the heavy-hitter set must still be exactly {terms with true count ≥
+    threshold}: CMS can't undercount, so the gate admits every true heavy
+    hitter; the exact verify drops every collision-inflated impostor.
+    cms_count must equal the Python CMS re-derivation per survivor."""
+    import hashlib
+    from collections import Counter
+
+    from avc_parser_spark.functions.dedup import cms_heavy_hitters
+
+    words = []
+    for i in range(30):
+        words += [f"w{i}"] * (1 + (i * 7) % 13)
+    counts = Counter(words)
+    width, depth, thr = 4, 2, 8
+    df = spark.createDataFrame([(w,) for w in words], "term: string")
+    got = {
+        r["term"]: (r["cnt"], r["cms_count"])
+        for r in cms_heavy_hitters(df, thr, width=width, depth=depth).collect()
+    }
+    want = {t: n for t, n in counts.items() if n >= thr}
+    assert {t: c[0] for t, c in got.items()} == want
+
+    def cell(t, r):
+        return int(hashlib.md5(t.encode()).hexdigest()[8 * r:8 * r + 8], 16) % width
+
+    for t, (_, est) in got.items():
+        py_est = min(
+            sum(n for u, n in counts.items() if cell(u, r) == cell(t, r))
+            for r in range(depth)
+        )
+        assert est == py_est, (t, est, py_est)
+
+
+def test_cms_heavy_hitters_gate_is_codegen_filter(spark):
+    """The corpus-side gate must be a native filter: no join and no
+    exchange upstream of the single candidate-side aggregate."""
+    from avc_parser_spark.functions.dedup import cms_heavy_hitters
+
+    df = spark.createDataFrame(
+        [(f"t{i % 5}",) for i in range(100)], "term: string"
+    )
+    plan = cms_heavy_hitters(df, 10, width=64, depth=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1, plan
+    # (pre-AQE-finalization plan has no WholeStageCodegen spans yet; the
+    # structural facts — no join, one candidate shuffle — are the gate)
+
+
 def test_cms_merge_equals_whole(spark):
     """Sketch of the union corpus == cell-wise sum of per-batch sketches
     (the incremental-ingest contract)."""
