@@ -493,6 +493,9 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     native least(element_at) gate — a pure filter on the corpus pass —
     then one candidate-bounded exact groupBy verifies): k=term, n1=exact
     count, n2=admitting estimate, n3=threshold (max(2, N div 200));
+    mode='order' — deterministic training-data order (training_order:
+    shard = md5-key mod 8, pos = within-shard key rank; one hash exchange
+    + local sort, no global sort): k=doc_id, n1=shard, n2=pos;
     mode='hll' — HyperLogLog cardinality registers over the word stream
     (hll_build, p=6 ⇒ ≤64 rows however large the corpus): k=register
     idx, n1=rho max (pure integer arithmetic ⇒ the sketch itself is
@@ -899,6 +902,19 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_w").cast("long").alias("n2"),
         null_n.alias("n3"), null_n.alias("n4"), null_n.alias("n5"),
     )
+    from avc_parser_spark.functions.text import training_order
+
+    # order: deterministic training-data order — shard = md5-key mod 8,
+    # pos = rank of the key within the shard (one hash exchange + local
+    # sort; no global sort). A pure function of the id set, so DuckDB
+    # re-derives every (shard, pos) from the same 14-hex md5 arithmetic.
+    order = training_order(docs, 8, method="md5").select(
+        F.lit("order").alias("mode"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("shard").cast("long").alias("n1"),
+        F.col("pos").alias("n2"),
+        null_n.alias("n3"), null_n.alias("n4"), null_n.alias("n5"),
+    )
     hll = hll_regs.join(hll_distinct, "idx").select(
         F.lit("hll").alias("mode"),
         F.col("idx").cast("string").alias("k"),
@@ -920,6 +936,7 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(nfc)
         .unionByName(cms)
         .unionByName(heavy)
+        .unionByName(order)
         .unionByName(hll)
         .unionByName(wsample)
         .unionByName(quant)
@@ -3534,6 +3551,31 @@ def _token_suite_heavy_branch() -> str:
         """)
 
 
+def _token_suite_order_branch() -> str:
+    """token_suite mode='order': deterministic training order — shard and
+    within-shard rank re-derived from the same 14-hex md5 key (row_number
+    over the identical partition/order keys; ties impossible — ids are
+    distinct and break them)."""
+    return ("""
+            UNION ALL
+            SELECT 'order', doc_id::VARCHAR, shard, pos,
+                   cast(null as bigint), cast(null as bigint),
+                   cast(null as bigint)
+            FROM (
+              WITH ord_keys AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT
+                         AS okey
+                FROM documents)
+              SELECT doc_id, okey % 8 AS shard,
+                     cast(row_number() OVER (
+                       PARTITION BY okey % 8 ORDER BY okey, doc_id)
+                       as bigint) AS pos
+              FROM ord_keys
+            ) ordq
+        """)
+
+
 def _token_suite_hll_branch() -> str:
     """token_suite mode='hll': the FULL HyperLogLog register table (p=6,
     m=64) over the documents word stream, re-derived in DuckDB from the
@@ -4205,7 +4247,7 @@ def oracle_sql() -> dict[str, str]:
         """ + _token_suite_html_branch() + _token_suite_bm25_branch()
             + _token_suite_chunk_branch() + _token_suite_nfc_branch()
             + _token_suite_cms_branch() + _token_suite_heavy_branch()
-            + _token_suite_hll_branch()
+            + _token_suite_order_branch() + _token_suite_hll_branch()
             + _token_suite_wsample_branch() + _token_suite_quantile_branch()
             + _token_suite_t5span_branch() + _token_suite_fim_branch(),
         "dedup_exact": """

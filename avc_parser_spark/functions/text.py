@@ -184,6 +184,49 @@ def split_by_hash(
     return docs.withColumn(out_col, expr.otherwise(F.lit(last)))
 
 
+def training_order(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    method: str = "xxhash",
+) -> DataFrame:
+    """Deterministic GLOBAL training-data order without a global sort —
+    the reproducible corpus shuffle an LLM training run needs (fixed data
+    order across re-runs, engines, and cluster sizes, so a resumed or
+    re-provisioned job consumes batches in the identical sequence).
+
+    Adds (shard, pos): shard = id-hash mod n_shards, pos = rank of the
+    id's hash key within its shard (ties broken by id). The global order
+    is (shard, pos) — a pure function of the ID SET, independent of input
+    partitioning or row arrival order. Scale shape: ONE hash exchange on
+    shard + a per-shard local sort (the Window sort is within partitions;
+    plan-gated — no corpus-wide range sort, no driver state), exactly the
+    repartition+sortWithinPartitions layout a sharded training-data write
+    wants: each shard's file is internally ordered, readers stream shards
+    in index order.
+
+    method='md5' derives key and shard from a 14-hex md5 prefix (seed
+    ignored) so any SQL engine re-derives the exact order; default
+    xxhash64 is the cheap JVM path."""
+    if n_shards < 1:
+        raise ValueError("training_order: n_shards must be >= 1")
+    if method == "md5":
+        key = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 14), 16, 10
+        ).cast("bigint")
+    else:
+        key = F.xxhash64(F.col(id_col), F.lit(seed))
+    shard = F.pmod(key, F.lit(n_shards))
+    w = Window.partitionBy("shard").orderBy(F.col("_ord_key"), F.col(id_col))
+    return (
+        docs.withColumn("_ord_key", key)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_ord_key")
+    )
+
+
 def canonicalize_url(url: Column) -> Column:
     """Canonical URL for exact URL-level dedup (web-crawl standard):
     lowercase scheme+host, strip fragments, default ports, tracking params

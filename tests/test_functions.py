@@ -2789,6 +2789,50 @@ def test_cms_heavy_hitters_gate_is_codegen_filter(spark):
     # structural facts — no join, one candidate shuffle — are the gate)
 
 
+def test_training_order_md5_matches_python_and_is_partition_invariant(spark):
+    """(shard, pos) equals a pure-Python md5 re-derivation (the
+    cross-engine contract) and is invariant to input partitioning — the
+    reproducible-training-order property."""
+    import hashlib
+
+    from avc_parser_spark.functions.text import training_order
+
+    ids = list(range(200))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id: long")
+    got = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in training_order(df, 8, method="md5").collect()
+    }
+
+    keys = {i: int(hashlib.md5(str(i).encode()).hexdigest()[:14], 16) for i in ids}
+    want = {}
+    for s in range(8):
+        members = sorted(
+            (i for i in ids if keys[i] % 8 == s), key=lambda i: (keys[i], i)
+        )
+        for p, i in enumerate(members, start=1):
+            want[i] = (s, p)
+    assert got == want
+
+    scrambled = df.repartition(7)
+    again = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in training_order(scrambled, 8, method="md5").collect()
+    }
+    assert again == got
+
+
+def test_training_order_no_global_sort(spark):
+    """One hash exchange on shard, local sorts only — never a corpus-wide
+    range sort."""
+    from avc_parser_spark.functions.text import training_order
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id: long")
+    plan = training_order(df, 4)._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_cms_merge_equals_whole(spark):
     """Sketch of the union corpus == cell-wise sum of per-batch sketches
     (the incremental-ingest contract)."""
