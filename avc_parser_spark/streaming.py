@@ -233,6 +233,77 @@ def run_routed_stream(
     )
 
 
+def run_sketch_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    cms_dir: str,
+    hll_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    width: int = 512,
+    depth: int = 4,
+    p: int = 6,
+) -> StreamingQuery:
+    """Streaming sketch maintenance — the bounded-memory ingest twin of
+    cms_build/hll_build: each micro-batch of landing pages contributes a
+    per-batch CMS counter table (≤ depth·width rows) and HLL register
+    table (≤ 2^p rows) APPENDED to the stored sketch dirs, never
+    rewriting or rescanning history. Term-frequency and cardinality
+    queries over the whole ingested corpus then read only the bounded
+    sketch tables (read_cms_sketch / read_hll_sketch), however many
+    batches have landed — the operational 100 TB shape alongside
+    write_sketch_table's minhash appends.
+
+    Exactly-once caveat, handled at READ time: a retried foreachBatch may
+    append the same batch's (identical) rows twice, so readers first
+    collapse per (batch_id, cell) with max — idempotent because a replay
+    writes byte-identical counts — then merge across batches (sum for
+    CMS cells, max for HLL registers, the sketches' merge laws)."""
+    from avc_parser_spark.functions.dedup import cms_build, hll_build
+
+    pages = stream_pages(spark, landing_dir)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        terms = batch_df.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("term")
+        ).filter(F.col("term") != "")
+        cms_build(terms, width=width, depth=depth).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        ).write.mode("append").parquet(cms_dir)
+        hll_build(terms, p=p).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        ).write.mode("append").parquet(hll_dir)
+
+    return (
+        pages.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms_sketch(spark: SparkSession, cms_dir: str) -> DataFrame:
+    """Merged CMS counter table over every appended batch: replay-dedup
+    per (batch_id, r, c) with max, then cell-wise sum (cms_merge law)."""
+    return (
+        spark.read.parquet(cms_dir)
+        .groupBy("batch_id", "r", "c")
+        .agg(F.max("cnt").alias("cnt"))
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def read_hll_sketch(spark: SparkSession, hll_dir: str) -> DataFrame:
+    """Merged HLL register table over every appended batch: register-wise
+    max is both the replay dedup AND the merge law."""
+    return (
+        spark.read.parquet(hll_dir)
+        .groupBy("idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
 def run_audit_routed_stream(
     spark: SparkSession,
     audit_landing_dir: str,

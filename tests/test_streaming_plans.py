@@ -573,6 +573,55 @@ def test_stream_dedup_exact_bounded_state(spark, tmp_path):
     assert all(r["digest"] for r in rows)
 
 
+def test_sketch_stream_merges_to_whole_corpus_sketch(spark, tmp_path):
+    """Streaming sketch maintenance: after two incremental landing drops
+    the merged stored CMS/HLL sketches equal the batch sketches over the
+    whole corpus (cell-wise-sum / register-max merge laws), and the second
+    run picks up ONLY the new file (appended batch rows, no rewrite)."""
+    from avc_parser_spark.functions.dedup import cms_build, hll_build
+    from avc_parser_spark.streaming import (
+        read_cms_sketch,
+        read_hll_sketch,
+        run_sketch_stream,
+    )
+
+    landing = str(tmp_path / "landing")
+    cms_dir = str(tmp_path / "cms")
+    hll_dir = str(tmp_path / "hll")
+    ck = str(tmp_path / "ck")
+
+    build_pages_df(spark, 300).write.mode("append").parquet(landing)
+    q = run_sketch_stream(spark, landing, cms_dir, hll_dir, ck)
+    q.awaitTermination(120)
+
+    # second drop (repeat content is fine: merge must still sum/max right)
+    build_pages_df(spark, 200).write.mode("append").parquet(landing)
+    q2 = run_sketch_stream(spark, landing, cms_dir, hll_dir, ck)
+    q2.awaitTermination(120)
+
+    whole_terms = (
+        spark.read.parquet(landing)
+        .select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    as_cells = lambda df: {  # noqa: E731
+        (r["r"], r["c"]): r["cnt"] for r in df.collect()
+    }
+    assert as_cells(read_cms_sketch(spark, cms_dir)) == as_cells(
+        cms_build(whole_terms, width=512, depth=4)
+    )
+    as_regs = lambda df: {r["idx"]: r["rho"] for r in df.collect()}  # noqa: E731
+    assert as_regs(read_hll_sketch(spark, hll_dir)) == as_regs(
+        hll_build(whole_terms, p=6)
+    )
+    # incremental: exactly two batch_ids landed, each appended once
+    batches = {
+        r["batch_id"]
+        for r in spark.read.parquet(cms_dir).select("batch_id").distinct().collect()
+    }
+    assert len(batches) == 2
+
+
 def test_extract_links_prunes_scan_columns(spark, tmp_path):
     """The scan feeding extract_links reads only (doc_id, html) — heavy
     sibling columns (text) must not cross the parquet boundary."""
