@@ -1573,6 +1573,81 @@ def extract_anchor_texts(
     )
 
 
+_A_TAG_ATTRS_PATTERN = r"(?i)<a\s([^>]*)>"
+
+
+def extract_link_rels(
+    docs: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    drop_nofollow: bool = False,
+) -> DataFrame:
+    """Tag-scoped link extraction with rel=nofollow awareness — the edge
+    hygiene a real PageRank/TrustRank pipeline applies (nofollow links
+    carry no endorsement; Google introduced rel=nofollow exactly so rank
+    computations skip them). Returns (id, href, nofollow) per <a> tag, or
+    drops nofollow edges outright with drop_nofollow=True.
+
+    Each <a ...> tag's ATTRIBUTE STRING is extracted once (so href and
+    rel are matched within the same tag — a flat corpus-wide href scan
+    can't attribute rel to the right link), then href / rel parse out of
+    the exploded attr string. Same pinned subset as extract_links
+    (double-quoted attribute values); <a> tags without a quoted href are
+    skipped. Native regexp end to end — no UDF, streams over the scan."""
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    attrs = F.explode(
+        F.regexp_extract_all(h, F.lit(_A_TAG_ATTRS_PATTERN), F.lit(1))
+    ).alias("_attrs")
+    out = (
+        docs.select(F.col(id_col), attrs)
+        .select(
+            id_col,
+            F.regexp_extract(F.col("_attrs"), _HREF_PATTERN, 1).alias("href"),
+            F.col("_attrs").rlike(
+                r'(?i)rel\s*=\s*"[^"]*\bnofollow\b[^"]*"'
+            ).alias("nofollow"),
+        )
+        .filter(F.col("href") != "")
+    )
+    return out.filter(~F.col("nofollow")).drop("nofollow") if drop_nofollow else out
+
+
+def anchor_summary(
+    docs: DataFrame,
+    k: int = 5,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Crowd-sourced target-page descriptions: for every linked-to URL,
+    the k most common anchor texts across the whole corpus — the classic
+    web-search relevance signal (anchor text describes the TARGET, written
+    by third parties), used to augment retrieval and page-quality scoring.
+
+    Scale shape (the top_terms_per_doc pattern): one (href, anchor)
+    partial-agg shuffle for counts, then the per-href top-k happens
+    INSIDE the href-side reduction — sort_array(collect_list(struct))
+    slice with a deterministic (count desc, anchor asc) tie-break — never
+    a corpus-wide window. Empty anchors are dropped (image links)."""
+    triples = extract_anchor_texts(docs, html_col, id_col).filter(
+        F.col("anchor") != ""
+    )
+    counted = (
+        triples.groupBy("href", "anchor")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # negate the count so one ascending array_sort yields
+        # (count desc, anchor asc) — the deterministic tie-break
+        .select("href", F.struct((-F.col("n")).alias("neg_n"), "anchor").alias("s"))
+    )
+    return counted.groupBy("href").agg(
+        F.transform(
+            F.slice(F.array_sort(F.collect_list("s")), 1, k),
+            lambda s: F.struct(
+                (-s["neg_n"]).cast("long").alias("n"), s["anchor"].alias("anchor")
+            ),
+        ).alias("top_anchors")
+    )
+
+
 def span_corrupt(
     docs: DataFrame,
     ratio_permille: int = 150,

@@ -3376,6 +3376,60 @@ def test_extract_anchor_texts_pairs(spark):
     ]
 
 
+def test_extract_link_rels_nofollow_is_tag_scoped(spark):
+    """rel=nofollow must bind to ITS OWN <a> tag (a flat corpus-wide scan
+    can't do that); drop_nofollow removes exactly the flagged edges; <a>
+    without a quoted href and non-<a> href-bearing tags are skipped."""
+    from avc_parser_spark.functions.text import extract_link_rels
+
+    rows = [
+        (0, '<a href="https://a.com">x</a>'
+            '<a rel="nofollow" href="https://b.com">y</a>'
+            '<a href="https://c.com" rel="external nofollow">z</a>'),
+        (1, '<a rel="nofollower" href="https://d.com">not a nofollow</a>'
+            '<link href="https://css.com"><a name="frag">no href</a>'),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = sorted(
+        (r["doc_id"], r["href"], r["nofollow"])
+        for r in extract_link_rels(df).collect()
+    )
+    assert got == [
+        (0, "https://a.com", False),
+        (0, "https://b.com", True),
+        (0, "https://c.com", True),
+        (1, "https://d.com", False),  # \bnofollow\b: 'nofollower' ≠ nofollow
+    ]
+    kept = sorted(
+        (r["doc_id"], r["href"])
+        for r in extract_link_rels(df, drop_nofollow=True).collect()
+    )
+    assert kept == [(0, "https://a.com"), (1, "https://d.com")]
+
+
+def test_anchor_summary_top_k_with_tie_break(spark):
+    """Per-target top-k anchors by corpus-wide count, (count desc, anchor
+    asc) tie-break; empty anchors dropped."""
+    from avc_parser_spark.functions.text import anchor_summary
+
+    pages = []
+    for i in range(6):
+        pages.append((i, '<a href="https://t.com">good page</a>'))
+    pages.append((6, '<a href="https://t.com">click</a>'
+                     '<a href="https://t.com">zzz</a>'
+                     '<a href="https://t.com">aaa</a>'
+                     '<a href="https://t.com"></a>'))
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    got = {
+        r["href"]: [(t["n"], t["anchor"]) for t in r["top_anchors"]]
+        for r in anchor_summary(df, k=3).collect()
+    }
+    assert got == {
+        "https://t.com": [(6, "good page"), (1, "aaa"), (1, "click")]
+    }
+
+
 def test_extract_links_differential_vs_python_re(spark):
     """Java-regex extraction ≡ Python re.findall over adversarial ASCII
     html (alphabet kept ASCII: Java \\s is ASCII-only while Python's is
