@@ -1503,6 +1503,63 @@ def hll_merge(*sketches: DataFrame) -> DataFrame:
     return out.groupBy("idx").agg(F.max("rho").cast("long").alias("rho"))
 
 
+def hll_build_grouped(
+    values: DataFrame,
+    group_col: str,
+    col: str = "term",
+    p: int = HLL_P,
+) -> DataFrame:
+    """Per-group HLL registers: (group, idx, rho) with ≤ n_groups·2^p rows
+    — distinct-count tracking per stratum (urls per domain, terms per
+    lang) at bounded memory: the data-card per-split cardinalities over
+    100 TB without shuffling each stratum's distinct key space. Same
+    md5-slice register arithmetic as hll_build; merge = per-(group, idx)
+    max (hll_merge_grouped), so per-batch sketches append-compose."""
+    idx, rho = _hll_register_cols(F.col(col), p)
+    return (
+        values.select(
+            F.col(group_col).alias("grp"), idx.alias("idx"), rho.alias("rho")
+        )
+        .groupBy("grp", "idx")
+        .agg(F.max("rho").cast("long").alias("rho"))
+    )
+
+
+def hll_merge_grouped(*sketches: DataFrame) -> DataFrame:
+    """Union-corpus grouped sketch == per-(group, register) max of the
+    per-batch grouped register tables."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("grp", "idx").agg(F.max("rho").cast("long").alias("rho"))
+
+
+def hll_estimate_grouped(registers: DataFrame, p: int = HLL_P) -> DataFrame:
+    """Per-group cardinality estimates as a DataFrame — the whole formula
+    (harmonic mean + small-range linear counting) runs NATIVELY inside
+    one partial-agg groupBy over the ≤ n_groups·2^p register rows, so
+    unlike hll_estimate nothing collects to the driver and the group
+    count may be unbounded. Mirrors hll_estimate exactly: absent
+    registers contribute 2^0 to the denominator and count as zeros."""
+    m = 1 << p
+    alpha = (
+        0.673 if m == 16 else 0.697 if m == 32 else 0.709 if m == 64
+        else 0.7213 / (1.0 + 1.079 / m)
+    )
+    agg = registers.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s"),
+        F.count(F.lit(1)).alias("_present"),
+    )
+    denom = F.col("_s") + (F.lit(m) - F.col("_present"))
+    raw = F.lit(alpha * m * m) / denom
+    zeros = F.lit(m) - F.col("_present")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select("grp", est.alias("estimate"))
+
+
 def hll_estimate(registers: DataFrame, p: int = HLL_P) -> float:
     """Cardinality estimate from a register table: collect the <= 2^p rows
     (bounded), apply the HLL harmonic mean with the standard small-range

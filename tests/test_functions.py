@@ -2789,6 +2789,59 @@ def test_cms_heavy_hitters_gate_is_codegen_filter(spark):
     # structural facts — no join, one candidate shuffle — are the gate)
 
 
+def test_hll_grouped_matches_per_group_global(spark):
+    """Per-group registers == hll_build on each group's subset; the native
+    per-group estimate equals the driver-side hll_estimate formula on the
+    same registers (to float tolerance); grouped merge law == whole."""
+    import pytest as _pt
+
+    from avc_parser_spark.functions.dedup import (
+        hll_build,
+        hll_build_grouped,
+        hll_estimate,
+        hll_estimate_grouped,
+        hll_merge_grouped,
+    )
+
+    rows = [("big", f"t{i}") for i in range(4000)] + [
+        ("small", f"s{i}") for i in range(9)
+    ]
+    df = spark.createDataFrame(rows, "grp: string, term: string")
+    grouped = hll_build_grouped(df, "grp", p=6)
+
+    for g in ("big", "small"):
+        sub = hll_build(df.filter(F.col("grp") == g), p=6)
+        want = {r["idx"]: r["rho"] for r in sub.collect()}
+        got = {
+            r["idx"]: r["rho"]
+            for r in grouped.filter(F.col("grp") == g).collect()
+        }
+        assert got == want, g
+
+    ests = {
+        r["grp"]: r["estimate"]
+        for r in hll_estimate_grouped(grouped, p=6).collect()
+    }
+    for g in ("big", "small"):
+        sub = hll_build(df.filter(F.col("grp") == g), p=6)
+        assert ests[g] == _pt.approx(hll_estimate(sub, p=6), rel=1e-9), g
+    # sanity: the small group takes the linear-counting branch and is
+    # near-exact; the big one lands within the ~13% HLL band at p=6
+    assert abs(ests["small"] - 9) < 2
+    assert 0.5 * 4000 < ests["big"] < 1.6 * 4000
+
+    half1 = hll_build_grouped(df.limit(2000), "grp", p=6)
+    half2 = hll_build_grouped(df.subtract(df.limit(2000)), "grp", p=6)
+    merged = {
+        (r["grp"], r["idx"]): r["rho"]
+        for r in hll_merge_grouped(half1, half2).collect()
+    }
+    whole = {
+        (r["grp"], r["idx"]): r["rho"] for r in grouped.collect()
+    }
+    assert merged == whole
+
+
 def test_training_order_md5_matches_python_and_is_partition_invariant(spark):
     """(shard, pos) equals a pure-Python md5 re-derivation (the
     cross-engine contract) and is invariant to input partitioning — the
