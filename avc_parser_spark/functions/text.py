@@ -1249,6 +1249,225 @@ def bpe_encode(
     return docs.withColumn("bpe_tokens", enc(F.col(text_col)))
 
 
+UNIGRAM_UNK_MICRO = -20_000_000  # score for a char absent from the vocab
+
+
+def _unigram_viterbi(
+    word: str, scores: dict[str, int], max_len: int
+) -> list[str]:
+    """Best segmentation of `word` under integer-micro piece log-probs:
+    maximize the score sum; ties broken toward the LONGER last piece,
+    then the lexicographically smaller one — a total, engine-free rule
+    (the pure-Python test twin brute-forces all segmentations with the
+    same key). Chars outside the vocab segment as themselves at
+    UNIGRAM_UNK_MICRO (total coverage — no unencodable text)."""
+    n = len(word)
+    # best[i] = (score, last_piece) for word[:i]
+    best: list[tuple[int, str] | None] = [None] * (n + 1)
+    best[0] = (0, "")
+    for i in range(1, n + 1):
+        for l in range(1, min(max_len, i) + 1):
+            piece = word[i - l:i]
+            s = scores.get(piece)
+            if s is None:
+                if l != 1:
+                    continue
+                s = UNIGRAM_UNK_MICRO
+            prev = best[i - l]
+            if prev is None:
+                continue
+            cand = (prev[0] + s, piece)
+            cur = best[i]
+            if (
+                cur is None
+                or cand[0] > cur[0]
+                or (
+                    cand[0] == cur[0]
+                    and (
+                        len(piece) > len(cur[1])
+                        or (len(piece) == len(cur[1]) and piece < cur[1])
+                    )
+                )
+            ):
+                best[i] = cand
+    out: list[str] = []
+    i = n
+    while i > 0:
+        piece = best[i][1]
+        out.append(piece)
+        i -= len(piece)
+    return list(reversed(out))
+
+
+def train_unigram(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 200,
+    seed_size: int = 600,
+    iters: int = 3,
+    max_piece_len: int = 6,
+) -> list[tuple[str, int]]:
+    """Unigram-LM tokenizer training (Kudo 2018 / the SentencePiece
+    'unigram' model, simplified to HARD EM: Viterbi counts instead of
+    full forward–backward expectations, frequency pruning instead of
+    loss-delta pruning — deviations pinned in the tests; no reference-repo
+    analog, this is the other mainstream vocabulary learner next to
+    train_bpe). Returns [(piece, score_micro)] with score_micro =
+    round(ln(count/total)·1e6) — integer log-probs, so segmentation is
+    deterministic cross-engine.
+
+    100 TB shape (the train_bpe contract): the corpus crosses a shuffle
+    exactly ONCE (normalized word counts → the Zipf-bounded distinct-word
+    table, localCheckpoint'ed). Seeding = one substring explode over that
+    table + a distributed top-`seed_size` (TakeOrderedAndProject, bounded
+    broadcast). Each EM iteration = one Arrow-batched Viterbi pass over
+    the distinct words (vocab carried in the closure, per-word cache) +
+    one vocab-bounded groupBy; driver state = the ≤ seed_size piece list.
+    Single chars are always retained (total coverage)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    import math
+
+    from avc_parser_spark.functions.dedup import normalized_text
+
+    words = (
+        docs.select(
+            F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+
+    # seed: all substrings (len ≤ max_piece_len) weighted by word count,
+    # top seed_size by (weight desc, piece asc) — native explode + one
+    # partial-agg shuffle + TakeOrderedAndProject; chars ride along and
+    # are union'ed back in unconditionally below.
+    # substring(w, i+1, l) needs both lambda vars — Spark's 2-param
+    # higher-order lambdas bind (elem, idx) (project gotcha), so the
+    # inner lambda captures i via a closure factory:
+    def _sub_factory(i_col):
+        return lambda l: F.expr("w").substr(i_col + 1, l)
+
+    subs = words.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.length("w") - 1),
+                    lambda i: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(F.lit(max_piece_len), F.length("w") - i),
+                        ),
+                        _sub_factory(i),
+                    ),
+                )
+            )
+        ).alias("piece"),
+        F.col("c"),
+    )
+    seed_rows = (
+        subs.groupBy("piece")
+        .agg(F.sum("c").alias("n"))
+        .orderBy(F.desc("n"), F.asc("piece"))
+        .limit(seed_size)
+        .collect()
+    )
+    char_rows = (
+        words.select(F.explode(F.split("w", "")).alias("piece"), "c")
+        .filter(F.col("piece") != "")
+        .groupBy("piece")
+        .agg(F.sum("c").alias("n"))
+        .collect()
+    )
+    counts: dict[str, int] = {r["piece"]: int(r["n"]) for r in seed_rows}
+    chars = {r["piece"]: int(r["n"]) for r in char_rows}
+    counts.update(chars)
+    if not counts:
+        return []
+
+    def _scores(cnts: dict[str, int]) -> dict[str, int]:
+        total = sum(cnts.values())
+        return {
+            p: int(round(math.log(n / total) * 1_000_000))
+            for p, n in cnts.items()
+        }
+
+    scores = _scores(counts)
+    for _ in range(iters):
+        sc, ml = dict(scores), max_piece_len
+
+        @pandas_udf(ArrayType(StringType()))
+        def seg(ws: pd.Series) -> pd.Series:
+            cache: dict[str, list[str]] = {}
+
+            def one(w):
+                if w not in cache:
+                    cache[w] = _unigram_viterbi(w, sc, ml)
+                return cache[w]
+
+            return ws.map(one)
+
+        used = (
+            words.select(F.explode(seg(F.col("w"))).alias("piece"), "c")
+            .groupBy("piece")
+            .agg(F.sum("c").alias("n"))
+            .collect()
+        )
+        counts = {r["piece"]: int(r["n"]) for r in used}
+        # prune to vocab_size by (count desc, piece asc); single chars are
+        # never dropped (coverage); unk placeholders ('' keys never occur)
+        multi = sorted(
+            ((p, n) for p, n in counts.items() if len(p) > 1),
+            key=lambda x: (-x[1], x[0]),
+        )
+        keep = dict(multi[: max(0, vocab_size - len(chars))])
+        for ch in chars:
+            # chars never drop (total coverage); floor 1 keeps a char the
+            # Viterbi stopped using scoreable (log 0 is undefined)
+            keep[ch] = max(1, counts.get(ch, 0))
+        scores = _scores(keep)
+    return sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+
+
+def unigram_encode(
+    docs: DataFrame,
+    vocab: list[tuple[str, int]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained unigram vocab: adds `unigram_tokens` — one
+    Arrow-batched Viterbi pass (vocab in the closure, per-word cache),
+    the same sanctioned per-payload class as bpe_encode."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    sc = dict(vocab)
+    ml = max((len(p) for p in sc), default=1)
+
+    @pandas_udf(ArrayType(StringType()))
+    def enc(texts: pd.Series) -> pd.Series:
+        import re as _re
+
+        cache: dict[str, list[str]] = {}
+
+        def doc(t):
+            t = _re.sub(r"\s+", " ", (t or "").strip().lower())
+            toks: list[str] = []
+            for w in t.split(" "):
+                if not w:
+                    continue
+                if w not in cache:
+                    cache[w] = _unigram_viterbi(w, sc, ml)
+                toks.extend(cache[w])
+            return toks
+
+        return texts.map(doc)
+
+    return docs.withColumn("unigram_tokens", enc(F.col(text_col)))
+
+
 def chunk_documents(
     docs: DataFrame,
     size: int = 32,

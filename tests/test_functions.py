@@ -1969,6 +1969,151 @@ def test_bpe_encode_applies_merges(spark):
     assert "".join(toks).replace("</w>", " ").strip() == "low lowest zz"
 
 
+def test_unigram_viterbi_matches_bruteforce():
+    """Viterbi segmentation ≡ brute-force enumeration of EVERY
+    segmentation: the DP must achieve the optimal total score (ties are
+    resolved by the pinned longer-last-piece/lex rule; optimality is the
+    independent check) over randomized piece scores."""
+    import random
+
+    from avc_parser_spark.functions.text import (
+        UNIGRAM_UNK_MICRO,
+        _unigram_viterbi,
+    )
+
+    rng = random.Random(13)
+    pieces = ["a", "b", "c", "ab", "bc", "abc", "cab", "bb", "cc"]
+    for trial in range(200):
+        scores = {p: rng.randint(-30, -1) * 250_000 for p in pieces}
+        word = "".join(rng.choice("abcd") for _ in range(rng.randint(1, 8)))
+
+        def seg_score(seg):
+            total = 0
+            for p in seg:
+                s = scores.get(p)
+                if s is None:
+                    if len(p) != 1:
+                        return None
+                    s = UNIGRAM_UNK_MICRO
+                total += s
+            return total
+
+        def all_segs(w):
+            if not w:
+                yield []
+                return
+            for l in range(1, min(6, len(w)) + 1):
+                head = w[:l]
+                if head not in scores and l != 1:
+                    continue
+                for rest in all_segs(w[l:]):
+                    yield [head] + rest
+
+        best_score = max(seg_score(seg) for seg in all_segs(word))
+        got = _unigram_viterbi(word, scores, 6)
+        assert "".join(got) == word
+        assert seg_score(got) == best_score, (word, got, best_score)
+
+
+def _unigram_python_twin(texts, vocab_size, seed_size, iters, max_piece_len):
+    """Pure-Python replica of train_unigram's whole pipeline (word counts,
+    positional substring seed, hard-EM with pruning, char floor)."""
+    import math
+    import re
+    from collections import Counter
+
+    from avc_parser_spark.functions.text import _unigram_viterbi
+
+    words = Counter()
+    for t in texts:
+        t = re.sub(r"\s+", " ", t.strip().lower())
+        for w in t.split(" "):
+            if w:
+                words[w] += 1
+
+    sub_counts = Counter()
+    chars = Counter()
+    for w, c in words.items():
+        for i in range(len(w)):
+            chars[w[i]] += c
+            for l in range(1, min(max_piece_len, len(w) - i) + 1):
+                sub_counts[w[i:i + l]] += c
+    seed = dict(
+        sorted(sub_counts.items(), key=lambda x: (-x[1], x[0]))[:seed_size]
+    )
+    counts = dict(seed)
+    counts.update(chars)
+    if not counts:
+        return []
+
+    def scores_of(cnts):
+        total = sum(cnts.values())
+        return {
+            p: int(round(math.log(n / total) * 1_000_000))
+            for p, n in cnts.items()
+        }
+
+    scores = scores_of(counts)
+    for _ in range(iters):
+        used = Counter()
+        for w, c in words.items():
+            for p in _unigram_viterbi(w, scores, max_piece_len):
+                used[p] += c
+        counts = dict(used)
+        multi = sorted(
+            ((p, n) for p, n in counts.items() if len(p) > 1),
+            key=lambda x: (-x[1], x[0]),
+        )
+        keep = dict(multi[: max(0, vocab_size - len(chars))])
+        for ch in chars:
+            keep[ch] = max(1, counts.get(ch, 0))
+        scores = scores_of(keep)
+    return sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+
+
+def test_train_unigram_matches_python_twin(spark):
+    """Distributed unigram training ≡ the pure-Python pipeline twin piece
+    for piece and score for score (integer micro log-probs)."""
+    from avc_parser_spark.functions.text import train_unigram
+
+    texts = [
+        "internationalization international internal nation",
+        "the nation the national anthem the internet",
+        "internal internet interns in tern nation nation",
+    ] * 2
+    got = train_unigram(
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        ),
+        vocab_size=40,
+        seed_size=120,
+        iters=3,
+    )
+    want = _unigram_python_twin(
+        texts, vocab_size=40, seed_size=120, iters=3, max_piece_len=6
+    )
+    assert got == want
+    assert any(len(p) > 1 for p, _ in got)  # learned real multi-char pieces
+
+
+def test_unigram_encode_roundtrip_and_unk(spark):
+    """Tokens concatenate back to the normalized words; never-seen chars
+    segment as themselves (UNK floor — total coverage)."""
+    from avc_parser_spark.functions.text import train_unigram, unigram_encode
+
+    docs = spark.createDataFrame(
+        [(0, "banana band ban banana bandana")], ["doc_id", "text"]
+    )
+    vocab = train_unigram(docs, vocab_size=20, seed_size=60, iters=2)
+    rows = unigram_encode(
+        spark.createDataFrame([(1, "banana bandana xq")], ["doc_id", "text"]),
+        vocab,
+    ).collect()
+    toks = rows[0]["unigram_tokens"]
+    assert "".join(toks) == "bananabandanaxq"
+    assert "x" in toks and "q" in toks  # unseen chars fall back to UNK
+
+
 def test_extract_html_text_behavior(spark):
     """HTML→text extraction: script/style/head/comments dropped, block tags
     become newlines, entities decode AFTER tag strip (no double-decode),
