@@ -238,11 +238,12 @@ def hits_micro(
 
     Scale shape: per round two joins + two partial-agg groupBys over the
     edge table (state bounded by |nodes|); each half-round's aggregated
-    (≤|nodes|-row) sum frame is localCheckpoint'ed once — its max then
-    collects as ONE scalar (bounded driver state, the resolver-convergence
-    pattern) and normalization folds it in as a literal, so nothing
-    upstream recomputes. Fixed iteration count keeps the result a pure
-    function of (edges, iters)."""
+    (≤|nodes|-row) sum frame is localCheckpoint'ed once (un-checkpointed,
+    the 3-way self-reference re-inlines the whole upstream chain per
+    round — measured 151 s on a 3-node graph, hard-won) and its 1-row max
+    rides back as a broadcast cross-join, so normalization adds no extra
+    job and no driver action. Fixed iteration count keeps the result a
+    pure function of (edges, iters)."""
     if iters < 0:
         raise ValueError("hits_micro: iters must be >= 0")
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -267,12 +268,19 @@ def hits_micro(
             .agg(F.sum("hub_micro").alias("ar"))
             .localCheckpoint()
         )
-        am = araw.agg(F.max("ar")).first()[0]
-        auth = nodes.join(araw, "node", "left").select(
-            "node",
-            F.expr(
-                f"coalesce(ar, 0L) * {RANK_SCALE} div {am}"
-            ).cast("long").alias("auth_micro"),
+        # the 1-row max rides as a broadcast cross-join computed from the
+        # CHECKPOINTED sum frame inside the consumer's job — no extra
+        # driver action, and nothing upstream recomputes
+        amax = araw.agg(F.max("ar").alias("am"))
+        auth = (
+            nodes.join(araw, "node", "left")
+            .crossJoin(F.broadcast(amax))
+            .select(
+                "node",
+                F.expr(
+                    f"coalesce(ar, 0L) * {RANK_SCALE} div am"
+                ).cast("long").alias("auth_micro"),
+            )
         )
         hraw = (
             e.join(auth.select(F.col("node").alias("dst"), "auth_micro"), "dst")
@@ -280,15 +288,16 @@ def hits_micro(
             .agg(F.sum("auth_micro").alias("hr"))
             .localCheckpoint()
         )
-        hm = hraw.agg(F.max("hr")).first()[0]
+        hmax = hraw.agg(F.max("hr").alias("hm"))
         scores = (
             nodes.join(auth, "node", "left")
             .join(hraw, "node", "left")
+            .crossJoin(F.broadcast(hmax))
             .select(
                 "node",
                 "auth_micro",
                 F.expr(
-                    f"coalesce(hr, 0L) * {RANK_SCALE} div {hm}"
+                    f"coalesce(hr, 0L) * {RANK_SCALE} div hm"
                 ).cast("long").alias("hub_micro"),
             )
             .localCheckpoint()
