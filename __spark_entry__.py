@@ -2436,11 +2436,70 @@ _EVENTS_WINDOWS_SQL = """
 
 
 def q_events_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window functions over two different partitionings in one pass:
-    per-user 5-row moving average (bounded ROWS frame), dense_rank and a
-    running sum per event_type."""
+    """Windowing + temporal-join suite, mode-tagged:
+    - 'win': per-user 5-row moving average, dense_rank and a running sum
+      per event_type (two window partitionings in one pass);
+    - 'asof': functions/joins.py::asof_join — every event attaches the
+      LATEST marker event (event_id % 97 == 0) at-or-before its ts within
+      its event_type. The Spark side is the JOIN-FREE union+window
+      carry-forward; the oracle is DuckDB's NATIVE `ASOF LEFT JOIN` — two
+      independent implementations of the operator;
+    - 'range': functions/joins.py::range_join — (event, marker) pairs
+      where the event falls in the marker's 1-day window [ts, ts+1d];
+      bucketized equi-join (no nested-loop, plan-gated in pytest) vs the
+      oracle's plain inequality join."""
+    from avc_parser_spark.functions.joins import asof_join, range_join
+
     _views(spark, sf_dir, ["events"])
-    return spark.sql(_EVENTS_WINDOWS_SQL)
+    null_d = F.lit(None).cast("double")
+    win = spark.sql(_EVENTS_WINDOWS_SQL).select(
+        F.lit("win").alias("mode"),
+        "event_id",
+        F.col("event_type").alias("k"),
+        F.col("rk").cast("long").alias("n1"),
+        F.col("moving_avg").alias("x1"),
+        F.col("running_value").alias("x2"),
+    )
+    ev = spark.table("events").select("event_id", "event_type", "ts")
+    markers = (
+        spark.table("events")
+        .filter(F.col("event_id") % 97 == 0)
+        .select(
+            "event_type",
+            "ts",
+            F.col("event_id").alias("marker_id"),
+            F.round("value", 4).alias("marker_value"),
+        )
+    )
+    asof = asof_join(
+        ev, markers, on="ts", by=["event_type"],
+        value_cols=["marker_id", "marker_value"],
+    ).select(
+        F.lit("asof").alias("mode"),
+        "event_id",
+        F.col("event_type").alias("k"),
+        F.col("marker_id_asof").cast("long").alias("n1"),
+        F.col("marker_value_asof").alias("x1"),
+        null_d.alias("x2"),
+    )
+    intervals = markers.select(
+        "event_type",
+        F.col("marker_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("hi"),
+    )
+    rng = range_join(
+        ev, intervals, "ts", "lo", "hi", by=["event_type"],
+        bucket_width=86400.0,
+    ).select(
+        F.lit("range").alias("mode"),
+        "event_id",
+        F.col("event_type").alias("k"),
+        F.col("marker_id").cast("long").alias("n1"),
+        null_d.alias("x1"),
+        null_d.alias("x2"),
+    )
+    return win.unionByName(asof).unionByName(rng)
 
 
 
@@ -4721,7 +4780,32 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
             GROUP BY l.l_linestatus
         """,
-        "events_window_funcs": _EVENTS_WINDOWS_SQL,
+        # 'win' = the window battery; 'asof' = DuckDB's NATIVE ASOF LEFT
+        # JOIN (an independent implementation of the operator the Spark
+        # side builds join-free via union+window); 'range' = plain
+        # inequality join (the Spark side is the bucketized equi-join).
+        "events_window_funcs": f"""
+            WITH win AS ({_EVENTS_WINDOWS_SQL}),
+            markers AS (
+              SELECT event_type, ts, event_id AS marker_id,
+                     (round(value, 4))::DOUBLE AS marker_value
+              FROM events WHERE event_id % 97 = 0)
+            SELECT 'win' AS mode, event_id, event_type AS k,
+                   CAST(rk AS BIGINT) AS n1, moving_avg AS x1,
+                   running_value AS x2
+            FROM win
+            UNION ALL
+            SELECT 'asof', e.event_id, e.event_type,
+                   m.marker_id, m.marker_value, CAST(NULL AS DOUBLE)
+            FROM events e ASOF LEFT JOIN markers m
+              ON e.event_type = m.event_type AND e.ts >= m.ts
+            UNION ALL
+            SELECT 'range', e.event_id, e.event_type,
+                   m.marker_id, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+            FROM events e JOIN markers m
+              ON e.event_type = m.event_type
+             AND e.ts >= m.ts AND e.ts <= m.ts + INTERVAL 1 DAY
+        """,
         "events_type_stats": """
             SELECT event_type,
                    (round(quantile_cont(value, 0.5), 4))::DOUBLE AS p50,

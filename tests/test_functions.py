@@ -2934,6 +2934,114 @@ def test_cms_heavy_hitters_gate_is_codegen_filter(spark):
     # structural facts — no join, one candidate shuffle — are the gate)
 
 
+def test_asof_join_matches_bruteforce(spark):
+    """Union+window as-of join ≡ per-row brute force over random data:
+    backward, forward, tolerance, and no-match NULLs."""
+    import random
+
+    from avc_parser_spark.functions.joins import asof_join
+
+    rng = random.Random(7)
+    lrows = [
+        (i, rng.choice("abc"), float(rng.randint(0, 100)))
+        for i in range(120)
+    ]
+    rrows = []
+    seen = set()
+    for j in range(40):
+        g, t = rng.choice("abc"), float(rng.randint(0, 100))
+        if (g, t) in seen:  # right (by, on) must be unique (documented)
+            continue
+        seen.add((g, t))
+        rrows.append((g, t, f"v{j}"))
+    left = spark.createDataFrame(lrows, "id long, g string, t double")
+    right = spark.createDataFrame(rrows, "g string, t double, v string")
+
+    def brute(direction, tol=None):
+        out = {}
+        for i, g, t in lrows:
+            if direction == "backward":
+                cands = [(rt, rv) for rg, rt, rv in rrows if rg == g and rt <= t]
+                m = max(cands) if cands else None
+            else:
+                cands = [(rt, rv) for rg, rt, rv in rrows if rg == g and rt >= t]
+                m = min(cands) if cands else None
+            if m is not None and tol is not None and abs(m[0] - t) > tol:
+                m = None
+            out[i] = m
+        return out
+
+    for direction in ("backward", "forward"):
+        got = {
+            r["id"]: (
+                None
+                if r["t_asof"] is None
+                else (r["t_asof"], r["v_asof"])
+            )
+            for r in asof_join(
+                left, right, on="t", by=["g"], value_cols=["v"],
+                direction=direction,
+            ).collect()
+        }
+        assert got == brute(direction), direction
+
+    got_tol = {
+        r["id"]: (None if r["t_asof"] is None else (r["t_asof"], r["v_asof"]))
+        for r in asof_join(
+            left, right, on="t", by=["g"], value_cols=["v"], tolerance_sec=5.0
+        ).collect()
+    }
+    assert got_tol == brute("backward", tol=5.0)
+
+
+def test_asof_join_is_join_free(spark):
+    """The plan must contain NO join operator — one exchange on the
+    by-keys and a window carry-forward is the whole operator."""
+    from avc_parser_spark.functions.joins import asof_join
+
+    left = spark.createDataFrame([(1, "a", 1.0)], "id long, g string, t double")
+    right = spark.createDataFrame([("a", 1.0, "x")], "g string, t double, v string")
+    plan = asof_join(left, right, on="t", by=["g"], value_cols=["v"])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_range_join_matches_bruteforce_and_no_nested_loop(spark):
+    """Bucketized point-in-interval join ≡ brute-force filter (inclusive
+    ends, multi-coverage, empty/inverted intervals dropped) across bucket
+    widths spanning the interval sizes; plan has a hash join, never a
+    nested loop or cartesian product."""
+    import random
+
+    from avc_parser_spark.functions.joins import range_join
+
+    rng = random.Random(23)
+    pts = [(i, rng.choice("ab"), float(rng.randint(0, 200))) for i in range(80)]
+    ivs = []
+    for j in range(25):
+        lo = float(rng.randint(0, 200))
+        ivs.append((rng.choice("ab"), lo, lo + rng.choice([-3.0, 0.0, 7.0, 40.0]), j))
+    p_df = spark.createDataFrame(pts, "pid long, g string, p double")
+    i_df = spark.createDataFrame(ivs, "g string, lo double, hi double, iid long")
+    want = sorted(
+        (pid, iid)
+        for pid, pg, p in pts
+        for ig, lo, hi, iid in ivs
+        if pg == ig and lo <= p <= hi
+    )
+    for width in (1.0, 10.0, 500.0):
+        joined = range_join(
+            p_df, i_df, "p", "lo", "hi", by=["g"], bucket_width=width
+        )
+        got = sorted((r["pid"], r["iid"]) for r in joined.collect())
+        assert got == want, width
+    plan = range_join(
+        p_df, i_df, "p", "lo", "hi", by=["g"], bucket_width=10.0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan, plan
+
+
 def test_hll_grouped_matches_per_group_global(spark):
     """Per-group registers == hll_build on each group's subset; the native
     per-group estimate equals the driver-side hll_estimate formula on the
