@@ -622,6 +622,79 @@ def test_sketch_stream_merges_to_whole_corpus_sketch(spark, tmp_path):
     assert len(batches) == 2
 
 
+def test_continuous_rollup_incremental_refresh(spark, tmp_path):
+    """Hypertable-rollup maintenance: after an ingest batch (including
+    LATE rows for an old day), refreshing only the touched days equals
+    the full recompute, untouched day partitions' files are not
+    rewritten, and the touched-days scan over the day-partitioned base
+    is directory-pruned."""
+    import datetime
+    import os
+
+    from avc_parser_spark.functions.rollup import (
+        _rollup_frame,
+        read_rollup,
+        refresh_rollup,
+        write_rollup,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(600):
+        day = i % 3
+        ts = t0 + datetime.timedelta(days=day, minutes=(i * 7) % 1440)
+        rows.append((i, ts, f"t{i % 4}", float(i % 10)))
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    # delta = every day-2 row plus LATE day-0 rows (i % 97 == 0)
+    is_delta = lambda i: i % 3 == 2 or (i % 3 == 0 and i % 97 == 0)  # noqa: E731
+    initial = spark.createDataFrame(
+        [r for r in rows if not is_delta(r[0])], schema
+    )
+    delta = spark.createDataFrame([r for r in rows if is_delta(r[0])], schema)
+
+    base_path = str(tmp_path / "events_base")
+    roll_path = str(tmp_path / "rollup")
+    day_of = lambda df: df.withColumn("day", F.to_date("ts"))  # noqa: E731
+    day_of(initial).write.partitionBy("day").parquet(base_path)
+    write_rollup(initial, roll_path)
+
+    day_of(delta).write.mode("append").partitionBy("day").parquet(base_path)
+    full = spark.read.parquet(base_path)
+
+    untouched_dir = os.path.join(roll_path, "day=2024-01-02")
+    before = {
+        f: os.path.getmtime(os.path.join(untouched_dir, f))
+        for f in os.listdir(untouched_dir)
+    }
+    refreshed = refresh_rollup(
+        spark, full, delta, roll_path, day_col="day"
+    )
+    assert sorted(refreshed) == ["2024-01-01", "2024-01-03"]
+
+    as_map = lambda df: {  # noqa: E731
+        (str(r["day"]), str(r["hour_start"]), r["event_type"]): (
+            r["n_events"], r["sum_value"]
+        )
+        for r in df.collect()
+    }
+    want = as_map(_rollup_frame(full.drop("day"), "ts", "event_type"))
+    got = as_map(read_rollup(spark, roll_path))
+    assert got == want
+
+    after = {
+        f: os.path.getmtime(os.path.join(untouched_dir, f))
+        for f in os.listdir(untouched_dir)
+    }
+    assert after == before  # untouched day partition not rewritten
+
+    plan = full.filter(
+        F.col("day").isin(["2024-01-01", "2024-01-03"])
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan.split(
+        "PartitionFilters"
+    )[1][:200], plan
+
+
 def test_extract_links_prunes_scan_columns(spark, tmp_path):
     """The scan feeding extract_links reads only (doc_id, html) — heavy
     sibling columns (text) must not cross the parquet boundary."""
