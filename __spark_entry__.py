@@ -496,6 +496,11 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode='order' — deterministic training-data order (training_order:
     shard = md5-key mod 8, pos = within-shard key rank; one hash exchange
     + local sort, no global sort): k=doc_id, n1=shard, n2=pos;
+    mode='kmv' — KMV/theta sketch (kmv_build: the 256 smallest distinct
+    md5-slice hashes — a pure function of the value set, so the sketch
+    TABLE re-derives exactly): k=rank rows with n1=hash, plus k='est'
+    (integer distinct estimate) and k='ix_en_de' (theta intersection of
+    the en/de vocabularies — the set op HLL can't express);
     mode='hll' — HyperLogLog cardinality registers over the word stream
     (hll_build, p=6 ⇒ ≤64 rows however large the corpus): k=register
     idx, n1=rho max (pure integer arithmetic ⇒ the sketch itself is
@@ -915,6 +920,41 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").alias("n2"),
         null_n.alias("n3"), null_n.alias("n4"), null_n.alias("n5"),
     )
+    from avc_parser_spark.functions.dedup import (
+        kmv_build,
+        kmv_estimate,
+        kmv_intersect_estimate,
+    )
+
+    # kmv: theta/KMV sketch — the k smallest DISTINCT md5-slice hashes of
+    # the word stream. A pure function of the value SET ⇒ the sketch
+    # TABLE itself (k='1'..'256' rank rows), the integer distinct
+    # estimate, and the en∩de vocabulary-intersection estimate (the set
+    # op HLL can't express) are all re-derived bit-exactly in DuckDB.
+    kmv_k = 256
+    sk_all = kmv_build(hll_terms, k=kmv_k).localCheckpoint()
+    kmv_hashes = sorted(int(r["h"]) for r in sk_all.collect())
+    kmv_est = kmv_estimate(sk_all, k=kmv_k)
+
+    def _lang_terms(lang: str):
+        return docs.filter(F.col("lang") == lang).select(
+            F.explode(F.split(F.col("text"), " ")).alias("term")
+        ).filter(F.col("term") != "")
+
+    sk_en = kmv_build(_lang_terms("en"), k=kmv_k).localCheckpoint()
+    sk_de = kmv_build(_lang_terms("de"), k=kmv_k).localCheckpoint()
+    kmv_ix = kmv_intersect_estimate(sk_en, sk_de, k=kmv_k)
+    kmv = spark.createDataFrame(
+        [
+            ("kmv", str(i + 1), h, None, None, None, None)
+            for i, h in enumerate(kmv_hashes)
+        ]
+        + [
+            ("kmv", "est", int(kmv_est), None, None, None, None),
+            ("kmv", "ix_en_de", int(kmv_ix), None, None, None, None),
+        ],
+        "mode string, k string, n1 long, n2 long, n3 long, n4 long, n5 long",
+    )
     hll = hll_regs.join(hll_distinct, "idx").select(
         F.lit("hll").alias("mode"),
         F.col("idx").cast("string").alias("k"),
@@ -937,6 +977,7 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cms)
         .unionByName(heavy)
         .unionByName(order)
+        .unionByName(kmv)
         .unionByName(hll)
         .unionByName(wsample)
         .unionByName(quant)
@@ -3635,6 +3676,72 @@ def _token_suite_order_branch() -> str:
         """)
 
 
+def _token_suite_kmv_branch() -> str:
+    """token_suite mode='kmv': the KMV/theta sketch is a pure function of
+    the value set, so DuckDB re-derives the sketch TABLE (distinct-order-
+    limit), the integer distinct estimate ((k-1)·2^60 // h_k, HUGEINT
+    intermediate), and the theta intersection estimate exactly."""
+    return ("""
+            UNION ALL
+            SELECT 'kmv', kk, n1, cast(null as bigint), cast(null as bigint),
+                   cast(null as bigint), cast(null as bigint)
+            FROM (
+              WITH kwords AS (
+                SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+              kw AS (SELECT term FROM kwords WHERE term <> ''),
+              ksk AS (
+                SELECT DISTINCT ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+                FROM kw ORDER BY h LIMIT 256),
+              ewords AS (
+                SELECT unnest(string_split(text, ' ')) AS term
+                FROM documents WHERE lang = 'en'),
+              esk AS (
+                SELECT DISTINCT ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+                FROM ewords WHERE term <> '' ORDER BY h LIMIT 256),
+              dwords AS (
+                SELECT unnest(string_split(text, ' ')) AS term
+                FROM documents WHERE lang = 'de'),
+              dsk AS (
+                SELECT DISTINCT ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+                FROM dwords WHERE term <> '' ORDER BY h LIMIT 256),
+              usk AS (
+                SELECT h FROM (SELECT h FROM esk UNION SELECT h FROM dsk)
+                ORDER BY h LIMIT 256),
+              kparams AS (
+                SELECT (SELECT count(*) FROM ksk) AS nall,
+                       (SELECT max(h) FROM ksk) AS hk,
+                       (SELECT count(*) FROM esk) AS ne,
+                       (SELECT count(*) FROM dsk) AS nd,
+                       (SELECT max(h) FROM usk) AS theta),
+              kcommon AS (
+                SELECT count(*) AS c
+                FROM (SELECT h FROM esk INTERSECT SELECT h FROM dsk) t, kparams
+                WHERE t.h <= kparams.theta)
+              SELECT CAST(row_number() OVER (ORDER BY h) AS VARCHAR) AS kk,
+                     h AS n1
+              FROM ksk
+              UNION ALL
+              SELECT 'est',
+                     (CASE WHEN p.nall < 256 THEN p.nall::HUGEINT
+                      ELSE (255::HUGEINT * 1152921504606846976::HUGEINT)
+                           // p.hk END)::BIGINT
+              FROM kparams p
+              UNION ALL
+              SELECT 'ix_en_de',
+                     (CASE
+                       WHEN p.ne < 256 AND p.nd < 256 THEN
+                         (SELECT count(*) FROM
+                           (SELECT h FROM esk INTERSECT SELECT h FROM dsk)
+                         )::HUGEINT
+                       WHEN (SELECT c FROM kcommon) = 0 THEN 0::HUGEINT
+                       ELSE ((SELECT c FROM kcommon)::HUGEINT
+                             * 1152921504606846976::HUGEINT) // p.theta
+                      END)::BIGINT
+              FROM kparams p
+            ) kmvq
+        """)
+
+
 def _token_suite_hll_branch() -> str:
     """token_suite mode='hll': the FULL HyperLogLog register table (p=6,
     m=64) over the documents word stream, re-derived in DuckDB from the
@@ -4306,7 +4413,8 @@ def oracle_sql() -> dict[str, str]:
         """ + _token_suite_html_branch() + _token_suite_bm25_branch()
             + _token_suite_chunk_branch() + _token_suite_nfc_branch()
             + _token_suite_cms_branch() + _token_suite_heavy_branch()
-            + _token_suite_order_branch() + _token_suite_hll_branch()
+            + _token_suite_order_branch() + _token_suite_kmv_branch()
+            + _token_suite_hll_branch()
             + _token_suite_wsample_branch() + _token_suite_quantile_branch()
             + _token_suite_t5span_branch() + _token_suite_fim_branch(),
         "dedup_exact": """

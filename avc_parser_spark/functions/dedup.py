@@ -1503,6 +1503,88 @@ def hll_merge(*sketches: DataFrame) -> DataFrame:
     return out.groupBy("idx").agg(F.max("rho").cast("long").alias("rho"))
 
 
+KMV_BITS = 60  # md5-slice hash domain: 15 hex chars, positive in int64
+
+
+def kmv_build(values: DataFrame, col: str = "term", k: int = 256) -> DataFrame:
+    """KMV / theta sketch (Bar-Yossef et al. 2002; the DataSketches theta
+    family): the k SMALLEST distinct 60-bit md5-slice hashes of a value
+    stream, as one `h`-column table. Unlike HLL this sketch supports SET
+    OPERATIONS — union, and crucially INTERSECTION estimates (overlap of
+    two corpora's vocabularies/url sets) which HLL cannot express.
+
+    Determinism: the sketch is a PURE FUNCTION of the value SET (no
+    randomness, no order sensitivity — the k smallest distinct hashes are
+    what they are), so the sketch TABLE itself is re-derivable in any SQL
+    engine (DuckDB: SELECT DISTINCT hash ORDER BY hash LIMIT k).
+
+    Scale shape: one Arrow-batched numpy pass (the sanctioned batched
+    sketch-arithmetic class) keeps a per-batch unique-k-smallest —
+    bounded memory per task — emitting ≤ k rows per batch; the global
+    merge then runs distinct+TakeOrdered over that tiny candidate frame
+    (≤ k · n_batches rows), never over the corpus."""
+    import pandas as _pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    h = F.conv(F.substring(F.md5(F.col(col)), 1, 15), 16, 10).cast("long")
+    hashed = values.select(h.alias("h")).filter(F.col("h").isNotNull())
+
+    schema = StructType([StructField("h", LongType())])
+
+    def _batch_mins(batches):
+        import numpy as np
+
+        for pdf in batches:
+            arr = np.unique(pdf["h"].to_numpy())
+            yield _pd.DataFrame({"h": arr[:k]})
+
+    candidates = hashed.mapInPandas(_batch_mins, schema)
+    return candidates.distinct().orderBy("h").limit(k)
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 256) -> DataFrame:
+    """Sketch of the union stream == k smallest distinct hashes of the
+    concatenated sketch tables (exact — the union's k minima are among
+    each input's k minima)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256) -> int:
+    """Distinct-count estimate as an INTEGER (bit-exact cross-engine):
+    (k-1) · 2^60 // h_k. If the stream had fewer than k distinct values
+    the sketch is exhaustive and the count is exact."""
+    rows = sketch.collect()  # ≤ k rows, bounded
+    if len(rows) < k:
+        return len(rows)
+    hk = max(int(r["h"]) for r in rows)
+    return ((k - 1) << KMV_BITS) // hk
+
+
+def kmv_intersect_estimate(
+    a: DataFrame, b: DataFrame, k: int = 256
+) -> int:
+    """|A ∩ B| estimate from two sketches (the theta-sketch rule): theta =
+    the k-th smallest hash of the UNION sketch; count hashes below theta
+    present in BOTH sketches; estimate = common · 2^60 // theta (integer,
+    bit-exact). Exact when both streams had < k distinct values."""
+    ha = sorted(int(r["h"]) for r in a.collect())
+    hb = sorted(int(r["h"]) for r in b.collect())
+    union = sorted(set(ha) | set(hb))
+    if len(ha) < k and len(hb) < k:
+        return len(set(ha) & set(hb))
+    if len(union) > k:
+        union = union[:k]
+    theta = union[-1]
+    common = len({h for h in set(ha) & set(hb) if h <= theta})
+    if common == 0:
+        return 0
+    return (common << KMV_BITS) // theta
+
+
 def hll_build_grouped(
     values: DataFrame,
     group_col: str,

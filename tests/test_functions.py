@@ -3042,6 +3042,88 @@ def test_range_join_matches_bruteforce_and_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan, plan
 
 
+def test_kmv_sketch_matches_duckdb_and_estimates(spark):
+    """The KMV sketch table is a pure function of the value set — must be
+    IDENTICAL to DuckDB's distinct-order-limit re-derivation; estimates:
+    exact below k, within the ~1/√(k-2) band above; merge law == whole."""
+    import duckdb
+
+    from avc_parser_spark.functions.dedup import (
+        kmv_build,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    vals = [f"v{i % 5000}" for i in range(20000)]
+    df = spark.createDataFrame([(v,) for v in vals], "term: string")
+    sk = kmv_build(df, k=256)
+    got = [int(r["h"]) for r in sk.collect()]
+    want = [
+        int(r[0])
+        for r in duckdb.sql(
+            "SELECT DISTINCT ('0x' || substr(md5(t), 1, 15))::BIGINT AS h "
+            "FROM (SELECT unnest($v) AS t) ORDER BY h LIMIT 256",
+            params={"v": vals},
+        ).fetchall()
+    ]
+    assert sorted(got) == want
+
+    est = kmv_estimate(sk, k=256)
+    assert abs(est - 5000) < 5000 * 0.35  # ~5σ at k=256
+
+    small = kmv_build(
+        spark.createDataFrame([(f"s{i}",) for i in range(40)], "term: string"),
+        k=256,
+    )
+    assert kmv_estimate(small, k=256) == 40  # exhaustive → exact
+
+    half1 = kmv_build(df.limit(9000), k=256)
+    half2 = kmv_build(df.subtract(df.limit(9000)), k=256)
+    merged = sorted(
+        int(r["h"]) for r in kmv_merge(half1, half2, k=256).collect()
+    )
+    assert merged == sorted(got)
+
+
+def test_kmv_intersection_estimate(spark):
+    """Theta-style intersection: exact when both streams are below k;
+    within the error band on larger overlapping streams — the set
+    operation HLL cannot express."""
+    from avc_parser_spark.functions.dedup import (
+        kmv_build,
+        kmv_intersect_estimate,
+    )
+
+    a_small = spark.createDataFrame(
+        [(f"x{i}",) for i in range(60)], "term: string"
+    )
+    b_small = spark.createDataFrame(
+        [(f"x{i}",) for i in range(40, 100)], "term: string"
+    )
+    ask, bsk = kmv_build(a_small, k=256), kmv_build(b_small, k=256)
+    assert kmv_intersect_estimate(ask, bsk, k=256) == 20  # x40..x59 exact
+
+    a_big = spark.createDataFrame(
+        [(f"y{i}",) for i in range(4000)], "term: string"
+    )
+    b_big = spark.createDataFrame(
+        [(f"y{i}",) for i in range(2000, 6000)], "term: string"
+    )
+    est = kmv_intersect_estimate(
+        kmv_build(a_big, k=256), kmv_build(b_big, k=256), k=256
+    )
+    assert abs(est - 2000) < 2000 * 0.6  # intersection noise compounds
+    disjoint = kmv_intersect_estimate(
+        kmv_build(a_big, k=256),
+        kmv_build(
+            spark.createDataFrame([(f"z{i}",) for i in range(4000)], "term: string"),
+            k=256,
+        ),
+        k=256,
+    )
+    assert disjoint == 0
+
+
 def test_hll_grouped_matches_per_group_global(spark):
     """Per-group registers == hll_build on each group's subset; the native
     per-group estimate equals the driver-side hll_estimate formula on the
