@@ -129,6 +129,35 @@ def asof_join(
     return out
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join for a hot-keyed big side against a small-
+    but-not-broadcastable side (the explicit-salting companion to the
+    pipeline's salted aggregation and AQE's skew-join split): every big
+    row gets an arbitrary salt in [0, n_salts), the small side replicates
+    once per salt, and the join key becomes (key, salt) — a hot key's
+    rows spread across n_salts reducers instead of melting one. Results
+    are identical to the plain join (each big row matches exactly its own
+    salt's replica); cost = n_salts× the small side's shuffle volume.
+    `how` is inner|left (right/full would see the replicas)."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join: how must be inner|left")
+    keys = [on] if isinstance(on, str) else list(on)
+    b = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)),
+    )
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return b.join(s, keys + ["_salt"], how).drop("_salt")
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,

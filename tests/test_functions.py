@@ -3042,6 +3042,32 @@ def test_range_join_matches_bruteforce_and_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan, plan
 
 
+def test_salted_join_equals_plain_join_on_skewed_keys(spark):
+    """Salting must not change results: inner and left joins over a
+    heavily skewed key distribution (90% one key) equal the plain join
+    row-for-row, including unmatched-left NULLs and multi-row matches."""
+    from avc_parser_spark.functions.joins import salted_join
+
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"k{i}") for i in range(500)],
+        "id long, key string",
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.0), ("hot", 2.0), ("k20", 3.0), ("absent", 9.0)],
+        "key string, v double",
+    )
+    for how in ("inner", "left"):
+        want = sorted(
+            (r["id"], r["key"], r["v"])
+            for r in big.join(small, "key", how).collect()
+        )
+        got = sorted(
+            (r["id"], r["key"], r["v"])
+            for r in salted_join(big, small, "key", n_salts=8, how=how).collect()
+        )
+        assert got == want, how
+
+
 def test_kmv_sketch_matches_duckdb_and_estimates(spark):
     """The KMV sketch table is a pure function of the value set — must be
     IDENTICAL to DuckDB's distinct-order-limit re-derivation; estimates:
