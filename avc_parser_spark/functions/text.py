@@ -1678,6 +1678,37 @@ def weighted_sample(
     return gated.orderBy(key_col, id_col).limit(n)
 
 
+def histogram_quantiles(
+    docs: DataFrame,
+    value_col: str,
+    qs: tuple[int, ...] = (25, 50, 75, 90, 99),
+    bucket_width: float = 1.0,
+) -> DataFrame:
+    """Percentiles for UNBOUNDED numeric domains (floats, byte sizes,
+    scores — where exact_quantiles' per-VALUE table would itself be
+    corpus-sized): quantize to fixed-width buckets first, then run the
+    same bounded count-table + pinned ceiling-pick machinery over the
+    bucket table (≤ range/width rows however many rows the corpus has).
+    The answer is the BUCKET holding the exact-rule element: returns
+    (q, value_lo, value_hi, n_total) with the true q-th percentile
+    guaranteed inside [value_lo, value_hi) — error bounded by
+    bucket_width, the fixed-width-histogram quantile contract (mergeable
+    across batches: histograms add)."""
+    if bucket_width <= 0:
+        raise ValueError("histogram_quantiles: bucket_width must be > 0")
+    w = float(bucket_width)
+    scaled = docs.filter(F.col(value_col).isNotNull()).select(
+        F.floor(F.col(value_col).cast("double") / w).cast("long").alias("_hb")
+    )
+    out = exact_quantiles(scaled, "_hb", qs)
+    return out.select(
+        "q",
+        (F.col("value") * w).alias("value_lo"),
+        ((F.col("value") + 1) * w).alias("value_hi"),
+        "n_total",
+    )
+
+
 def exact_quantiles(
     docs: DataFrame,
     value_col: str,

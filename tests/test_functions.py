@@ -3702,6 +3702,34 @@ def test_exact_quantiles_matches_numpy_style_rederivation(spark):
         assert got[q] == (sv[thr - 1], n), (q, got[q])
 
 
+def test_histogram_quantiles_brackets_exact_quantile(spark):
+    """For unbounded float domains the returned bucket must contain the
+    exact pinned-rule percentile element ((q·n+99) div 100 over the
+    sorted values), across bucket widths; negative values included."""
+    import random
+
+    from avc_parser_spark.functions.text import histogram_quantiles
+
+    rng = random.Random(5)
+    vals = [rng.gauss(0, 50.0) for _ in range(3000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v: double")
+    sv = sorted(vals)
+    n = len(sv)
+    for width in (0.5, 7.0):
+        got = {
+            r["q"]: (r["value_lo"], r["value_hi"], r["n_total"])
+            for r in histogram_quantiles(
+                df, "v", (1, 25, 50, 75, 99, 100), bucket_width=width
+            ).collect()
+        }
+        for q in (1, 25, 50, 75, 99, 100):
+            lo, hi, ntot = got[q]
+            assert ntot == n
+            exact = sv[(q * n + 99) // 100 - 1]
+            assert lo <= exact < hi, (q, width, lo, exact, hi)
+            assert abs(hi - lo - width) < 1e-9
+
+
 def test_exact_quantiles_validates_q(spark):
     import pytest as _pt
 
