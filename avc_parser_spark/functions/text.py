@@ -1862,6 +1862,32 @@ def extract_link_rels(
     return out.filter(~F.col("nofollow")).drop("nofollow") if drop_nofollow else out
 
 
+def meta_robots_flags(html: Column) -> Column:
+    """struct(noindex, nofollow) from a page's <meta name="robots"> tag —
+    crawl-hygiene screens a curation pipeline must honor (a noindex page
+    asked not to be kept; page-level nofollow voids ALL its outlinks for
+    the rank graph, complementing extract_link_rels' per-link flags).
+    Handles either attribute order within the tag and the double-quoted
+    pinned subset; native regexp only."""
+    h = F.coalesce(html.cast("string"), F.lit(""))
+
+    def _directive(word: str) -> Column:
+        fwd = (
+            r'(?i)<meta[^>]*name\s*=\s*"robots"[^>]*content\s*=\s*"[^"]*\b'
+            + word + r'\b[^"]*"'
+        )
+        rev = (
+            r'(?i)<meta[^>]*content\s*=\s*"[^"]*\b' + word
+            + r'\b[^"]*"[^>]*name\s*=\s*"robots"'
+        )
+        return h.rlike(fwd) | h.rlike(rev)
+
+    return F.struct(
+        _directive("noindex").alias("noindex"),
+        _directive("nofollow").alias("nofollow"),
+    )
+
+
 def anchor_summary(
     docs: DataFrame,
     k: int = 5,

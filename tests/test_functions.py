@@ -3850,6 +3850,36 @@ def test_extract_link_rels_nofollow_is_tag_scoped(spark):
     assert kept == [(0, "https://a.com"), (1, "https://d.com")]
 
 
+def test_meta_robots_flags(spark):
+    """noindex/nofollow parsed from <meta name="robots"> in either
+    attribute order; word-boundary guarded; non-robots meta ignored."""
+    from avc_parser_spark.functions.text import meta_robots_flags
+
+    rows = [
+        (0, '<meta name="robots" content="noindex, nofollow">'),
+        (1, '<meta content="NOINDEX" name="robots">'),
+        (2, '<meta name="robots" content="index, follow">'),
+        (3, '<meta name="description" content="noindex">'),
+        (4, '<meta name="robots" content="nofollowed">'),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {
+        r["doc_id"]: (r["f"]["noindex"], r["f"]["nofollow"])
+        for r in df.select(
+            "doc_id", meta_robots_flags(F.col("html")).alias("f")
+        ).collect()
+    }
+    assert got == {
+        0: (True, True),
+        1: (True, False),
+        2: (False, False),
+        3: (False, False),
+        4: (False, False),
+        5: (False, False),
+    }
+
+
 def test_anchor_summary_top_k_with_tie_break(spark):
     """Per-target top-k anchors by corpus-wide count, (count desc, anchor
     asc) tie-break; empty anchors dropped."""
