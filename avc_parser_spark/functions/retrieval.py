@@ -306,3 +306,80 @@ def top_terms_per_doc(
             ).alias("terms")
         )
     )
+
+
+def mine_retrieval_triplets(
+    docs: DataFrame,
+    queries: list[str],
+    k_pos: int = 1,
+    n_hard: int = 2,
+    n_rand: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(query, positive, negative) training triplets for embedding-model
+    fine-tuning — the standard recipe: positives = the BM25 top-k_pos
+    docs per query, HARD negatives = the next n_hard BM25 ranks (high-
+    scoring non-positives, the examples that actually teach the margin),
+    plus n_rand RANDOM negatives drawn deterministically (smallest
+    md5(query || ':' || id) among docs that matched NO query term — a
+    pure function of (corpus, query), re-runnable).
+
+    Returns (query, pos_id, neg_id, neg_type['hard'|'rand'], pos_rank,
+    neg_rank) — neg_rank NULL for random negatives. Scale shape: the
+    query list is bounded (each BM25 pass is the hits-only narrow scan);
+    random negatives are one TakeOrdered over the non-matching corpus per
+    query — no shuffle of the corpus, no rand() nondeterminism."""
+    spark = docs.sparkSession
+    out = None
+    toks = _tokens_expr(text_col)
+    for q in queries:
+        ranked = bm25_topk(
+            docs, q.split(), k=k_pos + n_hard, text_col=text_col,
+            id_col=id_col,
+        ).select(id_col, "rank")
+        pos = ranked.filter(F.col("rank") <= k_pos)
+        hard = ranked.filter(F.col("rank") > k_pos)
+        pairs = (
+            pos.alias("p")
+            .crossJoin(hard.alias("h"))  # ≤ k_pos × n_hard rows — bounded
+            .select(
+                F.lit(q).alias("query"),
+                F.col(f"p.{id_col}").alias("pos_id"),
+                F.col(f"h.{id_col}").alias("neg_id"),
+                F.lit("hard").alias("neg_type"),
+                F.col("p.rank").alias("pos_rank"),
+                F.col("h.rank").alias("neg_rank"),
+            )
+        )
+        terms = sorted({t.lower() for t in q.split()})
+        nomatch = (
+            docs.select(F.col(id_col), toks.alias("_t"))
+            .filter(F.size(F.array_intersect(
+                F.col("_t"), F.array(*[F.lit(t) for t in terms])
+            )) == 0)
+            .select(
+                id_col,
+                F.md5(F.concat(F.lit(q + ":"), F.col(id_col).cast("string")))
+                .alias("_r"),
+            )
+            .orderBy("_r")
+            .limit(n_rand)
+        )
+        rand_pairs = (
+            pos.alias("p")
+            .crossJoin(nomatch.alias("n"))
+            .select(
+                F.lit(q).alias("query"),
+                F.col(f"p.{id_col}").alias("pos_id"),
+                F.col(f"n.{id_col}").alias("neg_id"),
+                F.lit("rand").alias("neg_type"),
+                F.col("p.rank").alias("pos_rank"),
+                F.lit(None).cast("long").alias("neg_rank"),
+            )
+        )
+        part = pairs.unionByName(rand_pairs)
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("mine_retrieval_triplets: need at least one query")
+    return out

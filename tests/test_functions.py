@@ -2281,6 +2281,51 @@ def test_bm25_topk_ranking_semantics(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_mine_retrieval_triplets(spark):
+    """Hard negatives = the BM25 ranks after the positives; random
+    negatives = the deterministic md5-smallest docs with NO query term
+    (re-derived with hashlib); pos/neg ids disjoint."""
+    import hashlib
+
+    from avc_parser_spark.functions.retrieval import (
+        bm25_topk,
+        mine_retrieval_triplets,
+    )
+
+    rows = [
+        (1, "spark vector spark vector filler"),
+        (2, "spark filler filler"),
+        (3, "spark filler"),
+        (4, "nothing relevant here"),
+        (5, "vector vector filler"),
+        (6, "completely unrelated words"),
+        (7, "also no query words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = "spark vector"
+    trip = mine_retrieval_triplets(
+        docs, [q], k_pos=1, n_hard=2, n_rand=2
+    ).collect()
+    ranked = [r["doc_id"] for r in bm25_topk(docs, q.split(), k=3).collect()]
+    pos = ranked[0]
+    hard = {
+        (r["pos_id"], r["neg_id"], r["neg_rank"])
+        for r in trip
+        if r["neg_type"] == "hard"
+    }
+    assert hard == {(pos, ranked[1], 2), (pos, ranked[2], 3)}
+    no_term = [4, 6, 7]
+    want_rand = sorted(
+        no_term, key=lambda i: hashlib.md5(f"{q}:{i}".encode()).hexdigest()
+    )[:2]
+    rand = {
+        r["neg_id"] for r in trip if r["neg_type"] == "rand"
+    }
+    assert rand == set(want_rand)
+    assert all(r["query"] == q for r in trip)
+    assert not ({r["neg_id"] for r in trip} & {pos})
+
+
 def test_bm25_duckdb_differential(spark):
     """Seeded random word-soup corpus: bm25_topk must reproduce the
     generated DuckDB twin EXACTLY (ids, integer micro scores, ranks) —
