@@ -488,6 +488,29 @@ def document_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return with_lang_guess(profiled, text_col)
 
 
+def temperature_weights(
+    counts: dict[str, int], temperature: float = 1.0, scale: int = 1_000_000
+) -> dict[str, int]:
+    """Temperature-scaled mixture weights from stratum counts — the
+    T5/mT5 multilingual-sampling rule: weight_s ∝ n_s^(1/T). T=1 keeps
+    natural proportions, T→∞ approaches uniform, intermediate T up-weights
+    low-resource strata without drowning high-resource ones (mT5 ships
+    T≈3.3). Returns integer weights (scaled, floor ≥ 1 for nonempty
+    strata) ready for sample_to_mixture; empty strata are dropped.
+    Driver-side arithmetic over the bounded stratum-count dict."""
+    if temperature <= 0:
+        raise ValueError("temperature_weights: temperature must be > 0")
+    pows = {
+        s: float(n) ** (1.0 / temperature)
+        for s, n in counts.items()
+        if n > 0
+    }
+    total = sum(pows.values())
+    if not total:
+        return {}
+    return {s: max(1, int(round(p / total * scale))) for s, p in pows.items()}
+
+
 def sample_to_mixture(
     docs: DataFrame,
     weights: dict[str, int],

@@ -3895,6 +3895,24 @@ def test_extract_link_rels_nofollow_is_tag_scoped(spark):
     assert kept == [(0, "https://a.com"), (1, "https://d.com")]
 
 
+def test_temperature_weights_properties():
+    """T=1 ≈ natural proportions; higher T compresses the ratio toward
+    uniform (mT5 rule); empty strata dropped; composes with
+    sample_to_mixture's integer-weight contract."""
+    from avc_parser_spark.functions.text import temperature_weights
+
+    counts = {"en": 90000, "sw": 100, "zz": 0}
+    w1 = temperature_weights(counts, 1.0)
+    assert "zz" not in w1
+    assert abs(w1["en"] / w1["sw"] - 900) / 900 < 0.01
+    w3 = temperature_weights(counts, 3.0)
+    ratio3 = w3["en"] / w3["sw"]
+    assert 1 < ratio3 < 20  # 900^(1/3) ≈ 9.65 — compressed toward uniform
+    wu = temperature_weights(counts, 1e9)
+    assert abs(wu["en"] - wu["sw"]) <= 1  # T→∞ → uniform
+    assert all(isinstance(v, int) and v >= 1 for v in w3.values())
+
+
 def test_meta_robots_flags(spark):
     """noindex/nofollow parsed from <meta name="robots"> in either
     attribute order; word-boundary guarded; non-robots meta ignored."""
