@@ -326,18 +326,22 @@ def mine_retrieval_triplets(
     pure function of (corpus, query), re-runnable).
 
     Returns (query, pos_id, neg_id, neg_type['hard'|'rand'], pos_rank,
-    neg_rank) — neg_rank NULL for random negatives. Scale shape: the
-    query list is bounded (each BM25 pass is the hits-only narrow scan);
-    random negatives are one TakeOrdered over the non-matching corpus per
-    query — no shuffle of the corpus, no rand() nondeterminism."""
-    spark = docs.sparkSession
+    neg_rank) — neg_rank NULL for random negatives. Scale shape: ALL
+    queries' positives+hard negatives come from ONE bm25_topk_multi pass
+    over the corpus (not Q scans); random negatives are one TakeOrdered
+    over the non-matching corpus per query — no corpus shuffle, no
+    rand() nondeterminism."""
     out = None
     toks = _tokens_expr(text_col)
+    ranked_all = bm25_topk_multi(
+        docs,
+        {q: q.split() for q in queries},
+        k=k_pos + n_hard,
+        text_col=text_col,
+        id_col=id_col,
+    ).select("query_id", id_col, "rank").localCheckpoint()
     for q in queries:
-        ranked = bm25_topk(
-            docs, q.split(), k=k_pos + n_hard, text_col=text_col,
-            id_col=id_col,
-        ).select(id_col, "rank")
+        ranked = ranked_all.filter(F.col("query_id") == q).drop("query_id")
         pos = ranked.filter(F.col("rank") <= k_pos)
         hard = ranked.filter(F.col("rank") > k_pos)
         pairs = (
@@ -383,3 +387,88 @@ def mine_retrieval_triplets(
     if out is None:
         raise ValueError("mine_retrieval_triplets: need at least one query")
     return out
+
+
+def bm25_topk_multi(
+    docs: DataFrame,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k per query for a BATCH of queries in ONE corpus pass — the
+    query-log serving shape (Q separate bm25_topk calls scan the corpus Q
+    times; here the union of all query terms rides a single isin filter
+    and per-query scoring reuses the shared hits frame). Identical
+    integer arithmetic to bm25_topk, so per-query results are EXACTLY the
+    single-query results (pytest-pinned).
+
+    Returns (query_id, id_col, score_micro, terms_matched, rank ≤ k).
+    Scale shape: one hits shuffle bounded by |∪terms|-matching docs; the
+    (query_id, term) map is broadcast (query logs are tiny next to the
+    corpus); per-query ranking is a window over each query's own hit set
+    (partitionBy query_id — hits stream through one sort per query)."""
+    if not queries:
+        raise ValueError("bm25_topk_multi: need at least one query")
+    norm = {
+        qid: sorted({t.lower() for t in terms})
+        for qid, terms in queries.items()
+    }
+    all_terms = sorted({t for ts in norm.values() for t in ts})
+
+    toks = _tokens_expr(text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    ).filter(F.col("term").isin(all_terms))
+    tfd = base.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
+    )
+    dfreq = tfd.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    totals = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens_expr(text_col))).cast("long").alias(
+            "total_tokens"
+        ),
+    )
+    p, q = BM25_K1
+    r, s = BM25_B
+    contrib = (
+        tfd.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "idf_micro",
+            F.expr(
+                "cast(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1) * 1e6)"
+                " as bigint)"
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.expr(
+                f"(idf_micro * tf * {(p + q) * s} * total_tokens) div "
+                f"({q * s} * total_tokens * tf"
+                f" + {p * (s - r)} * total_tokens"
+                f" + {p * r} * dl * n_docs)"
+            ),
+        )
+    )
+    qmap = docs.sparkSession.createDataFrame(
+        [(qid, t) for qid, ts in norm.items() for t in ts],
+        "query_id string, term string",
+    )
+    per_q = (
+        contrib.join(F.broadcast(qmap), "term")
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum("contrib").alias("score_micro"),
+            F.count(F.lit(1)).alias("terms_matched"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    )
+    return per_q.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

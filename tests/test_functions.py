@@ -2281,6 +2281,43 @@ def test_bm25_topk_ranking_semantics(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_bm25_topk_multi_equals_single_query(spark):
+    """The one-pass batched ranking must equal the single-query bm25_topk
+    result per query EXACTLY (ids, micro scores, terms_matched, ranks) —
+    including queries with overlapping term sets."""
+    from avc_parser_spark.functions.retrieval import bm25_topk, bm25_topk_multi
+
+    rows = [
+        (i, " ".join(
+            (["spark"] * (1 + i % 3))
+            + (["vector"] * (i % 2))
+            + (["graph"] * (i % 5 == 0))
+            + ["filler"] * (i % 7)
+        ))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = {
+        "q1": ["spark", "vector"],
+        "q2": ["graph"],
+        "q3": ["vector", "graph", "missingterm"],
+    }
+    multi = bm25_topk_multi(docs, queries, k=7)
+    got = {
+        qid: sorted(
+            (r["doc_id"], r["score_micro"], r["terms_matched"], r["rank"])
+            for r in multi.filter(F.col("query_id") == qid).collect()
+        )
+        for qid in queries
+    }
+    for qid, terms in queries.items():
+        want = sorted(
+            (r["doc_id"], r["score_micro"], r["terms_matched"], r["rank"])
+            for r in bm25_topk(docs, terms, k=7).collect()
+        )
+        assert got[qid] == want, qid
+
+
 def test_mine_retrieval_triplets(spark):
     """Hard negatives = the BM25 ranks after the positives; random
     negatives = the deterministic md5-smallest docs with NO query term
