@@ -547,3 +547,95 @@ def pq_topk(
         .orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def mine_bitext_pairs(
+    embeddings: DataFrame,
+    src_lang: str,
+    tgt_lang: str,
+    min_cos: float = 0.7,
+    margin_ratio: float = 1.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lang_col: str = "lang",
+    n_planes: int = 4,
+) -> DataFrame:
+    """Cross-lingual parallel-pair mining (the LASER/CCMatrix recipe that
+    built the big MT corpora): for every src-lang doc, its best tgt-lang
+    neighbor by embedding cosine — kept only when the match is both
+    strong (cosine ≥ min_cos) AND UNAMBIGUOUS (best/second-best ratio ≥
+    margin_ratio, the margin criterion that kills hub false positives
+    plain thresholding admits).
+
+    Scale shape: candidates come from a sign-projection bucket EQUI-join
+    restricted to src×tgt (never all-pairs; same-direction translations
+    share every sign bit ⇒ recall 1 for near-parallel embeddings); the
+    top-2-per-src margin is a window over each src's own candidate set.
+    Returns (src_id, tgt_id, cosine, margin_micro) — margin_micro =
+    cos1·1e6 div max(cos2_micro, 1) as an integer ratio (second-best
+    missing ⇒ margin is maximal: the match is trivially unambiguous)."""
+    from pyspark.sql.window import Window
+
+    first = (
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .head()
+    )
+    if first is None:
+        id_type = embeddings.schema[id_col].dataType.simpleString()
+        return embeddings.sparkSession.createDataFrame(
+            [], f"src_id {id_type}, tgt_id {id_type},"
+                " cosine double, margin_micro bigint"
+        )
+    planes = make_planes(int(first["d"]), n_planes)
+    bucketed = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(lang_col).alias("_lang"),
+        F.col(vec_col).alias("_v"),
+        lsh_project_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    src = bucketed.filter(F.col("_lang") == src_lang).select(
+        "bucket", F.col("_id").alias("src_id"), F.col("_v").alias("vs")
+    )
+    tgt = bucketed.filter(F.col("_lang") == tgt_lang).select(
+        "bucket", F.col("_id").alias("tgt_id"), F.col("_v").alias("vt")
+    )
+    cand = (
+        src.join(tgt, "bucket")
+        .withColumn(
+            "cos_micro",
+            F.round(
+                cosine_expr(F.col("vs"), F.col("vt")) * 1_000_000
+            ).cast("long"),
+        )
+        .select("src_id", "tgt_id", "cos_micro")
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("cos_micro").desc(), F.col("tgt_id").asc()
+    )
+    ranked = cand.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 2
+    )
+    best = ranked.filter(F.col("rk") == 1).select(
+        "src_id", "tgt_id", F.col("cos_micro").alias("c1")
+    )
+    second = ranked.filter(F.col("rk") == 2).select(
+        "src_id", F.col("cos_micro").alias("c2")
+    )
+    return (
+        best.join(second, "src_id", "left")
+        .withColumn(
+            "margin_micro",
+            F.expr("c1 * 1000000 div greatest(coalesce(c2, 1L), 1L)"),
+        )
+        .filter(
+            (F.col("c1") >= int(round(min_cos * 1_000_000)))
+            & (F.col("margin_micro") >= int(round(margin_ratio * 1_000_000)))
+        )
+        .select(
+            "src_id",
+            "tgt_id",
+            (F.col("c1") / 1_000_000.0).alias("cosine"),
+            "margin_micro",
+        )
+    )

@@ -2281,6 +2281,46 @@ def test_bm25_topk_ranking_semantics(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_mine_bitext_pairs_margin_criterion(spark):
+    """Parallel docs (same-direction embeddings, cosine 1, guaranteed
+    co-bucketed) are mined; an AMBIGUOUS source with two equal matches
+    fails the margin ratio; cross-lang only; weak matches fail min_cos."""
+    import math
+
+    from avc_parser_spark.functions.similarity import mine_bitext_pairs
+
+    def unit(i):
+        v = [0.0] * 16
+        v[i] = 1.0
+        return v
+
+    def mix(i, j, a):
+        # unit blend: a·e_i + sqrt(1-a²)·e_j
+        v = [0.0] * 16
+        v[i], v[j] = a, math.sqrt(1 - a * a)
+        return v
+
+    rows = [
+        (0, "en", unit(0)),
+        (1, "en", unit(1)),
+        (2, "en", unit(2)),
+        (3, "en", unit(3)),          # no de counterpart at all
+        (100, "de", [x * 2.0 for x in unit(0)]),   # parallel to 0 (scaled)
+        (102, "de", unit(1)),        # ambiguous pair for 1...
+        (103, "de", [x * 3.0 for x in unit(1)]),   # ...both cosine 1
+        (104, "de", mix(2, 5, 0.5)), # cos 0.5 vs src 2 — below min_cos
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, lang string, embedding array<double>")
+    got = {
+        (r["src_id"], r["tgt_id"]): r["margin_micro"]
+        for r in mine_bitext_pairs(
+            df, "en", "de", min_cos=0.7, margin_ratio=1.05
+        ).collect()
+    }
+    assert set(got) == {(0, 100)}
+    assert got[(0, 100)] >= 1_000_000  # unambiguous: second-best absent/weak
+
+
 def test_bm25_topk_multi_equals_single_query(spark):
     """The one-pass batched ranking must equal the single-query bm25_topk
     result per query EXACTLY (ids, micro scores, terms_matched, ranks) —
