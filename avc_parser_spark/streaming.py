@@ -243,6 +243,8 @@ def run_sketch_stream(
     width: int = 512,
     depth: int = 4,
     p: int = 6,
+    kmv_dir: str | None = None,
+    kmv_k: int = 256,
 ) -> StreamingQuery:
     """Streaming sketch maintenance — the bounded-memory ingest twin of
     cms_build/hll_build: each micro-batch of landing pages contributes a
@@ -259,7 +261,7 @@ def run_sketch_stream(
     collapse per (batch_id, cell) with max — idempotent because a replay
     writes byte-identical counts — then merge across batches (sum for
     CMS cells, max for HLL registers, the sketches' merge laws)."""
-    from avc_parser_spark.functions.dedup import cms_build, hll_build
+    from avc_parser_spark.functions.dedup import cms_build, hll_build, kmv_build
 
     pages = stream_pages(spark, landing_dir)
 
@@ -273,6 +275,10 @@ def run_sketch_stream(
         hll_build(terms, p=p).withColumn(
             "batch_id", F.lit(int(batch_id))
         ).write.mode("append").parquet(hll_dir)
+        if kmv_dir is not None:
+            kmv_build(terms, k=kmv_k).withColumn(
+                "batch_id", F.lit(int(batch_id))
+            ).write.mode("append").parquet(kmv_dir)
 
     return (
         pages.writeStream.foreachBatch(_sink)
@@ -302,6 +308,13 @@ def read_hll_sketch(spark: SparkSession, hll_dir: str) -> DataFrame:
         .groupBy("idx")
         .agg(F.max("rho").alias("rho"))
     )
+
+
+def read_kmv_sketch(spark: SparkSession, kmv_dir: str, k: int = 256) -> DataFrame:
+    """Merged KMV sketch over every appended batch: distinct-then-k-
+    smallest is both the replay dedup AND the merge law (the union's k
+    minima are among each batch's k minima)."""
+    return spark.read.parquet(kmv_dir).select("h").distinct().orderBy("h").limit(k)
 
 
 def run_audit_routed_stream(

@@ -578,25 +578,27 @@ def test_sketch_stream_merges_to_whole_corpus_sketch(spark, tmp_path):
     the merged stored CMS/HLL sketches equal the batch sketches over the
     whole corpus (cell-wise-sum / register-max merge laws), and the second
     run picks up ONLY the new file (appended batch rows, no rewrite)."""
-    from avc_parser_spark.functions.dedup import cms_build, hll_build
+    from avc_parser_spark.functions.dedup import cms_build, hll_build, kmv_build
     from avc_parser_spark.streaming import (
         read_cms_sketch,
         read_hll_sketch,
+        read_kmv_sketch,
         run_sketch_stream,
     )
 
     landing = str(tmp_path / "landing")
     cms_dir = str(tmp_path / "cms")
     hll_dir = str(tmp_path / "hll")
+    kmv_dir = str(tmp_path / "kmv")
     ck = str(tmp_path / "ck")
 
     build_pages_df(spark, 300).write.mode("append").parquet(landing)
-    q = run_sketch_stream(spark, landing, cms_dir, hll_dir, ck)
+    q = run_sketch_stream(spark, landing, cms_dir, hll_dir, ck, kmv_dir=kmv_dir)
     q.awaitTermination(120)
 
     # second drop (repeat content is fine: merge must still sum/max right)
     build_pages_df(spark, 200).write.mode("append").parquet(landing)
-    q2 = run_sketch_stream(spark, landing, cms_dir, hll_dir, ck)
+    q2 = run_sketch_stream(spark, landing, cms_dir, hll_dir, ck, kmv_dir=kmv_dir)
     q2.awaitTermination(120)
 
     whole_terms = (
@@ -614,6 +616,9 @@ def test_sketch_stream_merges_to_whole_corpus_sketch(spark, tmp_path):
     assert as_regs(read_hll_sketch(spark, hll_dir)) == as_regs(
         hll_build(whole_terms, p=6)
     )
+    kmv_stored = sorted(r["h"] for r in read_kmv_sketch(spark, kmv_dir).collect())
+    kmv_whole = sorted(r["h"] for r in kmv_build(whole_terms, k=256).collect())
+    assert kmv_stored == kmv_whole
     # incremental: exactly two batch_ids landed, each appended once
     batches = {
         r["batch_id"]
