@@ -48,10 +48,27 @@ def main() -> None:
         "door: response records → HTML text extraction → lang-id → the "
         "same parse→route pipeline; per-file resumable ingest)",
     )
+    src.add_argument(
+        "--curate",
+        help="training-corpus curation over a documents parquet "
+        "(doc_id, url, text[, lang]): canonicalize → URL dedup → MinHash "
+        "near-dup resolve → [optional C4/Gopher screens] → [optional "
+        "eval-set decontamination] → split → hive-partitioned write "
+        "(functions/curation.py::curate_corpus)",
+    )
     ap.add_argument("--out", required=True, help="output path")
     ap.add_argument("--force", action="store_true", help="reprocess everything")
     ap.add_argument("--report", action="store_true", help="write JSON report")
     ap.add_argument("--sort", default="count", choices=["recent", "count", "chrono"])
+    ap.add_argument(
+        "--eval-docs", help="(--curate) eval parquet for 8-gram decontamination"
+    )
+    ap.add_argument(
+        "--c4", action="store_true", help="(--curate) C4 line/doc cleaning"
+    )
+    ap.add_argument(
+        "--gopher", action="store_true", help="(--curate) Gopher quality screens"
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -68,6 +85,33 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("avc-parser-pipeline").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if args.curate:
+        from pyspark.sql import functions as F
+
+        from avc_parser_spark.functions.curation import (
+            curate_corpus,
+            write_curated,
+        )
+
+        docs = spark.read.parquet(args.curate)
+        ev = spark.read.parquet(args.eval_docs) if args.eval_docs else None
+        kept = curate_corpus(
+            docs, eval_docs=ev, c4_clean=args.c4, gopher=args.gopher
+        )
+        kept = kept.persist()
+        write_curated(kept, args.out)
+        # count from the persisted frame, not a read-back: a fully-screened
+        # (empty) corpus writes no parquet footers to re-infer
+        counts = {
+            r["split"]: r["n"]
+            for r in kept.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        kept.unpersist()
+        print(json.dumps({"curated": args.out, "split_counts": counts}))
+        return
 
     if args.audit_logs:
         result = run_audit_logs_with_checkpoints(
