@@ -920,30 +920,43 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").alias("n2"),
         null_n.alias("n3"), null_n.alias("n4"), null_n.alias("n5"),
     )
-    from avc_parser_spark.functions.dedup import (
-        kmv_build,
-        kmv_estimate,
-        kmv_intersect_estimate,
-    )
+    from avc_parser_spark.functions.dedup import KMV_BITS, kmv_build_grouped
 
     # kmv: theta/KMV sketch — the k smallest DISTINCT md5-slice hashes of
     # the word stream. A pure function of the value SET ⇒ the sketch
     # TABLE itself (k='1'..'256' rank rows), the integer distinct
     # estimate, and the en∩de vocabulary-intersection estimate (the set
     # op HLL can't express) are all re-derived bit-exactly in DuckDB.
+    # ONE grouped pass serves all three sketches: languages PARTITION the
+    # stream, so the global sketch = merge of the per-lang sketches
+    # (measured 3 corpus scans → 1; the merges/estimates run in Python
+    # over the ≤ k·n_langs collected candidate rows — bounded).
     kmv_k = 256
-    sk_all = kmv_build(hll_terms, k=kmv_k).localCheckpoint()
-    kmv_hashes = sorted(int(r["h"]) for r in sk_all.collect())
-    kmv_est = kmv_estimate(sk_all, k=kmv_k)
+    lang_terms = docs.select(
+        F.col("lang"), F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    by_lang: dict[str, list[int]] = {}
+    for r in kmv_build_grouped(lang_terms, "lang", k=kmv_k).collect():
+        by_lang.setdefault(r["grp"], []).append(int(r["h"]))
+    kmv_hashes = sorted(set().union(*by_lang.values()))[:kmv_k]
 
-    def _lang_terms(lang: str):
-        return docs.filter(F.col("lang") == lang).select(
-            F.explode(F.split(F.col("text"), " ")).alias("term")
-        ).filter(F.col("term") != "")
+    def _kmv_est(hs: list[int]) -> int:
+        return len(hs) if len(hs) < kmv_k else (
+            ((kmv_k - 1) << KMV_BITS) // max(hs)
+        )
 
-    sk_en = kmv_build(_lang_terms("en"), k=kmv_k).localCheckpoint()
-    sk_de = kmv_build(_lang_terms("de"), k=kmv_k).localCheckpoint()
-    kmv_ix = kmv_intersect_estimate(sk_en, sk_de, k=kmv_k)
+    kmv_est = _kmv_est(kmv_hashes)
+    # en∩de theta intersection — same pinned arithmetic as
+    # kmv_intersect_estimate, over the collected per-lang sketches
+    ha = sorted(by_lang.get("en", []))
+    hb = sorted(by_lang.get("de", []))
+    if len(ha) < kmv_k and len(hb) < kmv_k:
+        kmv_ix = len(set(ha) & set(hb))
+    else:
+        union = sorted(set(ha) | set(hb))[:kmv_k]
+        theta = union[-1]
+        common = len({h for h in set(ha) & set(hb) if h <= theta})
+        kmv_ix = 0 if common == 0 else (common << KMV_BITS) // theta
     kmv = spark.createDataFrame(
         [
             ("kmv", str(i + 1), h, None, None, None, None)

@@ -1543,6 +1543,50 @@ def kmv_build(values: DataFrame, col: str = "term", k: int = 256) -> DataFrame:
     return candidates.distinct().orderBy("h").limit(k)
 
 
+def kmv_build_grouped(
+    values: DataFrame,
+    group_col: str,
+    col: str = "term",
+    k: int = 256,
+) -> DataFrame:
+    """Per-group KMV sketches — (grp, h) with ≤ k rows per group — from
+    ONE pass over the stream. Because groups PARTITION the stream, any
+    union of groups' sketches merges (distinct + k smallest) into exactly
+    the sketch of the combined stream: one grouped pass serves per-stratum
+    cardinalities AND the global/any-subset sketch (the token_suite kmv
+    mode computes corpus+en+de from this single pass — measured 3
+    corpus scans → 1). Same batched-numpy candidate shape as kmv_build;
+    the per-group k-smallest rank runs over the tiny candidate frame."""
+    import pandas as _pd
+
+    h = F.conv(F.substring(F.md5(F.col(col)), 1, 15), 16, 10).cast("long")
+    hashed = values.select(
+        F.col(group_col).cast("string").alias("grp"), h.alias("h")
+    ).filter(F.col("h").isNotNull() & F.col("grp").isNotNull())
+
+    def _batch_mins(batches):
+        import numpy as np
+
+        for pdf in batches:
+            parts = []
+            for g, sub in pdf.groupby("grp"):
+                arr = np.unique(sub["h"].to_numpy())[:k]
+                parts.append(_pd.DataFrame({"grp": g, "h": arr}))
+            if parts:
+                yield _pd.concat(parts, ignore_index=True)
+
+    candidates = hashed.mapInPandas(_batch_mins, "grp string, h long")
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("grp").orderBy("h")
+    return (
+        candidates.distinct()
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def kmv_merge(*sketches: DataFrame, k: int = 256) -> DataFrame:
     """Sketch of the union stream == k smallest distinct hashes of the
     concatenated sketch tables (exact — the union's k minima are among

@@ -3233,6 +3233,32 @@ def test_kmv_sketch_matches_duckdb_and_estimates(spark):
     assert merged == sorted(got)
 
 
+def test_kmv_build_grouped_matches_per_group_and_merges(spark):
+    """Per-group sketches from the single grouped pass == kmv_build over
+    each group's subset; and (groups partition the stream) merging all
+    groups' sketches == the whole-stream sketch."""
+    from avc_parser_spark.functions.dedup import kmv_build, kmv_build_grouped
+
+    rows = [("a", f"x{i % 700}") for i in range(3000)] + [
+        ("b", f"y{i % 40}") for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "grp: string, term: string")
+    grouped: dict[str, list[int]] = {}
+    for r in kmv_build_grouped(df, "grp", k=128).collect():
+        grouped.setdefault(r["grp"], []).append(int(r["h"]))
+    for g in ("a", "b"):
+        want = sorted(
+            int(r["h"])
+            for r in kmv_build(
+                df.filter(F.col("grp") == g), k=128
+            ).collect()
+        )
+        assert sorted(grouped[g]) == want, g
+    merged = sorted(set(grouped["a"]) | set(grouped["b"]))[:128]
+    whole = sorted(int(r["h"]) for r in kmv_build(df, k=128).collect())
+    assert merged == whole
+
+
 def test_kmv_intersection_estimate(spark):
     """Theta-style intersection: exact when both streams are below k;
     within the error band on larger overlapping streams — the set
