@@ -1860,9 +1860,30 @@ def q_link_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id AS node FROM documents"
         " WHERE doc_id < 500 AND doc_id % 100 = 0"
     )
-    # both rank variants ride ONE loop (one join + one agg per round —
-    # the k-variants-as-columns design, see pagerank_micro_multi)
-    both = pagerank_micro_multi(edges, {"pr": None, "tr": seeds}, iters=8)
+    # domainrank input (used by the overlapped loop below): coarsen pages →
+    # domains (div 50), distinct inter-domain edges — at 100 TB the
+    # coarsened graph is orders of magnitude smaller (hosts, not pages), so
+    # the distinct is the only corpus-scale shuffle and the loop runs on
+    # the small graph.
+    dedges = edges.select(
+        F.expr("src div 50").alias("src"), F.expr("dst div 50").alias("dst")
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    # The three iterative loops (pr+tr fused PageRank, domainrank, HITS)
+    # are independent chains of small synchronous rounds; running them from
+    # a thread pool lets each round's tasks back-fill the idle executors of
+    # the others' barriers (guide §2.6 — overlap independent jobs). Results
+    # are unchanged: each loop is a pure function of its edge frame.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_both = pool.submit(
+            pagerank_micro_multi, edges, {"pr": None, "tr": seeds}, 8
+        )
+        f_drank = pool.submit(pagerank_micro_multi, dedges, {"d": None}, 4)
+        f_hits = pool.submit(hits_micro, edges, 4)
+        both = f_both.result()
+        drank_ranks = f_drank.result()
+        hits_ranks = f_hits.result()
     pr = both.select(
         F.lit("pagerank").alias("mode"),
         "node",
@@ -1881,14 +1902,7 @@ def q_link_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("reach2").alias("n1"),
         null_n.alias("n2"),
     )
-    # domainrank: coarsen pages → domains (div 50), distinct inter-domain
-    # edges, rank the domain graph — at 100 TB the coarsened graph is
-    # orders of magnitude smaller (hosts, not pages), so the distinct is
-    # the only corpus-scale shuffle and the loop runs on the small graph.
-    dedges = edges.select(
-        F.expr("src div 50").alias("src"), F.expr("dst div 50").alias("dst")
-    ).filter(F.col("src") != F.col("dst")).distinct()
-    drank = pagerank_micro_multi(dedges, {"d": None}, iters=4).select(
+    drank = drank_ranks.select(
         F.lit("domainrank").alias("mode"),
         "node",
         F.col("rank_d").alias("n1"),
@@ -1917,7 +1931,7 @@ def q_link_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("links").alias("mode"), "node", "n1", "n2")
     )
-    hits = hits_micro(edges, iters=4).select(
+    hits = hits_ranks.select(
         F.lit("hits").alias("mode"),
         "node",
         F.col("auth_micro").alias("n1"),

@@ -147,44 +147,69 @@ def pagerank_micro_multi(
         .persist()
     )
     names = list(variants)
-    nodes = nodes.persist()
+    # The rank frame CARRIES each variant's reset column through the loop,
+    # so the per-round update needs no join back to the node universe: the
+    # in-contributions are union-seeded with one zero row per node (rank
+    # frame side) and summed — integer sums commute, so seeding zeros is
+    # bit-identical to the former left-join + coalesce(s, 0), at one join
+    # per round instead of two (r6 optimization, guide §2.4).
     ranks = nodes.select(
         "node",
         *[F.col(f"_start_{n}").alias(f"rank_{n}") for n in names],
+        *[F.col(f"_reset_{n}") for n in names],
     ).localCheckpoint()
     for i in range(iters):
-        in_sum = (
-            edeg.join(ranks.withColumnRenamed("node", "src"), "src")
+        contrib = (
+            edeg.join(
+                ranks.select(
+                    F.col("node").alias("src"),
+                    *[F.col(f"rank_{n}") for n in names],
+                ),
+                "src",
+            )
             .select(
                 F.col("dst").alias("node"),
                 *[
                     F.expr(f"rank_{n} div out_deg").alias(f"c_{n}")
                     for n in names
                 ],
+                *[F.lit(0).cast("long").alias(f"_reset_{n}") for n in names],
             )
-            .groupBy("node")
-            .agg(*[F.sum(f"c_{n}").alias(f"s_{n}") for n in names])
         )
-        ranks = nodes.join(in_sum, "node", "left").select(
+        seed = ranks.select(
+            "node",
+            *[F.lit(0).cast("long").alias(f"c_{n}") for n in names],
+            *[F.col(f"_reset_{n}") for n in names],
+        )
+        summed = (
+            seed.unionByName(contrib)
+            .groupBy("node")
+            .agg(
+                *[F.sum(f"c_{n}").alias(f"s_{n}") for n in names],
+                # exactly one seed row per node carries its reset; contrib
+                # rows carry 0 — the sum IS the node's reset value.
+                *[F.sum(f"_reset_{n}").alias(f"_reset_{n}") for n in names],
+            )
+        )
+        ranks = summed.select(
             "node",
             *[
                 (
                     F.col(f"_reset_{n}")
-                    + F.expr(
-                        f"({damping_micro} * coalesce(s_{n}, 0L))"
-                        f" div {RANK_SCALE}"
-                    )
+                    + F.expr(f"({damping_micro} * s_{n}) div {RANK_SCALE}")
                 ).cast("long").alias(f"rank_{n}")
                 for n in names
             ],
+            *[F.col(f"_reset_{n}") for n in names],
         )
         # Linear lineage growth: checkpoint every 4th round is enough to
         # bound plan depth (no per-round materialization barrier).
         if (i + 1) % 4 == 0 or i + 1 == iters:
             ranks = ranks.localCheckpoint()
     edeg.unpersist()
-    nodes.unpersist()
-    return ranks
+    return ranks.select(
+        "node", *[F.col(f"rank_{n}") for n in names]
+    )
 
 
 def pagerank_micro(
@@ -251,21 +276,29 @@ def hits_micro(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
     e = e.persist()
+    zero = F.lit(0).cast("long")
     scores = nodes.select(
         "node",
         F.lit(RANK_SCALE).cast("long").alias("auth_micro"),
         F.lit(RANK_SCALE).cast("long").alias("hub_micro"),
     ).localCheckpoint()
     for _ in range(iters):
+        # Union-seeding one zero row per node (from the score frame itself)
+        # replaces the former left-join back to the node universe: integer
+        # sums commute, so sum(contribs + a zero) == coalesce(join, 0) —
+        # one join per half-round instead of two, and the score frame no
+        # longer needs its own checkpoint (it is a projection over the
+        # checkpointed hub sums). r6 optimization, guide §2.4.
         araw = (
             e.join(
                 scores.select(F.col("node").alias("src"), "hub_micro"), "src"
             )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("hub_micro").alias("ar"))
+            .select(F.col("dst").alias("node"), F.col("hub_micro").alias("ar"))
+            .unionByName(scores.select("node", zero.alias("ar")))
+            .groupBy("node")
+            .agg(F.sum("ar").alias("ar"))
             .localCheckpoint()
         )
         # the 1-row max rides as a broadcast cross-join computed from the
@@ -273,37 +306,49 @@ def hits_micro(
         # driver action, and nothing upstream recomputes
         amax = araw.agg(F.max("ar").alias("am"))
         auth = (
-            nodes.join(araw, "node", "left")
-            .crossJoin(F.broadcast(amax))
+            araw.crossJoin(F.broadcast(amax))
             .select(
                 "node",
                 F.expr(
-                    f"coalesce(ar, 0L) * {RANK_SCALE} div am"
+                    f"ar * {RANK_SCALE} div am"
                 ).cast("long").alias("auth_micro"),
             )
         )
+        # the hub half-round carries auth through the same union-seeded
+        # aggregation (contrib rows carry auth 0; the single seed row per
+        # node carries its auth and a 0 contribution — max picks the auth,
+        # sum the contributions), fusing the former auth ⋈ hraw join away.
         hraw = (
-            e.join(auth.select(F.col("node").alias("dst"), "auth_micro"), "dst")
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("auth_micro").alias("hr"))
+            e.join(
+                auth.select(F.col("node").alias("dst"), "auth_micro"), "dst"
+            )
+            .select(
+                F.col("src").alias("node"),
+                F.col("auth_micro").alias("hr"),
+                zero.alias("auth_micro"),
+            )
+            .unionByName(
+                auth.select("node", zero.alias("hr"), "auth_micro")
+            )
+            .groupBy("node")
+            .agg(
+                F.sum("hr").alias("hr"),
+                F.max("auth_micro").alias("auth_micro"),
+            )
             .localCheckpoint()
         )
         hmax = hraw.agg(F.max("hr").alias("hm"))
         scores = (
-            nodes.join(auth, "node", "left")
-            .join(hraw, "node", "left")
-            .crossJoin(F.broadcast(hmax))
+            hraw.crossJoin(F.broadcast(hmax))
             .select(
                 "node",
                 "auth_micro",
                 F.expr(
-                    f"coalesce(hr, 0L) * {RANK_SCALE} div hm"
+                    f"hr * {RANK_SCALE} div hm"
                 ).cast("long").alias("hub_micro"),
             )
-            .localCheckpoint()
         )
     e.unpersist()
-    nodes.unpersist()
     return scores
 
 
