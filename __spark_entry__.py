@@ -577,14 +577,11 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     lm = build_ngram_lm(pdocs.filter(F.col("doc_id") % 10 < 5))
-    ppl = lm_score(pdocs.filter(F.col("doc_id") % 50 == 11), lm).select(
-        F.lit("ppl").alias("mode"),
-        F.col("doc_id").cast("string").alias("k"),
-        F.col("n_bigrams").cast("long").alias("n1"),
-        F.col("n_oov").alias("n2"),
-        F.col("logp_micro_sum").alias("n3"),
-        null_n.alias("n4"), null_n.alias("n5"),
-    )
+    # (the ppl branch is assembled after the thread-pool block below: the
+    # bounded LM tables — top-k bigrams, vocab unigrams, 1-row total —
+    # are eagerly materialized on the pool so the LM build overlaps the
+    # other corpus passes and the final job scores against checkpointed
+    # tables instead of re-deriving the LM inside its critical path)
     rep_base = split_by_hash(
         docs.select("doc_id", "text", "lang", F.col("source").alias("domain")),
         method="md5",
@@ -779,51 +776,44 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     cms_terms = cms_docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
-    cms_est = cms_estimate(
-        cms_build(cms_terms, width=cms_w, depth=cms_d),
-        spark.createDataFrame([(t,) for t in cms_probe_terms], "term: string"),
-        width=cms_w,
-        depth=cms_d,
+    # r6 optimization (guide §1.2 step 1 / §2.3 — fewer corpus passes): the
+    # bounded CMS counter table (≤ width·depth rows by construction) is
+    # computed in ONE corpus aggregation and collected once, then reused
+    # three ways that previously each paid their own corpus scan:
+    #   1. the exact stream total = sum of the row-0 counters (row 0 counts
+    #      every term exactly once) — replaces a separate cms_terms.count();
+    #   2. the heavy-hitter gate (cms_heavy_hitters counters=);
+    #   3. the 'cms' mode probe estimates, joined against the collected
+    #      table rebuilt as a local frame instead of re-aggregating the
+    #      corpus inside the final job.
+    # The (independent) grouped-KMV collect runs concurrently on a thread
+    # pool so the two remaining corpus passes overlap (guide §2.6).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from avc_parser_spark.functions.dedup import KMV_BITS, kmv_build_grouped
+
+    kmv_k = 256
+    lang_terms = docs.select(
+        F.col("lang"), F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    pool = ThreadPoolExecutor(max_workers=3)
+    f_counters = pool.submit(
+        cms_build(cms_terms, width=cms_w, depth=cms_d).collect
     )
+    f_kmv = pool.submit(
+        kmv_build_grouped(lang_terms, "lang", k=kmv_k).collect
+    )
+    f_lm = pool.submit(
+        lambda: {k: v.localCheckpoint() for k, v in lm.items()}
+    )
+    # (results harvested below, once every independent mode is built — the
+    # driver-side construction of the remaining modes overlaps the two
+    # corpus passes running on the pool)
     cms_exact = (
         cms_terms.filter(F.col("term").isin(cms_probe_terms))
         .groupBy("term")
         .count()
     )
-    cms = cms_est.join(cms_exact, "term", "left").select(
-        F.lit("cms").alias("mode"),
-        F.col("term").alias("k"),
-        F.col("cms_count").alias("n1"),
-        F.coalesce(F.col("count"), F.lit(0)).cast("long").alias("n2"),
-        F.pmod(
-            F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
-            .cast("long"),
-            F.lit(cms_w),
-        ).alias("n3"),
-        null_n.alias("n4"), null_n.alias("n5"),
-    )
-    from avc_parser_spark.functions.dedup import cms_heavy_hitters
-
-    # heavy: CMS-gated EXACT heavy hitters over the same stream — the gate
-    # is a pure codegen filter from the collected (bounded) counter table,
-    # the exact groupBy touches only gate survivors. The oracle needs NO
-    # sketch for the result set (no false negatives ⇒ result == exact
-    # counts ≥ threshold) but n2 re-derives the admitting estimate from
-    # the full counter table, pinning the gate arithmetic too.
-    cms_total = cms_terms.count()
-    heavy_thr = max(2, cms_total // 200)
-    heavy = cms_heavy_hitters(
-        cms_terms, heavy_thr, width=cms_w, depth=cms_d
-    ).select(
-        F.lit("heavy").alias("mode"),
-        F.col("term").alias("k"),
-        F.col("cnt").alias("n1"),
-        F.col("cms_count").alias("n2"),
-        F.lit(heavy_thr).cast("long").alias("n3"),
-        null_n.alias("n4"), null_n.alias("n5"),
-    )
-    from avc_parser_spark.functions.dedup import hll_build
-
     # hll: HyperLogLog cardinality registers over the same doc word stream
     # (p=6 → ≤64 rows regardless of corpus size). Every register is pure
     # integer arithmetic (md5-slice hash, idx = low bits, rho via
@@ -834,18 +824,22 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     hll_terms = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
-    hll_regs = hll_build(hll_terms, p=hll_p)
-    hll_distinct = (
-        hll_terms.select(
-            F.pmod(
-                F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10)
-                .cast("long"),
-                F.lit(1 << hll_p),
-            ).alias("idx"),
-            F.col("term"),
-        )
+    # r6: the register maxes (hll_build's aggregation) and the per-register
+    # distinct-term pin previously ran as two independent corpus explodes
+    # joined on idx; both group by the same register index over the same
+    # stream, so ONE pass computes both (guide §2.3 — aggregate before you
+    # shuffle; hll_build's own arithmetic is reused via _hll_register_cols
+    # and stays pinned by its pytest + the unchanged oracle).
+    from avc_parser_spark.functions.dedup import _hll_register_cols
+
+    _hidx, _hrho = _hll_register_cols(F.col("term"), hll_p)
+    hll_fused = (
+        hll_terms.select(_hidx.alias("idx"), _hrho.alias("rho"), "term")
         .groupBy("idx")
-        .agg(F.countDistinct("term").alias("n_distinct"))
+        .agg(
+            F.max("rho").cast("long").alias("rho"),
+            F.countDistinct("term").alias("n_distinct"),
+        )
     )
     from avc_parser_spark.functions.text import exact_quantiles, weighted_sample
 
@@ -920,8 +914,62 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").alias("n2"),
         null_n.alias("n3"), null_n.alias("n4"), null_n.alias("n5"),
     )
-    from avc_parser_spark.functions.dedup import KMV_BITS, kmv_build_grouped
+    # Harvest the overlapped corpus passes (see the pool.submit calls
+    # above); everything from here on depends on their results.
+    counter_rows = f_counters.result()
+    kmv_grouped_rows = f_kmv.result()
+    lm_ck = f_lm.result()
+    pool.shutdown()
+    ppl = lm_score(pdocs.filter(F.col("doc_id") % 50 == 11), lm_ck).select(
+        F.lit("ppl").alias("mode"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("n_bigrams").cast("long").alias("n1"),
+        F.col("n_oov").alias("n2"),
+        F.col("logp_micro_sum").alias("n3"),
+        null_n.alias("n4"), null_n.alias("n5"),
+    )
+    counters_local = spark.createDataFrame(
+        [(int(r["r"]), int(r["c"]), int(r["cnt"])) for r in counter_rows],
+        "r int, c long, cnt long",
+    )
+    cms_est = cms_estimate(
+        counters_local,
+        spark.createDataFrame([(t,) for t in cms_probe_terms], "term: string"),
+        width=cms_w,
+        depth=cms_d,
+    )
+    cms = cms_est.join(cms_exact, "term", "left").select(
+        F.lit("cms").alias("mode"),
+        F.col("term").alias("k"),
+        F.col("cms_count").alias("n1"),
+        F.coalesce(F.col("count"), F.lit(0)).cast("long").alias("n2"),
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
+            .cast("long"),
+            F.lit(cms_w),
+        ).alias("n3"),
+        null_n.alias("n4"), null_n.alias("n5"),
+    )
+    from avc_parser_spark.functions.dedup import cms_heavy_hitters
 
+    # heavy: CMS-gated EXACT heavy hitters over the same stream — the gate
+    # is a pure codegen filter from the collected (bounded) counter table,
+    # the exact groupBy touches only gate survivors. The oracle needs NO
+    # sketch for the result set (no false negatives ⇒ result == exact
+    # counts ≥ threshold) but n2 re-derives the admitting estimate from
+    # the full counter table, pinning the gate arithmetic too.
+    cms_total = sum(int(r["cnt"]) for r in counter_rows if r["r"] == 0)
+    heavy_thr = max(2, cms_total // 200)
+    heavy = cms_heavy_hitters(
+        cms_terms, heavy_thr, width=cms_w, depth=cms_d, counters=counters_local
+    ).select(
+        F.lit("heavy").alias("mode"),
+        F.col("term").alias("k"),
+        F.col("cnt").alias("n1"),
+        F.col("cms_count").alias("n2"),
+        F.lit(heavy_thr).cast("long").alias("n3"),
+        null_n.alias("n4"), null_n.alias("n5"),
+    )
     # kmv: theta/KMV sketch — the k smallest DISTINCT md5-slice hashes of
     # the word stream. A pure function of the value SET ⇒ the sketch
     # TABLE itself (k='1'..'256' rank rows), the integer distinct
@@ -930,13 +978,10 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE grouped pass serves all three sketches: languages PARTITION the
     # stream, so the global sketch = merge of the per-lang sketches
     # (measured 3 corpus scans → 1; the merges/estimates run in Python
-    # over the ≤ k·n_langs collected candidate rows — bounded).
-    kmv_k = 256
-    lang_terms = docs.select(
-        F.col("lang"), F.explode(F.split(F.col("text"), " ")).alias("term")
-    ).filter(F.col("term") != "")
+    # over the ≤ k·n_langs collected candidate rows — bounded). The pass
+    # itself ran on the thread pool above, overlapped with the CMS build.
     by_lang: dict[str, list[int]] = {}
-    for r in kmv_build_grouped(lang_terms, "lang", k=kmv_k).collect():
+    for r in kmv_grouped_rows:
         by_lang.setdefault(r["grp"], []).append(int(r["h"]))
     kmv_hashes = sorted(set().union(*by_lang.values()))[:kmv_k]
 
@@ -968,7 +1013,7 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "mode string, k string, n1 long, n2 long, n3 long, n4 long, n5 long",
     )
-    hll = hll_regs.join(hll_distinct, "idx").select(
+    hll = hll_fused.select(
         F.lit("hll").alias("mode"),
         F.col("idx").cast("string").alias("k"),
         F.col("rho").alias("n1"),

@@ -170,12 +170,26 @@ def exact_delta_dups(
 
 
 def word_shingles(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
-    """k-word shingles as an array<string> (empty-safe)."""
+    """k-word shingles as an array<string> (empty-safe).
+
+    Shape note (r6, guide §1.2 step 2): the shingle list is built by
+    zipping k shifted slices of the token array and joining each zipped
+    struct — NOT by indexing a captured `toks` expression inside a
+    transform lambda. A lambda that captures an outer non-attribute
+    expression re-evaluates it PER ELEMENT after CollapseProject inlines
+    it (split+regex per shingle position ⇒ O(tokens²) per doc — measured
+    8× on the 5k-doc bench corpus); the zip form evaluates the tokenizer
+    O(k) times per row."""
     toks = F.split(normalized_text(text), " ")
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, j + 1, n - k + 1) for j in range(k)]
+    )
     return F.when(n < k, F.array(F.array_join(toks, " "))).otherwise(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+        F.transform(
+            zipped,
+            lambda p: F.concat_ws(" ", *[p[str(j)] for j in range(k)]),
+        )
     )
 
 
@@ -1257,11 +1271,20 @@ def substring_dedup(
     toks = F.split(normalized_text(F.col(text_col)), " ")
     base = docs.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
     n = F.size(F.col("_toks"))
+    # zip-of-shifted-slices, not slice-at-j over the captured `_toks`: a
+    # captured outer reference is inlined back to the split by
+    # CollapseProject and re-evaluated per window (O(tokens²) per doc) —
+    # same fix as word_shingles (r6).
+    _zipped = F.arrays_zip(
+        *[F.slice(F.col("_toks"), j + 1, n - k + 1) for j in range(k)]
+    )
     windows = F.when(
         n >= k,
         F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda j: F.md5(F.array_join(F.slice(F.col("_toks"), j + 1, k), " ")),
+            _zipped,
+            lambda p: F.md5(
+                F.concat_ws(" ", *[p[str(j)] for j in range(k)])
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))
     inst = base.select("_id", F.posexplode(windows).alias("pos", "wh")).withColumn(
@@ -1433,9 +1456,16 @@ def cms_heavy_hitters(
     for row in counters.collect():
         tables[row["r"]][row["c"]] = row["cnt"]
     pos = _cms_positions(F.col(col), width, depth)
+    # One parsed SQL literal per row instead of `width` F.lit() column
+    # objects: identical array literals, but a single expression-parse
+    # each — building 2048 lit() columns through py4j measured ~1.5 s of
+    # pure driver time per call (r6, guide §1.2 step 2).
     cells = [
         F.element_at(
-            F.array(*[F.lit(int(v)) for v in tables[r]]), (pos[r] + 1).cast("int")
+            F.expr(
+                "array(" + ",".join(str(int(v)) + "L" for v in tables[r]) + ")"
+            ),
+            (pos[r] + 1).cast("int"),
         )
         for r in range(depth)
     ]

@@ -587,13 +587,16 @@ def _word_bigrams(text: Column) -> Column:
 
     toks = F.split(normalized_text(text), " ")
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
+    # zip-of-shifted-slices, not element_at over a captured `toks`: a
+    # captured outer expression re-evaluates per element (O(tokens²) per
+    # doc — see word_shingles, same fix, measured 11× on the bench corpus).
+    zipped = F.arrays_zip(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1))
     return F.when(n < 2, F.array()).otherwise(
         F.transform(
-            idx,
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + 1).alias("w2"),
+            zipped,
+            lambda p: F.struct(
+                p["0"].alias("w1"),
+                p["1"].alias("w2"),
             ),
         )
     )
@@ -625,15 +628,22 @@ def build_ngram_lm(
     grams = ref_docs.select(
         F.explode(_word_bigrams(F.col(text_col))).alias("g")
     ).select("g.w1", "g.w2")
-    uni = grams.groupBy(F.col("w1").alias("w")).agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    # ONE corpus explode + partial-aggregated groupBy builds the bounded
+    # (w1, w2, c12) count table; unigram counts and the grand total are
+    # re-aggregations of IT (c12 sums to c1 over w2 by construction, and
+    # to the gram total over both), not extra corpus passes — the three
+    # consumers share the same exchange (ReusedExchange in the plan), so
+    # the reference corpus is exploded exactly once per job instead of
+    # four times (r6, guide §2.3 — aggregate before you shuffle).
+    bc = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     # unigram counts over w1 positions: every token but the doc-final one.
     # Consistent numerator/denominator (c12 sums to c1 over w2) is what
     # matters for a filtering score, not inclusive last-token counting.
+    uni = bc.groupBy(F.col("w1").alias("w")).agg(
+        F.sum("c12").cast("long").alias("c")
+    )
     bi = (
-        grams.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
+        bc
         .join(uni, F.col("w1") == F.col("w"))
         .select(
             "w1",
@@ -647,7 +657,9 @@ def build_ngram_lm(
         .limit(top_k)
         .drop("c12")
     )
-    total = grams.groupBy().agg(F.count(F.lit(1)).alias("total"))
+    total = uni.groupBy().agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("total")
+    )
     return {"bigrams": bi, "unigrams": uni, "total": total}
 
 
@@ -855,16 +867,24 @@ def gopher_repetition_flags(
     )
 
     def _grams(k: int):
-        n = F.size(F.col("w"))
+        # zip-of-shifted-slices, not slice-at-i over the captured `w`:
+        # CollapseProject inlines the upstream split into a captured
+        # reference, re-evaluating it per element (O(tokens²) per doc) —
+        # same fix as word_shingles/_word_bigrams (r6).
+        w = F.col("w")
+        n = F.size(w)
+        zipped = F.arrays_zip(
+            *[F.slice(w, j + 1, n - (k - 1)) for j in range(k)]
+        )
         return F.when(
             n >= k,
             F.transform(
-                F.sequence(F.lit(1), n - (k - 1)),
-                lambda i: F.struct(
+                zipped,
+                lambda p: F.struct(
                     F.lit(k).alias("k"),
-                    F.array_join(F.slice(F.col("w"), i, k), " ").alias(
-                        "gram"
-                    ),
+                    F.concat_ws(
+                        " ", *[p[str(j)] for j in range(k)]
+                    ).alias("gram"),
                 ),
             ),
         ).otherwise(F.array().cast("array<struct<k:int,gram:string>>"))
@@ -875,25 +895,33 @@ def gopher_repetition_flags(
             F.concat(_grams(2), _grams(3), _grams(4))
         ).alias("kg"),
     )
+    # One conditional max per k inside a single groupBy(id) replaces the
+    # former groupBy(id, k) + pivot pair — max over the k-filtered struct
+    # stream is the same (count, gram) argmax, at one exchange instead of
+    # two (r6, guide §2.4; both aggregations stay partial/map-side).
+    def _cov(m: Column) -> Column:
+        return F.coalesce(
+            F.when(m["c"] >= 2, m["c"] * F.length(m["gram"])).otherwise(0),
+            F.lit(0),
+        )
+
     top = (
         tagged.groupBy(id_col, "kg.k", "kg.gram")
         .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col, "k")
-        .agg(F.max(F.struct("c", "gram")).alias("m"))
         .groupBy(id_col)
-        .pivot("k", [2, 3, 4])
         .agg(
-            F.first(
-                F.when(
-                    F.col("m.c") >= 2, F.col("m.c") * F.length("m.gram")
-                ).otherwise(0)
-            )
+            *[
+                F.max(
+                    F.when(F.col("k") == k, F.struct("c", "gram"))
+                ).alias(f"m{k}")
+                for k in (2, 3, 4)
+            ]
         )
         .select(
             id_col,
-            F.col("2").alias("top2_chars"),
-            F.col("3").alias("top3_chars"),
-            F.col("4").alias("top4_chars"),
+            _cov(F.col("m2")).alias("top2_chars"),
+            _cov(F.col("m3")).alias("top3_chars"),
+            _cov(F.col("m4")).alias("top4_chars"),
         )
     )
     out = (
