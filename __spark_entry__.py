@@ -1335,18 +1335,20 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _views(spark, sf_dir, ["embeddings"])
     emb = spark.table("embeddings")
-    qvec = _query_vec(emb)
-    if qvec is None:
-        return _empty_topk(emb).select(
-            F.lit("brute").alias("mode"), "vec_id", "cosine"
-        )
+    # The k-means training loop is a chain of small driver-synchronized
+    # jobs (sample + one collect per Lloyd step); running it on a thread
+    # overlaps those barriers with the plant/PQ branch construction below,
+    # which is pure driver-side expression building (guide §2.6). The
+    # query-vec probe rides the same pool.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=2)
+    f_qvec = pool.submit(_query_vec, emb)
+    f_cents = pool.submit(train_centroids, emb, 4, 2)
 
     def tag(df: DataFrame, mode: str) -> DataFrame:
         return df.select(F.lit(mode).alias("mode"), "vec_id", "cosine")
 
-    brute = tag(brute_force_topk(emb, qvec, k=10), "brute")
-    cents = train_centroids(emb, k=4, iters=2)
-    exact = tag(ivf_topk(emb, qvec, cents, k=10, n_probe=len(cents)), "ivf_exact")
     planted = spark.sql(_IVF_PLANT_SPARK_SQL)
     pruned = tag(
         ivf_topk(
@@ -1397,6 +1399,17 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+    # harvest the overlapped probe + training jobs
+    qvec = f_qvec.result()
+    if qvec is None:
+        pool.shutdown(wait=False)
+        return _empty_topk(emb).select(
+            F.lit("brute").alias("mode"), "vec_id", "cosine"
+        )
+    cents = f_cents.result()
+    pool.shutdown()
+    brute = tag(brute_force_topk(emb, qvec, k=10), "brute")
+    exact = tag(ivf_topk(emb, qvec, cents, k=10, n_probe=len(cents)), "ivf_exact")
     return (
         brute.unionByName(exact)
         .unionByName(pruned)

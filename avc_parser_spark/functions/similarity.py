@@ -92,16 +92,18 @@ def ivf_assign(
 
     At 10^12 scale the assigned table is written bucketed by `cluster`, so
     a probe scans only its clusters (partition pruning), the IVF classic."""
-    dots = [
-        dot_expr(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-        for c in centroids
-    ]
-    best = F.lit(0)
-    best_score = dots[0]
-    for i in range(1, len(dots)):
-        cond = dots[i] > best_score
-        best = F.when(cond, F.lit(i)).otherwise(best)
-        best_score = F.when(cond, dots[i]).otherwise(best_score)
+    # Built as ONE parsed SQL expression, not a k-deep F.when chain of
+    # k zip_with/aggregate Column trees: the py4j call per lit/lambda made
+    # construction alone cost ~0.5 s per call at k=4, dim=64 (r6, guide
+    # §1.2 step 2). array_position over array_max picks the FIRST maximal
+    # dot — the same earliest-index tie-break as the former strict-greater
+    # when-chain, over identically-computed doubles.
+    scores = (
+        "array(" + ",".join(_dot_sql(f"`{vec_col}`", c) for c in centroids) + ")"
+    )
+    best = F.expr(
+        f"CAST(array_position({scores}, array_max({scores})) - 1 AS INT)"
+    )
     return embeddings.withColumn("cluster", best)
 
 
@@ -386,22 +388,41 @@ def quantized_topk(
 # ---------------------------------------------------------------------------
 
 
-def _l2_argmin_expr(subvec: Column, codebook: list[list[float]]) -> Column:
-    """Argmin over ||sub - c||² for a small codebook — expanded to
+def _dot_sql(subvec_sql: str, c: list[float]) -> str:
+    """SQL text of dot_expr(subvec, lit array) — identical zip_with /
+    aggregate arithmetic, but one driver-side string instead of ~2·dim
+    py4j calls (repr() round-trips every double exactly, and the JVM
+    parses shortest-repr decimals back to the same double)."""
+    arr = "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+    return (
+        f"aggregate(zip_with({subvec_sql}, {arr}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _l2_argmin_sql(subvec_sql: str, codebook: list[list[float]]) -> str:
+    """SQL text of the L2 argmin over a small codebook — expanded to
     ||c||² - 2·<sub,c> (the ||sub||² term is constant across codewords);
     native expressions only. Shape is a FLAT k-wide score array +
     array_position(array_min) — a nested when-ladder embeds every prior
     score in each rung, and the doubled tree overflows the JVM
     expression-converter stack at m=8,k=16 (hard-won). array_position
     returns the FIRST match ⇒ deterministic lowest-index tie-break, and
-    both sides compare the same computed double so equality is exact."""
-    scores = F.array(*[
-        F.lit(sum(x * x for x in c)) - 2.0 * dot_expr(
-            subvec, F.array(*[F.lit(float(x)) for x in c])
-        )
+    both sides compare the same computed double so equality is exact.
+    Emitted as ONE parseable string for the same py4j-cost reason as
+    _dot_sql (construction measured ~5 s per pq_encode call before)."""
+    scores = "array(" + ",".join(
+        f"({repr(float(sum(x * x for x in c)))}D"
+        f" - ({_dot_sql(subvec_sql, c)} * 2.0D))"
         for c in codebook
-    ])
-    return (F.array_position(scores, F.array_min(scores)) - 1).cast("int")
+    ) + ")"
+    return f"CAST(array_position({scores}, array_min({scores})) - 1 AS INT)"
+
+
+def _l2_argmin_expr(subvec_sql: str, codebook: list[list[float]]) -> Column:
+    """Column wrapper over _l2_argmin_sql (subvec given as SQL text)."""
+    return F.expr(_l2_argmin_sql(subvec_sql, codebook))
 
 
 def train_pq_codebooks(
@@ -453,12 +474,14 @@ def train_pq_codebooks(
             books.append(pool[idx])
 
         for _ in range(iters):
-            assign = F.lit(0)
+            assign_sql = "0"
             for s in range(m):
-                assign = F.when(
-                    F.col("sub") == s,
-                    _l2_argmin_expr(F.col("subvec"), books[s].tolist()),
-                ).otherwise(assign)
+                assign_sql = (
+                    f"(CASE WHEN (sub = {s}) THEN "
+                    f"({_l2_argmin_sql('subvec', books[s].tolist())}) "
+                    f"ELSE {assign_sql} END)"
+                )
+            assign = F.expr(assign_sql)
             means = (
                 sub.withColumn("cluster", assign)
                 .select("sub", "cluster", F.posexplode("subvec").alias("dim", "x"))
@@ -486,10 +509,12 @@ def pq_encode(
     codes table is what you persist — m bytes per vector)."""
     m = len(codebooks)
     d = len(codebooks[0][0])
-    codes = F.array(*[
-        _l2_argmin_expr(F.slice(F.col(vec_col), s * d + 1, d), codebooks[s])
-        for s in range(m)
-    ])
+    codes = F.expr(
+        "array(" + ",".join(
+            _l2_argmin_sql(f"slice(`{vec_col}`, {s * d + 1}, {d})", codebooks[s])
+            for s in range(m)
+        ) + ")"
+    )
     return embeddings.withColumn(out_col, codes)
 
 
