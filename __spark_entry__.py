@@ -1516,7 +1516,9 @@ def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 end) AS text
         FROM documents WHERE doc_id % 25 = 0 AND doc_id < 500
         """
-    ).repartition(spark.sparkContext.defaultParallelism)
+    )
+    # (no repartition: the plant is ≤20 rows at every SF — fanning it out
+    # to one task per core only multiplied Arrow-batch overhead, r6)
     mh_pairs = minhash_lsh_candidates(docs)
 
     emb = spark.sql(

@@ -836,6 +836,10 @@ def resolve_clusters(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
+        # pre-partition the reusable join side by the per-round join key so
+        # the cached edge table never re-exchanges inside the loop (r6,
+        # guide §2.4 — one exchange up front instead of one per round)
+        .repartition("src")
         .persist()
     )
     labels = (
@@ -845,34 +849,55 @@ def resolve_clusters(
         .localCheckpoint()  # eager: materialized once, reused 3×/round
     )
 
+    # Per round, new_label(v) = min(label(v), neighbor labels, label's
+    # label). The min is computed as ONE union-seeded aggregation over
+    # three branches (self row, neighbor contributions, pointer-doubling
+    # shortcut) instead of left-joining the contribution frames back onto
+    # the label universe — integer mins commute, so seeding the self row
+    # is bit-identical to the former least/coalesce chain at two joins
+    # per round instead of three (r6, guide §2.4). The self row also
+    # carries the old label (other branches carry LONG_MAX, so the min
+    # recovers it), which keeps the convergence check join-free.
+    long_max = (1 << 63) - 1
     for _ in range(max_iters):
-        neighbor_min = (
+        nbr = (
             edges.join(
                 labels.select(F.col("id").alias("src"), "label"), "src"
             )
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        # pointer doubling: my label's current label (labels re-keyed by id)
-        shortcut = labels.select(
-            F.col("id").alias("label"), F.col("label").alias("slabel")
-        )
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .join(shortcut, "label", "left")
             .select(
-                "id",
-                F.least(
-                    F.col("label"),
-                    F.coalesce("nlabel", F.col("label")),
-                    F.coalesce("slabel", F.col("label")),
-                ).alias("new_label"),
-                F.col("label").alias("_old"),
+                F.col("dst").alias("id"),
+                "label",
+                F.lit(long_max).alias("_old"),
+            )
+        )
+        shortcut = (
+            labels.join(
+                labels.select(
+                    F.col("id").alias("label"), F.col("label").alias("slabel")
+                ),
+                "label",
             )
             .select(
                 "id",
-                F.col("new_label").alias("label"),
-                (F.col("new_label") < F.col("_old")).alias("_changed"),
+                F.col("slabel").alias("label"),
+                F.lit(long_max).alias("_old"),
+            )
+        )
+        self_rows = labels.select(
+            "id", "label", F.col("label").cast("long").alias("_old")
+        )
+        new_labels = (
+            self_rows.unionByName(nbr)
+            .unionByName(shortcut)
+            .groupBy("id")
+            .agg(
+                F.min("label").alias("label"),
+                F.min("_old").alias("_old"),
+            )
+            .select(
+                "id",
+                "label",
+                (F.col("label") < F.col("_old")).alias("_changed"),
             )
             .localCheckpoint()  # truncate lineage: plan references labels 3×
         )
