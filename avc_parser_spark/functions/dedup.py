@@ -846,7 +846,9 @@ def resolve_clusters(
         edges.groupBy(F.col("src").alias("id"))
         .agg(F.min("dst").alias("nmin"))
         .select("id", F.least(F.col("id"), F.col("nmin")).alias("label"))
-        .localCheckpoint()  # eager: materialized once, reused 3×/round
+        # lazy: the first round's convergence count materializes it — the
+        # plan is truncated (LogicalRDD) either way, one job fewer (r6)
+        .localCheckpoint(eager=False)
     )
 
     # Per round, new_label(v) = min(label(v), neighbor labels, label's
@@ -899,7 +901,10 @@ def resolve_clusters(
                 "label",
                 (F.col("label") < F.col("_old")).alias("_changed"),
             )
-            .localCheckpoint()  # truncate lineage: plan references labels 3×
+            # lazy checkpoint: plan truncation is immediate (LogicalRDD);
+            # the convergence count right below computes AND caches the
+            # partitions, so each round costs one job, not two (r6)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.select("id", "label")

@@ -157,7 +157,7 @@ def pagerank_micro_multi(
         "node",
         *[F.col(f"_start_{n}").alias(f"rank_{n}") for n in names],
         *[F.col(f"_reset_{n}") for n in names],
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for i in range(iters):
         contrib = (
             edeg.join(
@@ -203,9 +203,14 @@ def pagerank_micro_multi(
             *[F.col(f"_reset_{n}") for n in names],
         )
         # Linear lineage growth: checkpoint every 4th round is enough to
-        # bound plan depth (no per-round materialization barrier).
+        # bound plan depth. Intermediate checkpoints are LAZY (plan
+        # truncation is immediate; partitions cache on first use), so the
+        # whole loop materializes in the single eager job of the FINAL
+        # round — one construction-time job per loop instead of one per
+        # checkpoint (r6). The final one must stay eager: edeg is
+        # unpersisted right below and every round references it.
         if (i + 1) % 4 == 0 or i + 1 == iters:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=(i + 1 == iters))
     edeg.unpersist()
     return ranks.select(
         "node", *[F.col(f"rank_{n}") for n in names]
@@ -283,8 +288,8 @@ def hits_micro(
         "node",
         F.lit(RANK_SCALE).cast("long").alias("auth_micro"),
         F.lit(RANK_SCALE).cast("long").alias("hub_micro"),
-    ).localCheckpoint()
-    for _ in range(iters):
+    ).localCheckpoint(eager=False)
+    for _it in range(iters):
         # Union-seeding one zero row per node (from the score frame itself)
         # replaces the former left-join back to the node universe: integer
         # sums commute, so sum(contribs + a zero) == coalesce(join, 0) —
@@ -299,7 +304,9 @@ def hits_micro(
             .unionByName(scores.select("node", zero.alias("ar")))
             .groupBy("node")
             .agg(F.sum("ar").alias("ar"))
-            .localCheckpoint()
+            # lazy: plan truncation is what matters mid-loop (see the
+            # pagerank loop note); partitions cache on first use
+            .localCheckpoint(eager=False)
         )
         # the 1-row max rides as a broadcast cross-join computed from the
         # CHECKPOINTED sum frame inside the consumer's job — no extra
@@ -335,7 +342,9 @@ def hits_micro(
                 F.sum("hr").alias("hr"),
                 F.max("auth_micro").alias("auth_micro"),
             )
-            .localCheckpoint()
+            # the FINAL round's checkpoint stays eager so the whole loop
+            # materializes before `e` is unpersisted below
+            .localCheckpoint(eager=(_it == iters - 1))
         )
         hmax = hraw.agg(F.max("hr").alias("hm"))
         scores = (
