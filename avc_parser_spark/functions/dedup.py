@@ -1636,14 +1636,15 @@ def kmv_build_grouped(
                 yield _pd.concat(parts, ignore_index=True)
 
     candidates = hashed.mapInPandas(_batch_mins, "grp string, h long")
-    from pyspark.sql.window import Window as _W
-
-    w = _W.partitionBy("grp").orderBy("h")
+    # k smallest distinct per group in ONE shuffle: collect_set bounds the
+    # per-group state to <= k·n_batches candidate hashes (the map-side
+    # pruning above), sort + slice picks the sketch — replaces the former
+    # distinct + window pair (two shuffles + a sort) with one partial-
+    # aggregated groupBy; identical (grp, h) row set (r6, guide §2.4).
     return (
-        candidates.distinct()
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
-        .drop("_rk")
+        candidates.groupBy("grp")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("_hs"))
+        .select("grp", F.explode("_hs").alias("h"))
     )
 
 
