@@ -534,7 +534,18 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _views(spark, sf_dir, ["documents"])
-    docs = spark.table("documents")
+    # The driver parquet is one row group = ONE scan split, so every
+    # branch's map stage (the explodes below) would run single-task.
+    # One keyless repartition buys map parallelism for all 21 branches —
+    # the shuffle is tiny (the doc table), every branch plan embeds the
+    # same canonical exchange so AQE reuses the one shuffle stage, and
+    # results are partitioning-independent (guide §2.5: unsplittable
+    # input → repartition right after the read; the same fix datagen
+    # applies to the pages warehouse).
+    docs = spark.table("documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    docs.createOrReplaceTempView("documents_r6")
     null_n = F.lit(None).cast("long")
     prof = document_profile(docs)
     stats = prof.groupBy("lang").agg(
@@ -573,7 +584,7 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                  concat('zzqx', doc_id, ' unseenword', doc_id,
                         ' entirely novel phrasing here')
                ELSE text END AS text
-        FROM documents
+        FROM documents_r6
         """
     )
     lm = build_ngram_lm(pdocs.filter(F.col("doc_id") % 10 < 5))
@@ -607,7 +618,7 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN 2 THEN concat('- one', '\n', '- two', '\n', '- three')
                   ELSE concat('first...', '\n', 'second...', '\n', 'third') END)
                ELSE text END AS text
-        FROM documents
+        FROM documents_r6
         """
     )
     gopher = (
@@ -642,7 +653,7 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                     '\n', 'A third full sentence rounds out the page nicely.')
                   END)
                ELSE text END AS text
-        FROM documents
+        FROM documents_r6
         """
     )
     c4 = (
@@ -673,7 +684,7 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 'alpha beta gamma delta alpha beta gamma delta closing words here now'
                   END)
                ELSE text END AS text
-        FROM documents
+        FROM documents_r6
         """
     )
     rep = (
@@ -695,7 +706,7 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from avc_parser_spark.functions.text import extract_html_text
 
     hdocs = spark.sql(
-        "SELECT doc_id, " + _HTML_DECOR_CASE + " AS html FROM documents"
+        "SELECT doc_id, " + _HTML_DECOR_CASE + " AS html FROM documents_r6"
     )
     hext = hdocs.select(
         "doc_id",
@@ -770,7 +781,7 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                  concat(text, ' cmshh', cast(doc_id % 3 as string),
                         ' cmshh', cast(doc_id % 3 as string), ' cmsrare')
                ELSE text END AS text
-        FROM documents
+        FROM documents_r6
         """
     )
     cms_terms = cms_docs.select(
@@ -1113,7 +1124,8 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                     then 'identical page body' else text end AS text
         FROM documents
         """
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
+    # ^ one-split driver parquet: spread the sketch pass (guide §2.5)
     clusters = simhash_near_dups(docs).filter(F.col("dup_count") >= 5)
     return clusters.select(
         "dup_count", F.array_min("doc_ids").alias("keeper")
@@ -2341,7 +2353,16 @@ def q_ngram_overlap_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _views(spark, sf_dir, ["documents"])
-    docs = spark.table("documents").select(
+    # single-row-group driver parquet = one scan split: buy map-side
+    # parallelism for the shingle/gram/window explodes with ONE tiny
+    # keyless shuffle shared by every mode's plan (AQE stage reuse);
+    # results are partitioning-independent (guide §2.5 — same fix as
+    # token_suite).
+    rdocs_all = spark.table("documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    rdocs_all.createOrReplaceTempView("documents_r6")
+    docs = rdocs_all.select(
         "doc_id",
         F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh"),
     )
@@ -2369,7 +2390,7 @@ def q_ngram_overlap_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     contam = ngram_contamination(
-        spark.table("documents"), eval_docs, n=8, hashed=False
+        rdocs_all, eval_docs, n=8, hashed=False
     ).select(
         F.lit("contam").alias("mode"),
         F.col("eval_id").alias("a"),
@@ -2431,7 +2452,7 @@ def q_ngram_overlap_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          '\n\n', 'breaking news ticker repeats')
                              ELSE '' END)
                ELSE text END AS text
-        FROM documents
+        FROM documents_r6
         """
     )
     paradedup = (
@@ -2457,7 +2478,7 @@ def q_ngram_overlap_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                  concat('the quick brown fox jumps over the lazy dog again',
                         ' unique tail for document ', doc_id)
                ELSE text END AS text
-        FROM documents
+        FROM documents_r6
         """
     )
     substr = (
@@ -2486,7 +2507,7 @@ def q_ngram_overlap_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN doc_id % 40 IN (0, 21)
                     THEN 'bloom planted page ' || (doc_id % 3)
                     ELSE text END AS text
-        FROM documents
+        FROM documents_r6
         """
     )
     bloomdelta = exact_delta_dups(
@@ -2979,7 +3000,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 else cast(text as binary) end) AS payload
         FROM documents
         """
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
+    # ^ single-row-group driver parquet = one scan split; the per-payload
+    # decode chain is the heavy stage, spread it across cores (guide §2.5)
     resized = resize_media(media, max_dim=4)
     feats = extract_media_features(resized)
     is_img = F.col("decode_status").isin("ok_ppm", "ok_png", "ok_gif", "ok_jpeg")
