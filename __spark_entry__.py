@@ -534,19 +534,7 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _views(spark, sf_dir, ["documents"])
-    # The driver parquet is one row group = ONE scan split, so every
-    # branch's map stage (the explodes below) would run single-task.
-    # Repartition right after the read (guide §2.5: unsplittable input;
-    # the same fix datagen applies to the pages warehouse) and materialize
-    # ONCE with an eager localCheckpoint, so all 21 branches read the
-    # 32-partition cached table instead of each re-running the scan (or
-    # the repartition exchange). Results are partitioning-independent;
-    # the table is a few MB at this SF and the checkpoint is recomputed
-    # inside every invocation's timed region.
-    docs = spark.table("documents").repartition(
-        spark.sparkContext.defaultParallelism
-    ).localCheckpoint(eager=True)
-    docs.createOrReplaceTempView("documents_r6")
+    docs = spark.table("documents")
     null_n = F.lit(None).cast("long")
     prof = document_profile(docs)
     stats = prof.groupBy("lang").agg(
@@ -585,7 +573,7 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                  concat('zzqx', doc_id, ' unseenword', doc_id,
                         ' entirely novel phrasing here')
                ELSE text END AS text
-        FROM documents_r6
+        FROM documents
         """
     )
     lm = build_ngram_lm(pdocs.filter(F.col("doc_id") % 10 < 5))
@@ -619,7 +607,7 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN 2 THEN concat('- one', '\n', '- two', '\n', '- three')
                   ELSE concat('first...', '\n', 'second...', '\n', 'third') END)
                ELSE text END AS text
-        FROM documents_r6
+        FROM documents
         """
     )
     gopher = (
@@ -654,7 +642,7 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                     '\n', 'A third full sentence rounds out the page nicely.')
                   END)
                ELSE text END AS text
-        FROM documents_r6
+        FROM documents
         """
     )
     c4 = (
@@ -685,7 +673,7 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 'alpha beta gamma delta alpha beta gamma delta closing words here now'
                   END)
                ELSE text END AS text
-        FROM documents_r6
+        FROM documents
         """
     )
     rep = (
@@ -707,7 +695,7 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from avc_parser_spark.functions.text import extract_html_text
 
     hdocs = spark.sql(
-        "SELECT doc_id, " + _HTML_DECOR_CASE + " AS html FROM documents_r6"
+        "SELECT doc_id, " + _HTML_DECOR_CASE + " AS html FROM documents"
     )
     hext = hdocs.select(
         "doc_id",
@@ -782,7 +770,7 @@ def q_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                  concat(text, ' cmshh', cast(doc_id % 3 as string),
                         ' cmshh', cast(doc_id % 3 as string), ' cmsrare')
                ELSE text END AS text
-        FROM documents_r6
+        FROM documents
         """
     )
     cms_terms = cms_docs.select(
@@ -2354,16 +2342,7 @@ def q_ngram_overlap_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _views(spark, sf_dir, ["documents"])
-    # single-row-group driver parquet = one scan split: buy map-side
-    # parallelism for the shingle/gram/window explodes with one keyless
-    # repartition materialized ONCE (eager localCheckpoint) and shared by
-    # every mode; results are partitioning-independent (guide §2.5 — same
-    # fix as token_suite).
-    rdocs_all = spark.table("documents").repartition(
-        spark.sparkContext.defaultParallelism
-    ).localCheckpoint(eager=True)
-    rdocs_all.createOrReplaceTempView("documents_r6")
-    docs = rdocs_all.select(
+    docs = spark.table("documents").select(
         "doc_id",
         F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh"),
     )
@@ -2391,7 +2370,7 @@ def q_ngram_overlap_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     contam = ngram_contamination(
-        rdocs_all, eval_docs, n=8, hashed=False
+        spark.table("documents"), eval_docs, n=8, hashed=False
     ).select(
         F.lit("contam").alias("mode"),
         F.col("eval_id").alias("a"),
@@ -2453,7 +2432,7 @@ def q_ngram_overlap_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          '\n\n', 'breaking news ticker repeats')
                              ELSE '' END)
                ELSE text END AS text
-        FROM documents_r6
+        FROM documents
         """
     )
     paradedup = (
@@ -2479,7 +2458,7 @@ def q_ngram_overlap_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                  concat('the quick brown fox jumps over the lazy dog again',
                         ' unique tail for document ', doc_id)
                ELSE text END AS text
-        FROM documents_r6
+        FROM documents
         """
     )
     substr = (
@@ -2508,7 +2487,7 @@ def q_ngram_overlap_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN doc_id % 40 IN (0, 21)
                     THEN 'bloom planted page ' || (doc_id % 3)
                     ELSE text END AS text
-        FROM documents_r6
+        FROM documents
         """
     )
     bloomdelta = exact_delta_dups(
