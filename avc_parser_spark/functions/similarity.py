@@ -420,11 +420,6 @@ def _l2_argmin_sql(subvec_sql: str, codebook: list[list[float]]) -> str:
     return f"CAST(array_position({scores}, array_min({scores})) - 1 AS INT)"
 
 
-def _l2_argmin_expr(subvec_sql: str, codebook: list[list[float]]) -> Column:
-    """Column wrapper over _l2_argmin_sql (subvec given as SQL text)."""
-    return F.expr(_l2_argmin_sql(subvec_sql, codebook))
-
-
 def train_pq_codebooks(
     embeddings: DataFrame,
     m: int = 8,
